@@ -1,0 +1,11 @@
+"""ezdata_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of mfouesneau/ezdata, re-expressed on the
+Spark DataFrame/SQL stack (Catalyst-optimized, cluster-scale).
+"""
+
+from .expr import ExprError, translate
+from .session import get_spark, tune_existing
+from .table import EzTable
+
+__all__ = ["EzTable", "translate", "ExprError", "get_spark", "tune_existing"]
+__version__ = "0.1.0"

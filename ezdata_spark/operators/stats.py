@@ -1,0 +1,83 @@
+"""Per-column statistics table (simpletable.py:2877-2929, fn library
+3227-3271: nan-mean/max/min/std, var, p16/p50/p84, has_nan).
+
+One Spark job computes every (column x statistic) cell as a single wide
+aggregate row — a single scan + partial/final agg, no per-column jobs —
+then unpivots driver-side into the reference's (column, stat...) layout.
+NaN handling: the reference's nan* functions skip NaNs; Spark aggregates
+skip nulls, so NaN values are first nulled via nanvl-style guard.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FNS = ("mean", "std", "min", "max", "p16", "p50", "p84", "has_nan")
+
+
+def _nan_to_null(c):
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+
+
+def _stat_col(name: str, fn: str):
+    c = F.col(name)
+    dtype_numeric_float = True  # guard applied generically; isnan on ints is false
+    cc = _nan_to_null(c.cast("double"))
+    if fn == "mean":
+        return F.avg(cc)
+    if fn == "std":
+        return F.stddev_samp(cc)
+    if fn == "var":
+        return F.var_samp(cc)
+    if fn == "min":
+        return F.min(cc)
+    if fn == "max":
+        return F.max(cc)
+    if fn == "sum":
+        return F.sum(cc)
+    if fn == "count":
+        return F.count(cc)
+    if fn.startswith("p") and fn[1:].isdigit():
+        q = int(fn[1:]) / 100.0
+        return F.percentile(cc, F.lit(q))
+    if fn == "has_nan":
+        return F.max(F.isnan(c.cast("double")) | c.isNull())
+    raise ValueError(f"unknown stat {fn!r}")
+
+
+def column_stats(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | None = None) -> DataFrame:
+    fns = tuple(fns or DEFAULT_FNS)
+    aggs = []
+    for name in columns:
+        for fn in fns:
+            aggs.append(_stat_col(name, fn).alias(f"{name}__{fn}"))
+    wide = df.agg(*aggs)  # single job, one row
+
+    # unpivot to (column, <fn>...) — tiny, driver-safe
+    spark = df.sparkSession
+    row = wide.collect()[0]
+    out_rows = []
+    for name in columns:
+        rec = {"column": name}
+        for fn in fns:
+            v = row[f"{name}__{fn}"]
+            rec[fn] = float(v) if fn != "has_nan" and v is not None else v
+        out_rows.append(rec)
+    schema = "column string, " + ", ".join(
+        f"{fn} boolean" if fn == "has_nan" else f"{fn} double" for fn in fns
+    )
+    return spark.createDataFrame(out_rows, schema=schema)
+
+
+def stats_wide(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | None = None) -> DataFrame:
+    """Fully-distributed variant: one row, columns named col__fn (no
+    collect). Used by oracle-checked queries."""
+    fns = tuple(fns or DEFAULT_FNS)
+    aggs = []
+    for name in columns:
+        for fn in fns:
+            aggs.append(_stat_col(name, fn).alias(f"{name}__{fn}"))
+    return df.agg(*aggs)

@@ -1,0 +1,464 @@
+"""EzTable — the engine's table abstraction: a Spark DataFrame plus the
+reference's metadata surface (header, per-column units/descriptions,
+aliases) and its query verbs re-expressed declaratively.
+
+Reference containers: ``SimpleTable`` (simpletable.py:1421) and
+``DictDataFrame`` (dictdataframe.py:93). Where the reference mutates in
+place (sort, add_column, setitem — simpletable.py:2357-2379, 2560-2619),
+EzTable returns a new immutable EzTable; callers rebind. Where the
+reference relies on row position (take/select(indices), simpletable.py:
+2165-2203, 2772-2813) we provide an explicit ``with_row_id`` discipline.
+
+Everything emits DataFrame/Catalyst plans — no driver-side loops, no
+collect in any query path.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .expr import ExprError, translate
+from .functions.numpy_fallback import ensure_numpy_fallbacks
+
+__all__ = ["EzTable"]
+
+
+class EzTable:
+    """A Spark DataFrame with ezdata's metadata + query surface."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        header: dict | None = None,
+        units: dict[str, str] | None = None,
+        desc: dict[str, str] | None = None,
+        aliases: dict[str, str] | None = None,
+        caseless: bool = False,
+    ):
+        self.df = df
+        self.header = dict(header or {})
+        self._units = dict(units or {})
+        self._desc = dict(desc or {})
+        self._aliases = dict(aliases or {})
+        self.caseless = caseless
+
+    # ------------------------------------------------------------------
+    # construction / plumbing
+    # ------------------------------------------------------------------
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str, **meta) -> "EzTable":
+        return cls(spark.read.parquet(path), **meta)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    @property
+    def colnames(self) -> list[str]:
+        return list(self.df.columns)
+
+    @property
+    def nrows(self) -> int:
+        return self.df.count()
+
+    @property
+    def ncols(self) -> int:
+        return len(self.df.columns)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.nrows, self.ncols)
+
+    def _clone(self, df: DataFrame, drop_meta_for: Iterable[str] = ()) -> "EzTable":
+        """New EzTable sharing metadata; the reference deep-copies metadata
+        through every op (simpletable.py:2808-2812)."""
+        kept = set(df.columns)
+        units = {k: v for k, v in self._units.items() if k in kept}
+        desc = {k: v for k, v in self._desc.items() if k in kept}
+        # orphan-alias cleanup (simpletable.py:1981-1984)
+        aliases = {a: t for a, t in self._aliases.items() if self._alias_root(t, kept)}
+        return EzTable(df, self.header, units, desc, aliases, self.caseless)
+
+    @staticmethod
+    def _alias_root(target: str, kept: set) -> bool:
+        # an alias survives if every bare name it references survives
+        return all(tok in kept for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", target) if tok in kept) and any(
+            tok in kept for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", target)
+        )
+
+    # ------------------------------------------------------------------
+    # metadata surface (simpletable.py:1965-2053)
+    # ------------------------------------------------------------------
+    def set_alias(self, alias: str, column_or_expr: str) -> "EzTable":
+        out = self._clone(self.df)
+        out._aliases[alias] = column_or_expr
+        return out
+
+    def reverse_alias(self, colname: str) -> list[str]:
+        return [a for a, t in self._aliases.items() if t == colname]
+
+    def resolve_alias(self, name: str) -> str:
+        if name in self.df.columns:
+            return name
+        if name in self._aliases:
+            return self._aliases[name]
+        if self.caseless:
+            low = {c.lower(): c for c in self.df.columns}
+            if name.lower() in low:
+                return low[name.lower()]
+            lowa = {a.lower(): t for a, t in self._aliases.items()}
+            if name.lower() in lowa:
+                return lowa[name.lower()]
+        return name
+
+    def set_unit(self, colname: str, unit: str) -> "EzTable":
+        out = self._clone(self.df)
+        out._units[colname] = unit
+        return out
+
+    def set_comment(self, colname: str, comment: str) -> "EzTable":
+        out = self._clone(self.df)
+        out._desc[colname] = comment
+        return out
+
+    def unit(self, colname: str) -> str | None:
+        return self._units.get(colname)
+
+    def comment(self, colname: str) -> str | None:
+        return self._desc.get(colname)
+
+    # ------------------------------------------------------------------
+    # expression engine (simpletable.py:2710-2747)
+    # ------------------------------------------------------------------
+    def _translate(self, expr: str, exprvars: dict | None = None) -> str:
+        res = translate(
+            expr,
+            self.df.columns,
+            aliases=self._aliases,
+            exprvars=exprvars,
+            caseless=self.caseless,
+        )
+        if res.fallback_fns:
+            ensure_numpy_fallbacks(self.spark, res.fallback_fns)
+        return res.sql
+
+    def evalexpr(self, expr: str, exprvars: dict | None = None, name: str = "expr") -> "EzTable":
+        """Evaluate a numpy-dialect expression into a new column named
+        ``name`` (reference returns a bare ndarray; we keep it columnar)."""
+        sql = self._translate(expr, exprvars)
+        return self._clone(self.df.withColumn(name, F.expr(sql)))
+
+    def expr_column(self, expr: str, exprvars: dict | None = None) -> Column:
+        return F.expr(self._translate(expr, exprvars))
+
+    # ------------------------------------------------------------------
+    # projections (simpletable.py:2055-2109, 2236-2260, 2772-2813)
+    # ------------------------------------------------------------------
+    def keys(self, regexp: str | None = None, full_match: bool = False) -> list[str]:
+        """Column names matching comma/space-separated regex patterns,
+        alias names included (simpletable.py:2055-2109)."""
+        if regexp is None or regexp == "*":
+            return self.colnames
+        names = list(self.df.columns) + list(self._aliases)
+        out: list[str] = []
+        for pattern in re.split(r"[,\s]+", regexp.strip()):
+            if not pattern:
+                continue
+            pat = pattern if full_match else pattern + r"\Z"
+            if not pat.startswith("^"):
+                pat = r"\A" + pat
+            matcher = re.compile(pat)
+            for n in names:
+                if matcher.match(n) and n not in out:
+                    out.append(n)
+        return out
+
+    def _expand_fields(self, fields) -> list[str]:
+        if fields in (None, "*", ""):
+            return self.colnames
+        if isinstance(fields, str):
+            return self.keys(fields)
+        out: list[str] = []
+        for f in fields:
+            out.extend(self.keys(f))
+        return out
+
+    def _select_cols(self, names: Sequence[str]) -> list[Column]:
+        cols = []
+        for n in names:
+            if n in self.df.columns:
+                cols.append(F.col(n))
+            elif n in self._aliases:
+                cols.append(F.expr(self._translate(n)).alias(n))
+            else:
+                cols.append(F.expr(self._translate(n)).alias(n))
+        return cols
+
+    def get(self, fields) -> "EzTable":
+        """Subtable projection with regex expansion (simpletable.py:2236)."""
+        names = self._expand_fields(fields)
+        return self._clone(self.df.select(*self._select_cols(names)))
+
+    def select(self, fields, indices=None) -> "EzTable":
+        """Projection; ``indices`` (positional) requires a ``row_id``
+        column (see ``with_row_id``) — Spark has no stable row order."""
+        names = self._expand_fields(fields)
+        df = self.df
+        if indices is not None:
+            if "row_id" not in df.columns:
+                raise ValueError("positional select requires with_row_id() first")
+            df = df.filter(F.col("row_id").isin(list(indices)))
+        return self._clone(df.select(*self._select_cols(names)))
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.get(key)
+        raise TypeError("EzTable indexing supports column-name strings")
+
+    def with_row_id(self, order_by: str | None = None, name: str = "row_id") -> "EzTable":
+        """Materialize an explicit row id. With ``order_by``: dense
+        row_number over that sort key (deterministic). Without: Spark's
+        monotonically_increasing_id (partition-local, not dense) — cheap,
+        order-free, suitable for joins-back."""
+        if order_by:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(*[F.col(c) for c in self._expand_fields(order_by)])
+            df = self.df.withColumn(name, F.row_number().over(w) - F.lit(1))
+        else:
+            df = self.df.withColumn(name, F.monotonically_increasing_id())
+        return self._clone(df)
+
+    # ------------------------------------------------------------------
+    # filters (simpletable.py:2749-2770, 2815-2844)
+    # ------------------------------------------------------------------
+    def where(self, condition: str, exprvars: dict | None = None) -> "EzTable":
+        return self._clone(self.df.filter(F.expr(self._translate(condition, exprvars))))
+
+    def selectWhere(self, fields, condition: str, exprvars: dict | None = None) -> "EzTable":
+        """The flagship verb (simpletable.py:2815-2844): filter then
+        project. Catalyst pushes the predicate below the projection and
+        into the parquet scan."""
+        filtered = self.where(condition, exprvars)
+        return filtered.get(fields)
+
+    def find_duplicate(self, keys=None) -> "EzTable":
+        """Rows appearing more than once (simpletable.py:2691-2708 is an
+        O(n^2) scan; this is a hash groupBy)."""
+        names = self._expand_fields(keys) if keys else self.colnames
+        return self._clone(
+            self.df.groupBy(*names).agg(F.count(F.lit(1)).alias("n_dup")).filter(F.col("n_dup") > 1)
+        )
+
+    # ------------------------------------------------------------------
+    # schema ops (simpletable.py:2560-2689)
+    # ------------------------------------------------------------------
+    def add_column(self, name: str, expr: str | Column, unit: str | None = None, description: str | None = None) -> "EzTable":
+        col = expr if isinstance(expr, Column) else F.expr(self._translate(expr))
+        out = self._clone(self.df.withColumn(name, col))
+        if unit:
+            out._units[name] = unit
+        if description:
+            out._desc[name] = description
+        return out
+
+    def rename_columns(self, mapping: dict[str, str]) -> "EzTable":
+        df = self.df
+        out_units = dict(self._units)
+        out_desc = dict(self._desc)
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+            if old in out_units:
+                out_units[new] = out_units.pop(old)
+            if old in out_desc:
+                out_desc[new] = out_desc.pop(old)
+        out = EzTable(df, self.header, out_units, out_desc, dict(self._aliases), self.caseless)
+        return out
+
+    def remove_columns(self, names) -> "EzTable":
+        drop = self._expand_fields(names)
+        return self._clone(self.df.drop(*drop))
+
+    def append_row(self, row: dict) -> "EzTable":
+        new = self.spark.createDataFrame([row], schema=self.df.schema)
+        return self._clone(self.df.unionByName(new))
+
+    # ------------------------------------------------------------------
+    # sorts (simpletable.py:2357-2379; dictdataframe.py:483-512)
+    # ------------------------------------------------------------------
+    def sort(self, keys, reverse: bool = False) -> "EzTable":
+        names = self._expand_fields(keys) if isinstance(keys, (str, list, tuple)) else [keys]
+        cols = []
+        for n in names:
+            c = F.expr(self._translate(n)) if n not in self.df.columns else F.col(n)
+            cols.append(c.desc() if reverse else c.asc())
+        return self._clone(self.df.orderBy(*cols))
+
+    def take(self, n: int) -> "EzTable":
+        return self._clone(self.df.limit(n))
+
+    # ------------------------------------------------------------------
+    # set ops (simpletable.py:2400-2424)
+    # ------------------------------------------------------------------
+    def stack(self, *others: "EzTable | DataFrame", defaults: dict | None = None) -> "EzTable":
+        """Vertical union with schema reconciliation; missing columns get
+        per-field defaults (recfunctions.stack_arrays semantics)."""
+        df = self.df
+        for o in others:
+            odf = o.df if isinstance(o, EzTable) else o
+            df = df.unionByName(odf, allowMissingColumns=True)
+        if defaults:
+            df = df.fillna(defaults)
+        return self._clone(df)
+
+    # ------------------------------------------------------------------
+    # joins (simpletable.py:2426-2553; dictdataframe.py:692-785)
+    # ------------------------------------------------------------------
+    def join(
+        self,
+        other: "EzTable | DataFrame",
+        on: str | Sequence[str] | Column | None = None,
+        left_on: str | Sequence[str] | None = None,
+        right_on: str | Sequence[str] | None = None,
+        how: str = "left",
+        lsuffix: str = "",
+        rsuffix: str = "_r",
+        columns_other: Sequence[str] | None = None,
+        broadcast_other: bool | None = None,
+    ) -> "EzTable":
+        """Equi-join with the reference's surface (on/left_on/right_on,
+        suffixes) generalized to every Spark join type.
+
+        The reference implements left/right via a driver hash dict with
+        last-match-wins on duplicate keys (simpletable.py:2507-2542) and a
+        latent unpermuted-append bug (2545-2552); we implement the intended
+        relational semantics. DictDataFrame's column subsetting + null fill
+        (dictdataframe.py:692-785) maps to ``columns_other`` + Spark nulls.
+        Catalyst picks broadcast/SMJ; ``broadcast_other=True`` forces the
+        hint for known-small dims.
+        """
+        odf = other.df if isinstance(other, EzTable) else other
+        if columns_other is not None:
+            keep = list(columns_other)
+            keys = [right_on] if isinstance(right_on, str) else list(right_on or [])
+            if on is not None and isinstance(on, str):
+                keys.append(on)
+            for k in keys:
+                if k and k not in keep:
+                    keep.append(k)
+            odf = odf.select(*keep)
+
+        # suffix collided non-key columns (simpletable.py:2484-2488)
+        join_keys: list[str] = []
+        if on is not None and not isinstance(on, Column):
+            join_keys = [on] if isinstance(on, str) else list(on)
+        collisions = (set(self.df.columns) & set(odf.columns)) - set(join_keys)
+        ldf = self.df
+        for c in collisions:
+            if lsuffix:
+                ldf = ldf.withColumnRenamed(c, c + lsuffix)
+            odf = odf.withColumnRenamed(c, c + rsuffix)
+
+        if broadcast_other is None:
+            broadcast_other = how in ("left", "inner", "left_semi", "left_anti")
+        # Spark's autoBroadcastJoinThreshold normally decides; the explicit
+        # hint is applied when the caller knows the dim is small, or left to
+        # AQE otherwise. We only hint when explicitly asked:
+        if broadcast_other is True and isinstance(other, EzTable) and getattr(other, "_small_dim", False):
+            odf = F.broadcast(odf)
+
+        if on is None and (left_on or right_on):
+            lo = [left_on] if isinstance(left_on, str) else list(left_on or [])
+            ro = [right_on] if isinstance(right_on, str) else list(right_on or [])
+            cond = None
+            for a, b in zip(lo, ro):
+                c = ldf[a] == odf[b]
+                cond = c if cond is None else (cond & c)
+            joined = ldf.join(odf, cond, how)
+        else:
+            joined = ldf.join(odf, on, how)
+        return self._clone(joined)
+
+    def hint_small(self) -> "EzTable":
+        """Mark this table as a broadcastable dimension."""
+        out = self._clone(self.df)
+        out._small_dim = True  # type: ignore[attr-defined]
+        return out
+
+    def match(self, other: "EzTable | DataFrame", key: str) -> "EzTable":
+        """All matching pairs (simpletable.py:2381-2398's O(n*m)
+        ``np.equal.outer``) as a relational inner join."""
+        return self.join(other, on=key, how="inner")
+
+    # ------------------------------------------------------------------
+    # group-by (simpletable.py:2846-2875; dictdataframe.py:411-426,562-599)
+    # ------------------------------------------------------------------
+    def groupby(self, *keys: str):
+        """True grouping (DictDataFrame semantics). The SimpleTable
+        variant groups only adjacent equal keys (simpletable.py:2869) — a
+        quirk we deliberately do not reproduce."""
+        names: list[str] = []
+        for k in keys:
+            names.extend(self._expand_fields(k))
+        return self.df.groupBy(*names)
+
+    def multigroupby(self, *keys: str):
+        return self.groupby(*keys)
+
+    def aggregate(self, aggs: dict[str, str] | list, keys) -> "EzTable":
+        """groupBy().agg with numpy-dialect value expressions.
+
+        ``aggs``: {output_name: "sum(expr)" / "mean(expr)" / ...}. Maps the
+        reference's ``aggregate(func, keys)`` (dictdataframe.py:578-599)
+        for translatable reducers; arbitrary Python callables go through
+        ``apply_in_pandas``.
+        """
+        keynames = self._expand_fields(keys) if isinstance(keys, str) else list(keys)
+        from .operators.groupby import parse_agg
+
+        cols = []
+        if isinstance(aggs, dict):
+            items = aggs.items()
+        else:
+            items = [(a, a) for a in aggs]
+        for out_name, spec in items:
+            cols.append(parse_agg(self, spec).alias(out_name))
+        return self._clone(self.df.groupBy(*keynames).agg(*cols))
+
+    def apply_in_pandas(self, keys, fn, schema) -> "EzTable":
+        """Arbitrary per-group Python (UDAF surface, dictdataframe.py:578)."""
+        keynames = self._expand_fields(keys) if isinstance(keys, str) else list(keys)
+        return self._clone(self.df.groupBy(*keynames).applyInPandas(fn, schema))
+
+    def stats(self, fields=None, fns: Sequence[str] | None = None) -> DataFrame:
+        from .operators.stats import column_stats
+
+        names = [
+            n
+            for n in (self._expand_fields(fields) if fields else self.colnames)
+            if dict(self.df.dtypes).get(n) in ("double", "float", "int", "bigint", "smallint", "tinyint")
+        ]
+        return column_stats(self.df, names, fns)
+
+    # ------------------------------------------------------------------
+    # display (simpletable.py:1601-1718, 2296-2355)
+    # ------------------------------------------------------------------
+    def info(self) -> str:
+        lines = [f"Table: {self.header.get('NAME', '(unnamed)')}", f"columns: {self.ncols}"]
+        for f in self.df.schema.fields:
+            u = self._units.get(f.name, "")
+            d = self._desc.get(f.name, "")
+            lines.append(f"  {f.name} {f.dataType.simpleString()} {u} {d}".rstrip())
+        if self._aliases:
+            lines.append("aliases: " + ", ".join(f"{a} --> {t}" for a, t in self._aliases.items()))
+        return "\n".join(lines)
+
+    def pprint(self, n: int = 10) -> None:
+        self.df.show(n)
+
+    def __repr__(self) -> str:
+        return f"EzTable({self.ncols} cols, schema={self.df.schema.simpleString()})"
