@@ -1,0 +1,67 @@
+"""Headline benchmark: run representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink (full column evaluation, no driver
+transfer) so timings reflect executor work, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_selectwhere",       # pushed-down filter + projection
+    "q02_evalexpr",          # expression translation, codegen math
+    "q13_groupby_pricing",   # hash aggregate w/ partial combine
+    "q21_join_multihop",     # broadcast dim joins + agg
+    "q26_histogram_1d",      # binned agg + densification
+    "q30_top_per_group",     # window top-k
+    "q32_sessionize",        # two-pass window state
+    "q38_crossmatch_cone",   # zone-bucketed spatial join
+    "q45_exact_dedup",       # full-text hash dedup
+    "q46_minhash_neardup",   # minhash+LSH near-dup pipeline
+    "q50_cosine_topk",       # brute-force vector search
+    "q41_tumbling_window",   # event-time windowed agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ezdata_spark.queries import QUERIES
+    from ezdata_spark.session import get_spark
+
+    spark = get_spark("ezdata-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""N-D binned aggregation (histogram / binned-statistic) on Spark.
+
+Reference: ``ezdata/xarray.py`` — ``xr_histogram`` (np.histogramdd,
+38-96), ``xr_histogram_df`` (weighted per-column, 99-165),
+``df_groupby_bins`` (pandas groupby + reindex keeping empty bins,
+168-222), ``xr_binned_statistic_df`` (scipy.binned_statistic_dd,
+categorical-aware, 269-335), ``guess_bins`` (23-35).
+
+Spark mapping: bin ids are computed with pure column arithmetic
+(``floor((x - lo) / width)``, clamped so the right edge falls in the last
+bin, matching np.histogramdd edge semantics), aggregated with a single
+hash-aggregate (map-side partial combine — one shuffle of at most
+``prod(nbins)`` rows), then **densified** against a generated bin grid
+(``spark.range`` per dim, cross-joined — the grid is tiny relative to
+data and broadcast to the agg result). Scales: the shuffle carries bins,
+not rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BinSpec:
+    """One binning dimension: numeric (lo/hi/nbins) or categorical."""
+
+    col: str
+    lo: float | None = None
+    hi: float | None = None
+    nbins: int | None = None
+    categorical: bool = False
+
+    @property
+    def width(self) -> float:
+        return (self.hi - self.lo) / self.nbins
+
+
+def _bin_id(spec: BinSpec) -> Column:
+    """np.histogramdd semantics: values on the right edge of the last bin
+    are included in it; out-of-range values are dropped by the caller."""
+    c = F.col(spec.col)
+    raw = F.floor((c - F.lit(spec.lo)) / F.lit(spec.width))
+    return F.least(raw, F.lit(spec.nbins - 1)).cast("long")
+
+
+def _in_range(spec: BinSpec) -> Column:
+    c = F.col(spec.col)
+    return (c >= F.lit(spec.lo)) & (c <= F.lit(spec.hi)) & ~F.isnan(c.cast("double"))
+
+
+def guess_range(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
+    """min/max per column in ONE job (xarray.py:29-35 computes eagerly
+    per-column; we batch)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols}
+
+
+def _grid(df: DataFrame, specs: Sequence[BinSpec]) -> DataFrame:
+    """Dense bin-id grid: cross product of per-dim ranges / categories.
+
+    Kept lazy & generated (spark.range); for categorical dims the
+    distinct values come from the data (one small job is avoided by
+    crossing the distinct frame directly)."""
+    spark = df.sparkSession
+    grid = None
+    for s in specs:
+        if s.categorical:
+            d = df.select(F.col(s.col).alias(f"{s.col}__bin")).distinct()
+        else:
+            d = spark.range(s.nbins).select(F.col("id").alias(f"{s.col}__bin"))
+        grid = d if grid is None else grid.crossJoin(d)
+    return grid
+
+
+def binned_agg(
+    df: DataFrame,
+    specs: Sequence[BinSpec],
+    aggs: dict[str, Column],
+    densify: bool = True,
+    fill: dict | None = None,
+    with_centers: bool = True,
+) -> DataFrame:
+    """Group rows into N-D bins and aggregate; optionally densify so empty
+    bins appear (xarray.py:218-221 ``reindex`` semantics).
+
+    ``aggs``: output_name -> Spark aggregate Column.
+    Result columns: ``<col>__bin`` (+ ``<col>__center`` for numeric dims)
+    per dimension, then one column per agg.
+    """
+    pred = [_in_range(s) for s in specs if not s.categorical]
+    filtered = df.filter(reduce(lambda a, b: a & b, pred)) if pred else df
+
+    bin_cols = []
+    for s in specs:
+        if s.categorical:
+            bin_cols.append(F.col(s.col).alias(f"{s.col}__bin"))
+        else:
+            bin_cols.append(_bin_id(s).alias(f"{s.col}__bin"))
+
+    agged = filtered.groupBy(*bin_cols).agg(*[c.alias(n) for n, c in aggs.items()])
+
+    if densify:
+        grid = _grid(df, specs)
+        keys = [f"{s.col}__bin" for s in specs]
+        # the agg result is at most prod(nbins) rows -> broadcast side of
+        # the densification join; grid is generated, also tiny
+        agged = grid.join(agged, on=keys, how="left")
+        fills = fill or {}
+        for n in aggs:
+            agged = agged.withColumn(n, F.coalesce(F.col(n), F.lit(fills.get(n, 0))))
+
+    if with_centers:
+        for s in specs:
+            if not s.categorical:
+                agged = agged.withColumn(
+                    f"{s.col}__center",
+                    (F.lit(s.lo) + (F.col(f"{s.col}__bin") + F.lit(0.5)) * F.lit(s.width)).cast("double"),
+                )
+    return agged
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int = 50,
+    lo: float | None = None,
+    hi: float | None = None,
+    weight: str | None = None,
+    densify: bool = True,
+) -> DataFrame:
+    """1-D histogram (xr_histogram, xarray.py:38-96)."""
+    if lo is None or hi is None:
+        r = guess_range(df, [col])[col]
+        lo = lo if lo is not None else r[0]
+        hi = hi if hi is not None else r[1]
+    spec = BinSpec(col, float(lo), float(hi), nbins)
+    agg = {"count": F.count(F.lit(1))} if weight is None else {"wsum": F.sum(weight)}
+    return binned_agg(df, [spec], agg, densify=densify)
+
+
+def binned_statistic(
+    df: DataFrame,
+    bin_specs: Sequence[BinSpec],
+    value: str,
+    statistic: str = "mean",
+    densify: bool = True,
+) -> DataFrame:
+    """N-D binned statistic (xr_binned_statistic_df, xarray.py:269-335);
+    categorical dims are grouped directly (codes path at 300-313)."""
+    from .groupby import _AGG_MAP
+
+    if statistic not in _AGG_MAP:
+        raise ValueError(f"unknown statistic {statistic!r}")
+    agg_fn = _AGG_MAP[statistic]
+    col = F.col(value)
+    return binned_agg(
+        df,
+        bin_specs,
+        {statistic: agg_fn(col)},
+        densify=densify,
+        fill={statistic: None} if statistic != "count" else None,
+    )

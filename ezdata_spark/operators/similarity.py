@@ -1,0 +1,149 @@
+"""Embedding similarity search over array<float> columns.
+
+Extension operators (SURVEY.md §7 phase 9); the reference has no vector
+search. Two tiers:
+
+- brute-force cosine top-k: query set broadcast against the corpus; dot
+  products via built-in higher-order functions (zip_with + aggregate) —
+  JVM-side, no Python. Exact; the baseline.
+- LSH-bucketed (random hyperplane signs) approximate variant: corpus and
+  queries bucketed by sign-pattern prefix; only same-bucket candidates
+  scored. The 100 TB path: candidate generation is an equi-join on the
+  bucket key, so per-query work is corpus_size / 2^planes on average.
+
+Embeddings are L2-normalized once up front so cosine = dot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def normalize(df: DataFrame, vec: str = "embedding", out: str = "vec_n") -> DataFrame:
+    n = _norm(F.col(vec))
+    return df.withColumn(out, F.transform(F.col(vec), lambda x: x / n))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is assumed small (it is broadcast); the corpus is scanned
+    once. Per-query ranking is a window top-k (TakeOrdered under AQE).
+    Output: (qid, vec_id, cosine) with rank <= k, ties broken by id for
+    determinism.
+    """
+    c = normalize(corpus, vec, "cv").select(id_col, "cv")
+    q = normalize(queries, vec, "qv").select(qid_col, "qv")
+    scored = c.join(F.broadcast(q)).withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def _sign_bucket(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id: bit i = (v . plane_i) > 0. Built-in exprs
+    only — the planes are literal arrays folded into the plan."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(vec_col, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    n_planes: int = 8,
+    dim: int | None = None,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH with ``n_tables``
+    independent bucketings (union of candidates), exact rescoring.
+
+    Scale shape: corpus bucket assignment is a narrow projection; the
+    join is equi on (table, bucket); rescoring touches only candidates.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec).first()[0])
+    c = normalize(corpus, vec, "cv").select(id_col, "cv")
+    q = normalize(queries, vec, "qv").select(qid_col, "qv")
+
+    c_b = None
+    q_b = None
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed=42 + t)
+        cb = c.select(id_col, "cv", F.lit(t).alias("tbl"), _sign_bucket(F.col("cv"), planes).alias("bucket"))
+        qb = q.select(qid_col, "qv", F.lit(t).alias("tbl"), _sign_bucket(F.col("qv"), planes).alias("bucket"))
+        c_b = cb if c_b is None else c_b.unionByName(cb)
+        q_b = qb if q_b is None else q_b.unionByName(qb)
+
+    cand = (
+        c_b.join(F.broadcast(q_b), on=["tbl", "bucket"], how="inner")
+        .select(qid_col, id_col, "cv", "qv")
+        .dropDuplicates([qid_col, id_col])
+    )
+    scored = cand.withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def pairwise_near_dup(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join + exact
+    rescore. Returns (id_a, id_b, cosine >= threshold), id_a < id_b."""
+    if dim is None:
+        dim = len(df.select(vec).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed=7)
+    n = normalize(df, vec, "v").select(id_col, "v")
+    b = n.withColumn("bucket", _sign_bucket(F.col("v"), planes))
+    a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
+    b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

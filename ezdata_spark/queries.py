@@ -1,0 +1,1126 @@
+"""Query catalog: every implemented operator exposed as a named query
+over the driver's star schema, with a DuckDB oracle where the semantics
+are SQL-expressible (SURVEY.md §5 test plan).
+
+Each entry maps one row of SURVEY.md §2's operator inventory to a
+(spark_fn, oracle_sql) pair. Column names are aliased identically on
+both sides (the driver hashes values under sorted column names).
+Float-stability policy: computed trig/log outputs and floating
+aggregates are ROUND()ed identically on both sides so cross-engine
+last-ulp differences cannot flip the hash; plain arithmetic on stored
+doubles is left exact (same IEEE ops both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import tune_existing
+from .table import EzTable
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_existing(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
+    # (nanosAsLong, set in tune_existing) and converted losslessly via
+    # integer division (the fixture's nanos are micro-aligned)
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def ez(spark: SparkSession, sf_dir: str, table: str, **meta) -> EzTable:
+    return EzTable(load(spark, sf_dir, table), **meta)
+
+
+def _sphdist_sql(ra1: str, dec1: str, ra2: str, dec2: str) -> str:
+    """Haversine in SQL, mirroring functions/astro.py::sphdist exactly."""
+    return (
+        f"2*degrees(asin(sqrt("
+        f"pow(sin(radians(({dec2})-({dec1}))/2),2) + "
+        f"cos(radians({dec1}))*cos(radians({dec2}))*pow(sin(radians(({ra2})-({ra1}))/2),2)"
+        f")))"
+    )
+
+
+# =====================================================================
+# §2.2 projections / filters  (simpletable.py:2055-2109, 2710-2844)
+# =====================================================================
+
+@query(
+    "q01_selectwhere",
+    oracle="""
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_discount > 0.05 AND l_quantity < 10
+    """,
+)
+def q01(spark, sf_dir):
+    """Flagship selectWhere (simpletable.py:2815-2844): numpy-dialect
+    condition string -> pushed-down filter + pruned projection."""
+    t = ez(spark, sf_dir, "lineitem")
+    return t.selectWhere("l_orderkey l_extendedprice", "(l_discount > 0.05) & (l_quantity < 10)").df
+
+
+@query(
+    "q02_evalexpr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           ROUND(LOG10(l_quantity) + POW(l_discount, 2), 6) AS logq
+    FROM lineitem WHERE l_quantity > 0
+    """,
+)
+def q02(spark, sf_dir):
+    """Expression engine (simpletable.py:2710-2747): numpy names map to
+    JVM builtins (log10, **->power), codegen'd."""
+    t = ez(spark, sf_dir, "lineitem").where("l_quantity > 0")
+    t = t.add_column("revenue", "l_extendedprice * (1 - l_discount)")
+    t = t.add_column("logq", "log10(l_quantity) + l_discount ** 2")
+    out = t.df.withColumn("logq", F.round("logq", 6))
+    return out.select("l_orderkey", "l_linenumber", "revenue", "logq")
+
+
+@query(
+    "q03_regex_project",
+    oracle="SELECT p_retailprice, p_size FROM part",
+)
+def q03(spark, sf_dir):
+    """Regex column selection (keys, simpletable.py:2055-2109)."""
+    return ez(spark, sf_dir, "part").get("p_.*price p_size").df
+
+
+@query(
+    "q04_alias_caseless",
+    oracle="""
+    SELECT c_custkey, c_acctbal AS balance FROM customer WHERE c_acctbal > 1000
+    """,
+)
+def q04(spark, sf_dir):
+    """Alias resolution incl. caseless (simpletable.py:1965-2019)."""
+    t = ez(spark, sf_dir, "customer", caseless=True).set_alias("BALANCE", "c_acctbal")
+    t = t.where("Balance > 1000")
+    return t.df.select("c_custkey", F.expr("c_acctbal").alias("balance"))
+
+
+@query(
+    "q05_where_in",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_totalprice >= 50000
+    """,
+)
+def q05(spark, sf_dir):
+    """IN-list + conjunction through the expression dialect."""
+    t = ez(spark, sf_dir, "orders")
+    return t.selectWhere(
+        "o_orderkey o_orderpriority",
+        "(o_orderpriority in ('1-URGENT', '2-HIGH')) & (o_totalprice >= 50000)",
+    ).df
+
+
+@query(
+    "q06_positional_take",
+    oracle="""
+    SELECT o_orderkey, row_id FROM (
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+      FROM orders) t
+    WHERE row_id < 10
+    """,
+)
+def q06(spark, sf_dir):
+    """Positional select via explicit row_id (SURVEY.md §1.1 row-order
+    discipline; reference take/select(indices), simpletable.py:2772)."""
+    t = ez(spark, sf_dir, "orders").with_row_id(order_by="o_orderkey")
+    return t.select(["o_orderkey", "row_id"], indices=range(10)).df
+
+
+# =====================================================================
+# §2.3 schema ops + §2.7 sorts  (simpletable.py:2560-2689, 2357-2379)
+# =====================================================================
+
+@query(
+    "q07_schema_ops",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS line,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def q07(spark, sf_dir):
+    """add_column / rename_columns / remove_columns chain."""
+    t = ez(spark, sf_dir, "lineitem")
+    t = t.add_column("charge", "l_extendedprice * (1 - l_discount) * (1 + l_tax)", unit="USD")
+    t = t.rename_columns({"l_orderkey": "okey", "l_linenumber": "line"})
+    return t.get("okey line charge").df
+
+
+@query(
+    "q08_sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q08(spark, sf_dir):
+    """Multi-key sort + limit -> TakeOrderedAndProject (no global sort
+    materialization; deterministic via unique-key tiebreak)."""
+    t = ez(spark, sf_dir, "orders")
+    return (
+        t.df.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# =====================================================================
+# §2.8 set operations  (simpletable.py:2400-2424)
+# =====================================================================
+
+@query(
+    "q09_stack_union",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def q09(spark, sf_dir):
+    """Vertical stack = unionByName (stack_arrays, simpletable.py:2400)."""
+    t = ez(spark, sf_dir, "orders")
+    a = t.where("o_orderstatus == 'F'").get("o_orderkey o_totalprice")
+    b = t.where("o_totalprice > 100000").get("o_orderkey o_totalprice")
+    return a.stack(b).df
+
+
+@query(
+    "q10_stack_defaults",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, -1.0 AS o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q10(spark, sf_dir):
+    """Stack with missing-column defaults (per-field fill)."""
+    t = ez(spark, sf_dir, "orders")
+    a = t.where("o_orderstatus == 'O'").get("o_orderkey o_totalprice")
+    b = t.where("o_orderstatus == 'F'").get("o_orderkey")
+    return a.stack(b, defaults={"o_totalprice": -1.0}).df
+
+
+@query(
+    "q11_intersect",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q11(spark, sf_dir):
+    """Set intersect (extension; reference has none — SURVEY.md §2.8)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s)
+
+
+@query(
+    "q12_except",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q12(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s).distinct()
+
+
+# =====================================================================
+# §2.5 aggregations / group-by  (simpletable.py:2846-2929; dictdataframe)
+# =====================================================================
+
+@query(
+    "q13_groupby_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q13(spark, sf_dir):
+    """The TPC-H-Q1-shaped pricing summary: hash aggregate with map-side
+    partial combine; shuffle carries |groups| rows (aggregate surface,
+    dictdataframe.py:578-599)."""
+    t = ez(spark, sf_dir, "lineitem").where("l_shipdate <= ship_cut", exprvars={"ship_cut": "1998-09-02 00:00:00"})
+    out = t.aggregate(
+        {
+            "sum_qty": "sum(l_quantity)",
+            "sum_base_price": "sum(l_extendedprice)",
+            "sum_disc_price": "sum(l_extendedprice * (1 - l_discount))",
+            "avg_qty": "mean(l_quantity)",
+            "avg_price": "mean(l_extendedprice)",
+            "avg_disc": "mean(l_discount)",
+            "count_order": "count(*)",
+        },
+        keys=["l_returnflag", "l_linestatus"],
+    ).df
+    for c, d in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
+                 ("avg_qty", 6), ("avg_price", 6), ("avg_disc", 6)]:
+        out = out.withColumn(c, F.round(c, d))
+    return out
+
+
+@query(
+    "q14_multigroupby",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q14(spark, sf_dir):
+    """multigroupby (dictdataframe.py:562-576) as flat multi-key groupBy."""
+    t = ez(spark, sf_dir, "orders")
+    out = t.aggregate({"n": "count(*)", "sum_total": "sum(o_totalprice)"},
+                      keys=["o_orderstatus", "o_orderpriority"]).df
+    return out.withColumn("sum_total", F.round("sum_total", 2))
+
+
+@query(
+    "q15_stats_table",
+    oracle="""
+    SELECT ROUND(AVG(l_quantity), 6) AS l_quantity__mean,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS l_quantity__std,
+           MIN(l_quantity) AS l_quantity__min,
+           MAX(l_quantity) AS l_quantity__max,
+           ROUND(AVG(l_discount), 6) AS l_discount__mean,
+           ROUND(STDDEV_SAMP(l_discount), 6) AS l_discount__std,
+           MIN(l_discount) AS l_discount__min,
+           MAX(l_discount) AS l_discount__max
+    FROM lineitem
+    """,
+)
+def q15(spark, sf_dir):
+    """Per-column stats (simpletable.py:2877-2929) — one wide aggregate
+    row, single scan for all (column x stat) cells."""
+    from .operators.stats import stats_wide
+
+    out = stats_wide(load(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount"],
+                     ("mean", "std", "min", "max"))
+    for c in ("l_quantity__mean", "l_quantity__std", "l_discount__mean", "l_discount__std"):
+        out = out.withColumn(c, F.round(c, 6))
+    return out
+
+
+@query(
+    "q16_percentiles",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.16), 4) AS p16,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.84), 4) AS p84
+    FROM lineitem
+    """,
+)
+def q16(spark, sf_dir):
+    """p16/p50/p84 (stats fn library, simpletable.py:3227-3271) via exact
+    interpolated percentile (matches quantile_cont)."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.16)), 4).alias("p16"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.84)), 4).alias("p84"),
+    )
+
+
+@query(
+    "q17_find_duplicate",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_dup
+    FROM lineitem GROUP BY l_returnflag, l_linestatus HAVING COUNT(*) > 1
+    """,
+)
+def q17(spark, sf_dir):
+    """find_duplicate (simpletable.py:2691-2708's O(n^2) scan) as a hash
+    groupBy — the vectorized intended semantics."""
+    return ez(spark, sf_dir, "lineitem").find_duplicate("l_returnflag l_linestatus").df
+
+
+@query(
+    "q18_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q18(spark, sf_dir):
+    """Rollup — natural Spark extension over the groupBy substrate
+    (SURVEY.md §2.5 'not present' list)."""
+    df = load(spark, sf_dir, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "q19_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q19(spark, sf_dir):
+    df = load(spark, sf_dir, "orders")
+    return df.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# §2.4 joins  (simpletable.py:2426-2553; dictdataframe.py:692-785)
+# =====================================================================
+
+@query(
+    "q20_join_left",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q20(spark, sf_dir):
+    """Left equi-join (SimpleTable.join intended semantics,
+    simpletable.py:2426-2553); Catalyst picks broadcast for the dim."""
+    o = ez(spark, sf_dir, "orders")
+    c = ez(spark, sf_dir, "customer").hint_small()
+    j = o.join(c, left_on="o_custkey", right_on="c_custkey", how="left",
+               columns_other=["c_name", "c_mktsegment", "c_custkey"])
+    return j.df.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@query(
+    "q21_join_multihop",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q21(spark, sf_dir):
+    """Multi-hop dim joins: both dims broadcast (no shuffle of the fact
+    side), then one aggregate shuffle."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@query(
+    "q22_match_inner",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q22(spark, sf_dir):
+    """match (simpletable.py:2381-2398: O(n*m) np.equal.outer) as a hash
+    inner join."""
+    s = ez(spark, sf_dir, "supplier")
+    n = ez(spark, sf_dir, "nation")
+    j = s.join(n, left_on="s_nationkey", right_on="n_nationkey", how="inner")
+    return j.df.select("s_suppkey", "s_name", "n_name")
+
+
+@query(
+    "q23_join_suffix",
+    oracle="""
+    SELECT c.c_custkey, c.acctbal AS acctbal, s.acctbal AS acctbal_r
+    FROM (SELECT c_custkey, c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer) c
+    JOIN (SELECT s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier) s
+      USING (nationkey)
+    """,
+)
+def q23(spark, sf_dir):
+    """Column-collision suffixing (simpletable.py:2484-2488)."""
+    c = ez(spark, sf_dir, "customer").rename_columns(
+        {"c_nationkey": "nationkey", "c_acctbal": "acctbal"}
+    ).get("c_custkey nationkey acctbal")
+    s = ez(spark, sf_dir, "supplier").rename_columns(
+        {"s_nationkey": "nationkey", "s_acctbal": "acctbal"}
+    ).get("nationkey acctbal")
+    j = c.join(s, on="nationkey", how="inner", rsuffix="_r")
+    return j.df.select("c_custkey", "acctbal", "acctbal_r")
+
+
+@query(
+    "q24_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q24(spark, sf_dir):
+    """Left-semi (extension beyond the reference's left/right surface)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q25_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q25(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# =====================================================================
+# §2.5 binned aggregation suite  (xarray.py)
+# =====================================================================
+
+@query(
+    "q26_histogram_1d",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / 2.0) AS BIGINT), 24) AS l_quantity__bin,
+             COUNT(*) AS count
+      FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 50.0
+      GROUP BY 1)
+    SELECT g.b AS l_quantity__bin,
+           COALESCE(binned.count, 0) AS count,
+           0.0 + (g.b + 0.5) * 2.0 AS l_quantity__center
+    FROM (SELECT range AS b FROM range(25)) g
+    LEFT JOIN binned ON binned.l_quantity__bin = g.b
+    """,
+)
+def q26(spark, sf_dir):
+    """1-D histogram with empty-bin densification (xr_histogram,
+    xarray.py:38-96; reindex semantics 218-221). Shuffle carries bins,
+    not rows; the dense grid is generated, not scanned."""
+    from .operators.binned import histogram
+
+    return histogram(load(spark, sf_dir, "lineitem"), "l_quantity", nbins=25, lo=0.0, hi=50.0)
+
+
+@query(
+    "q27_histogram_2d_weighted",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / 5.0) AS BIGINT), 9) AS l_quantity__bin,
+             LEAST(CAST(FLOOR((l_discount - 0.0) / 0.01) AS BIGINT), 10) AS l_discount__bin,
+             ROUND(SUM(l_extendedprice), 2) AS wsum
+      FROM lineitem
+      WHERE l_quantity >= 0.0 AND l_quantity <= 50.0
+        AND l_discount >= 0.0 AND l_discount <= 0.11
+      GROUP BY 1, 2)
+    SELECT gq.b AS l_quantity__bin, gd.b AS l_discount__bin,
+           COALESCE(binned.wsum, 0) AS wsum
+    FROM (SELECT range AS b FROM range(10)) gq
+    CROSS JOIN (SELECT range AS b FROM range(11)) gd
+    LEFT JOIN binned ON binned.l_quantity__bin = gq.b AND binned.l_discount__bin = gd.b
+    """,
+)
+def q27(spark, sf_dir):
+    """2-D weighted histogram (xr_histogram_df, xarray.py:99-165)."""
+    from .operators.binned import BinSpec, binned_agg
+
+    return binned_agg(
+        load(spark, sf_dir, "lineitem"),
+        [BinSpec("l_quantity", 0.0, 50.0, 10), BinSpec("l_discount", 0.0, 0.11, 11)],
+        {"wsum": F.round(F.sum("l_extendedprice"), 2)},
+        with_centers=False,
+    )
+
+
+@query(
+    "q28_binned_statistic_cat",
+    oracle="""
+    WITH binned AS (
+      SELECT l_returnflag,
+             LEAST(CAST(FLOOR((l_quantity - 0.0) / 10.0) AS BIGINT), 4) AS l_quantity__bin,
+             ROUND(AVG(l_extendedprice), 4) AS mean
+      FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 50.0
+      GROUP BY 1, 2)
+    SELECT f.l_returnflag AS l_returnflag__bin, g.b AS l_quantity__bin,
+           binned.mean AS mean,
+           0.0 + (g.b + 0.5) * 10.0 AS l_quantity__center
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+    CROSS JOIN (SELECT range AS b FROM range(5)) g
+    LEFT JOIN binned ON binned.l_returnflag = f.l_returnflag AND binned.l_quantity__bin = g.b
+    """,
+)
+def q28(spark, sf_dir):
+    """Categorical-aware binned statistic (xr_binned_statistic_df,
+    xarray.py:269-335: categoricals grouped by codes, coords restored)."""
+    from .operators.binned import BinSpec, binned_agg
+
+    return binned_agg(
+        load(spark, sf_dir, "lineitem"),
+        [BinSpec("l_returnflag", categorical=True), BinSpec("l_quantity", 0.0, 50.0, 5)],
+        {"mean": F.round(F.avg("l_extendedprice"), 4)},
+        fill={"mean": None},
+    )
+
+
+# =====================================================================
+# §2.6 windows  (lagplot analog, plotter.py:1059-1090)
+# =====================================================================
+
+@query(
+    "q29_lag",
+    oracle="""
+    SELECT event_id, value,
+           LAG(value) OVER (ORDER BY event_id) AS value_lag1,
+           ROUND(value - LAG(value) OVER (ORDER BY event_id), 6) AS delta
+    FROM events
+    """,
+)
+def q29(spark, sf_dir):
+    """Positional lag series (lagplot, plotter.py:1059-1090) as an
+    ordered window."""
+    from .operators.window import lag_column
+
+    df = lag_column(load(spark, sf_dir, "events"), "value", "event_id", 1)
+    return df.select(
+        "event_id", "value", "value_lag1",
+        F.round(F.col("value") - F.col("value_lag1"), 6).alias("delta"),
+    )
+
+
+@query(
+    "q30_top_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def q30(spark, sf_dir):
+    """Top-1 per group: row_number window, deterministic tiebreak."""
+    from .operators.window import top_per_group
+
+    df = top_per_group(
+        load(spark, sf_dir, "orders"), ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], k=1,
+    )
+    return df.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q31_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM events
+    """,
+)
+def q31(spark, sf_dir):
+    """Rolling mean over a rows frame (extension surface §2.6)."""
+    from .operators.window import moving_average
+
+    df = moving_average(load(spark, sf_dir, "events"), "value", "event_id", 3, "user_id", name="mavg3")
+    return df.select("event_id", "user_id", F.round("mavg3", 6).alias("mavg3"))
+
+
+@query(
+    "q32_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g)
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q32(spark, sf_dir):
+    """Gap-based sessionization (stateful-streaming analog in batch)."""
+    from .operators.window import sessionize
+
+    df = sessionize(load(spark, sf_dir, "events"), "ts", "user_id", 1800)
+    return df.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+
+# =====================================================================
+# §2.9 domain functions  (astro)
+# =====================================================================
+
+_PSEUDO_SKY = "(c_custkey * 37) % 360 AS ra, (c_custkey % 173) - 86 AS dec"
+
+
+@query(
+    "q33_cone_search",
+    oracle=f"""
+    WITH sky AS (SELECT c_custkey, {_PSEUDO_SKY} FROM customer)
+    SELECT c_custkey, ra, dec,
+           ROUND({_sphdist_sql('ra', 'dec', '180.0', '0.0')}, 6) AS separation
+    FROM sky
+    WHERE dec BETWEEN -60.0 AND 60.0
+      AND {_sphdist_sql('ra', 'dec', '180.0', '0.0')} <= 60.0
+    """,
+)
+def q33(spark, sf_dir):
+    """coneSearch (simpletable.py:3056-3097): haversine predicate with a
+    dec bounding-box pre-filter; separation column added (3216)."""
+    from .functions.astro import cone_search
+
+    sky = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    out = cone_search(sky, 180.0, 0.0, 60.0)
+    return out.withColumn("separation", F.round("separation", 6))
+
+
+@query(
+    "q34_zone_search",
+    oracle=f"""
+    WITH sky AS (SELECT c_custkey, {_PSEUDO_SKY} FROM customer)
+    SELECT c_custkey, ra, dec FROM sky
+    WHERE ra >= 60.0 AND ra <= 200.0 AND dec >= -30.0 AND dec <= 30.0
+    """,
+)
+def q34(spark, sf_dir):
+    """zoneSearch (simpletable.py:3099-3137): range predicate —
+    partition/row-group prunable at scale."""
+    from .functions.astro import zone_search
+
+    sky = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    return zone_search(sky, 60.0, 200.0, -30.0, 30.0)
+
+
+@query(
+    "q35_sexagesimal_roundtrip",
+    oracle="""
+    WITH d AS (SELECT c_custkey, (c_custkey % 360) + 0.1 AS deg FROM customer),
+    h AS (SELECT c_custkey, deg,
+                 printf('%02d:%02d:%05.2f',
+                        CAST(FLOOR(deg/15) AS INT),
+                        CAST(FLOOR((deg/15 - FLOOR(deg/15)) * 60) AS INT),
+                        ((deg/15 - FLOOR(deg/15)) * 60
+                          - FLOOR((deg/15 - FLOOR(deg/15)) * 60)) * 60) AS ra_hms
+          FROM d)
+    SELECT c_custkey, ra_hms,
+           ROUND((CAST(string_split(ra_hms, ':')[1] AS DOUBLE)
+                + CAST(string_split(ra_hms, ':')[2] AS DOUBLE) / 60.0
+                + CAST(string_split(ra_hms, ':')[3] AS DOUBLE) / 3600.0) * 15.0, 4)
+             AS deg_back
+    FROM h
+    """,
+)
+def q35(spark, sf_dir):
+    """deg2hms -> hms2deg round-trip (simpletable.py:1109-1214): string
+    formatting + parsing as pure column expressions."""
+    from .functions.astro import deg2hms, hms2deg
+
+    d = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey % 360) + 0.1 AS deg"
+    )
+    h = d.withColumn("ra_hms", deg2hms(F.col("deg")))
+    return h.select("c_custkey", "ra_hms", F.round(hms2deg(F.col("ra_hms")), 4).alias("deg_back"))
+
+
+@query(
+    "q36_aitoff",
+    oracle="""
+    WITH sky AS (SELECT n_nationkey, (n_nationkey * 29.0) % 360.0 AS lon,
+                        (n_nationkey % 170) - 85.0 AS lat FROM nation),
+    p AS (SELECT n_nationkey, lon, lat,
+                 radians(((lon + 180.0) % 360.0) - 180.0) AS l,
+                 radians(lat) AS b
+          FROM sky),
+    a AS (SELECT n_nationkey, l, b, acos(cos(b) * cos(l/2)) AS alpha FROM p)
+    SELECT n_nationkey,
+           ROUND(degrees(2.0 * cos(b) * sin(l/2)
+                 / (CASE WHEN alpha = 0 THEN 1.0 ELSE sin(alpha)/alpha END)), 6) AS aitoff_x,
+           ROUND(degrees(sin(b)
+                 / (CASE WHEN alpha = 0 THEN 1.0 ELSE sin(alpha)/alpha END)), 6) AS aitoff_y
+    FROM a
+    """,
+)
+def q36(spark, sf_dir):
+    """Aitoff projection (astro/astro.py:215-261) as guarded-sinc trig."""
+    from .functions.astro import project_aitoff
+
+    sky = load(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey", "(n_nationkey * 29.0) % 360.0 AS lon", "(n_nationkey % 170) - 85.0 AS lat"
+    )
+    x, y = project_aitoff("lon", "lat")
+    return sky.select("n_nationkey", F.round(x, 6).alias("aitoff_x"), F.round(y, 6).alias("aitoff_y"))
+
+
+@query(
+    "q37_gaia_healpix_expr",
+    oracle="""
+    SELECT (o_orderkey * 34359738368) // (34359738368 * 16384) AS healpix5,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q37(spark, sf_dir):
+    """Gaia source_id -> healpix integer-division expression
+    (astro/astro.py:53-79), grouped — codegen'd integer math."""
+    from .functions.astro import gaia_healpix_expr
+
+    df = load(spark, sf_dir, "orders").withColumn(
+        "source_id", F.col("o_orderkey") * F.lit(34359738368)
+    )
+    return df.groupBy(gaia_healpix_expr("source_id", level=5).alias("healpix5")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q38_crossmatch_cone",
+    oracle=f"""
+    WITH csky AS (SELECT c_custkey, {_PSEUDO_SKY} FROM customer),
+         ssky AS (SELECT s_suppkey, (s_suppkey * 53) % 360 AS sra,
+                         (s_suppkey % 167) - 83 AS sdec FROM supplier)
+    SELECT c_custkey, s_suppkey,
+           ROUND({_sphdist_sql('ra', 'dec', 'sra', 'sdec')}, 6) AS separation
+    FROM csky CROSS JOIN ssky
+    WHERE {_sphdist_sql('ra', 'dec', 'sra', 'sdec')} <= 5.0
+    """,
+)
+def q38(spark, sf_dir):
+    """Table x table cone cross-match via dec-zone bucketed equi-join +
+    exact refine (SURVEY.md §4.3 — the genuinely custom strategy; never
+    materializes the O(n*m) pair space)."""
+    from .functions.astro import crossmatch_cone
+
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    s = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "(s_suppkey * 53) % 360 AS sra", "(s_suppkey % 167) - 83 AS sdec"
+    )
+    out = crossmatch_cone(c, s, 5.0, ra_l="ra", dec_l="dec", ra_r="sra", dec_r="sdec")
+    return out.select("c_custkey", "s_suppkey", F.round("separation", 6).alias("separation"))
+
+
+@query("q39_healpix_column")
+def q39(spark, sf_dir):
+    """ang2pix NESTED healpix column (astro/astro.py:178-211) via
+    Arrow-vectorized numpy pandas_udf; grouped into a count grid.
+    Rows-only oracle (not SQL-expressible); pytest asserts the grid sums
+    to the row count and indices < 12 * nside^2."""
+    from .functions.astro import add_column_healpix
+
+    sky = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    df = add_column_healpix(sky, order=3)
+    return df.groupBy("healpix").agg(F.count(F.lit(1)).alias("n")).orderBy("healpix")
+
+
+# =====================================================================
+# events: JSON + streaming windows  (extension; §2.10)
+# =====================================================================
+
+@query(
+    "q40_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q40(spark, sf_dir):
+    """JSON prop extraction (events.props fixture; FIXTURES.md A)."""
+    df = load(spark, sf_dir, "events")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
+
+
+@query(
+    "q41_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q41(spark, sf_dir):
+    """Tumbling event-time window (batch form of the Structured
+    Streaming facade, streaming/windows.py)."""
+    from .streaming.windows import tumbling_agg
+
+    return tumbling_agg(load(spark, sf_dir, "events"))
+
+
+# =====================================================================
+# documents: text analysis + dedup  (scale extensions)
+# =====================================================================
+
+@query(
+    "q42_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+           length(text) AS len_chars
+    FROM documents
+    """,
+)
+def q42(spark, sf_dir):
+    """Token counting over documents (whitespace tokens, codegen'd)."""
+    from .operators.textstats import token_count
+
+    df = load(spark, sf_dir, "documents")
+    return df.select("doc_id", token_count("text").alias("n_tokens"),
+                     F.length("text").alias("len_chars"))
+
+
+@query(
+    "q43_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> list_contains(
+                      ['the','and','of','to','a','in','is','that','it','for'], x)))
+                      / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS unique_token_ratio
+    FROM t
+    """,
+)
+def q43(spark, sf_dir):
+    """Quality features (stopword + uniqueness ratios; length/punct kept
+    engine-side — regex classes differ across engines)."""
+    from .operators.textstats import quality_features
+
+    df = quality_features(load(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("unique_token_ratio", 6).alias("unique_token_ratio"),
+    )
+
+
+@query(
+    "q44_lang_id",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang,
+                      list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+               FROM documents),
+    v AS (SELECT doc_id, lang,
+            len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS v_en,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS v_de,
+            len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','de','des','que'], x))) AS v_fr,
+            len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','de','que','en'], x))) AS v_es
+          FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN v_en > 0 AND v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+                WHEN v_de > 0 AND v_de >= v_en AND v_de >= v_fr AND v_de >= v_es THEN 'de'
+                WHEN v_fr > 0 AND v_fr >= v_en AND v_fr >= v_de AND v_fr >= v_es THEN 'fr'
+                WHEN v_es > 0 AND v_es >= v_en AND v_es >= v_de AND v_es >= v_fr THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM v
+    """,
+)
+def q44(spark, sf_dir):
+    """Stopword-vote language ID (deterministic en>de>fr>es cascade)."""
+    from .operators.textstats import lang_id
+
+    df = lang_id(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "q45_exact_dedup",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q45(spark, sf_dir):
+    """Exact dedup: one representative per distinct text (hash-groupBy;
+    shuffle carries one row per distinct key)."""
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query("q46_minhash_neardup")
+def q46(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs (shingle -> 64-slot signature ->
+    16 bands -> bucket join -> estimated Jaccard >= 0.5). Rows-only
+    oracle (xxhash64 is Spark-specific); pytest verifies against exact
+    Jaccard on a sample."""
+    from .operators.dedup import minhash_dedup
+
+    return minhash_dedup(load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5)
+
+
+@query("q47_simhash")
+def q47(spark, sf_dir):
+    """64-bit SimHash fingerprints (token-hash bit votes); rows-only."""
+    from .operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query("q48_ngram_jaccard")
+def q48(spark, sf_dir):
+    """Exact 3-gram Jaccard on LSH candidate pairs only; rows-only."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), "text", "doc_id",
+                               n=3, threshold=0.5)
+
+
+@query("q49_fingerprint")
+def q49(spark, sf_dir):
+    """Normalized-token-stream fingerprints; rows-only (xxhash64).
+    Equal fingerprints == dedup-equivalent docs (case/whitespace
+    insensitive)."""
+    from .operators.textstats import fingerprint
+
+    df = fingerprint(load(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fingerprint")
+
+
+# =====================================================================
+# embeddings: similarity search  (scale extensions)
+# =====================================================================
+
+@query(
+    "q50_cosine_topk",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cos_raw
+      FROM c CROSS JOIN q),
+    ranked AS (
+      SELECT qid, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rank
+      FROM scored)
+    SELECT qid, vec_id, ROUND(cos_raw, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q50(spark, sf_dir):
+    """Brute-force cosine top-k (broadcast queries x corpus scan; dot
+    products via zip_with/aggregate — JVM-side, no Python)."""
+    from .operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    out = cosine_topk(emb, qs, k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@query("q51_cosine_topk_lsh")
+def q51(spark, sf_dir):
+    """Approximate top-k via random-hyperplane LSH (4 tables x 8 planes),
+    exact rescore of candidates. Rows-only oracle (approximate by
+    design); pytest measures recall vs q50."""
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    out = cosine_topk_lsh(emb, qs, k=5, dim=64)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@query(
+    "q52_embedding_neardup",
+    oracle="""
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+)
+def q52(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact (self-join with id_a <
+    id_b + threshold; at 100 TB the q51 LSH bucketing replaces the
+    cross pairing — kept exact here to be oracle-checkable)."""
+    from .operators.similarity import _dot, normalize
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n = normalize(emb, "embedding", "v").select("vec_id", "v")
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

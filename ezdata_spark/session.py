@@ -54,6 +54,9 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     """
     for k, v in {
         "spark.sql.ansi.enabled": "false",
+        # the events fixture carries TIMESTAMP(NANOS) parquet, which the
+        # Spark 4 reader rejects; read as long + convert (see queries.load)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry at sf0.01 and compare to ``oracle_sql()`` via DuckDB
+(row count + schema kind + order-insensitive value comparison).
+
+Usage: python tests/oracle_check.py [query_name ...] [--sf DIR]
+Exit code 0 iff all checked queries match.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(value):
+    """Canonical form for order-insensitive comparison."""
+    import datetime
+    import decimal
+
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "NULL"  # NaN(duckdb/numpy) == null(Spark) per SURVEY §1.2
+        return f"{value:.9g}"
+    if isinstance(value, decimal.Decimal):
+        return f"{float(value):.9g}"
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None).isoformat()
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(canon(v) for v in value) + "]"
+    return str(value)
+
+
+def rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from ezdata_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args or list(queries)
+
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    n_pass = n_fail = n_rowsonly = 0
+    failures = []
+    for name in names:
+        fn = queries[name]
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        ok = True
+        msgs = []
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if ok:
+            ms = rows_to_multiset([r.asDict() and tuple(r) for r in srows], scols)
+            mo = rows_to_multiset(orows, ocols)
+            if ms != mo:
+                ok = False
+                diff = [(a, b) for a, b in zip(ms, mo) if a != b][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
+        if ok:
+            print(f"PASS  {name}: {len(srows)} rows")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: " + "; ".join(msgs))
+            n_fail += 1
+            failures.append(name)
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if failures:
+        print("failures:", " ".join(failures))
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
