@@ -1,0 +1,211 @@
+"""Operator-level tests: binned aggs vs numpy, dedup estimators vs exact
+Jaccard, LSH recall vs brute force, healpix self-consistency (the
+rows-only queries' correctness backstop per FIXTURES.md §C)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------
+# binned aggregation vs numpy.histogramdd (xarray.py parity)
+# ---------------------------------------------------------------------
+def test_histogram_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vals = rng.uniform(0, 10, 2000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+
+    from ezdata_spark.operators.binned import histogram
+
+    got = {
+        r["x__bin"]: r["count"]
+        for r in histogram(df, "x", nbins=20, lo=0.0, hi=10.0).collect()
+    }
+    expected, _ = np.histogram(vals, bins=20, range=(0, 10))
+    assert [got[i] for i in range(20)] == expected.tolist()
+
+
+def test_histogram_densifies_empty_bins(spark):
+    df = spark.createDataFrame([(1.0,), (9.0,)], "x double")
+    from ezdata_spark.operators.binned import histogram
+
+    rows = histogram(df, "x", nbins=10, lo=0.0, hi=10.0).collect()
+    assert len(rows) == 10
+    assert sum(r["count"] for r in rows) == 2
+
+
+def test_binned_statistic_matches_scipy_mean(spark):
+    rng = np.random.RandomState(1)
+    x = rng.uniform(0, 10, 500)
+    v = rng.normal(0, 1, 500)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, v)], "x double, v double"
+    )
+    from ezdata_spark.operators.binned import BinSpec, binned_statistic
+
+    got = {
+        r["x__bin"]: r["mean"]
+        for r in binned_statistic(df, [BinSpec("x", 0.0, 10.0, 5)], "v").collect()
+    }
+    for i in range(5):
+        mask = (x >= i * 2) & (x < (i + 1) * 2) | ((i == 4) & (x == 10.0))
+        if mask.any():
+            assert got[i] == pytest.approx(v[mask].mean(), rel=1e-9)
+
+
+# ---------------------------------------------------------------------
+# dedup: minhash estimate ~ exact jaccard; simhash similarity property
+# ---------------------------------------------------------------------
+def _doc_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words in this unrelated document " * 5
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+
+
+def test_minhash_estimates_jaccard(spark):
+    from ezdata_spark.operators.dedup import minhash_dedup
+
+    out = minhash_dedup(_doc_pairs(spark), "text", "doc_id", threshold=0.3,
+                        num_hashes=128, bands=32, shingle_n=3)
+    rows = {(r.id_a, r.id_b): r.jaccard_est for r in out.collect()}
+    assert rows[(0, 1)] == 1.0  # identical docs
+    assert (0, 3) not in rows and (1, 3) not in rows  # unrelated below threshold
+    assert 0.3 <= rows[(0, 2)] <= 1.0  # near-dup found
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    from ezdata_spark.operators.dedup import simhash
+
+    fps = {r.doc_id: r.simhash for r in simhash(_doc_pairs(spark), "text", "doc_id").collect()}
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert fps[0] == fps[1]
+    assert ham(fps[0], fps[2]) < ham(fps[0], fps[3])
+
+
+def test_exact_dedup_representatives(spark):
+    from ezdata_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string"
+    )
+    rows = {r.text: (r.keep_id, r.n_copies) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert rows == {"x": (1, 2), "y": (3, 1)}
+
+
+# ---------------------------------------------------------------------
+# similarity: LSH recall vs brute force on the real embeddings fixture
+# ---------------------------------------------------------------------
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+
+    from ezdata_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, qs, k=10).collect()}
+    # random-uniform embeddings are near-orthogonal (cosine ~0.2-0.5),
+    # the hardest case for hyperplane LSH: use short codes + more tables
+    approx = {(r.qid, r.vec_id) for r in
+              cosine_topk_lsh(emb, qs, k=10, dim=64, n_planes=4, n_tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_topk_self_is_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    from ezdata_spark.operators.similarity import cosine_topk
+
+    top1 = {r.qid: r.vec_id for r in cosine_topk(emb, qs, k=1).collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------
+# healpix: self-consistency of the NESTED ang2pix implementation
+# ---------------------------------------------------------------------
+def test_healpix_bounds_and_total(spark, sf_dir):
+    from ezdata_spark.functions.astro import add_column_healpix
+
+    sky = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    order = 3
+    df = add_column_healpix(sky, order=order)
+    grid = df.groupBy("healpix").agg(F.count(F.lit(1)).alias("n")).collect()
+    npix = 12 * (2**order) ** 2
+    assert all(0 <= r.healpix < npix for r in grid)
+    assert sum(r.n for r in grid) == sky.count()
+
+
+def test_healpix_nested_prefix_property(spark, sf_dir):
+    """NESTED scheme invariant: pix(order k) == pix(order k+1) div 4."""
+    from ezdata_spark.functions.astro import add_column_healpix
+
+    sky = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    a = add_column_healpix(sky, order=3, name="h3")
+    b = add_column_healpix(a, order=4, name="h4")
+    bad = b.filter(F.expr("h4 div 4") != F.col("h3")).count()
+    assert bad == 0
+
+
+def test_sphdist_known_values(spark):
+    from ezdata_spark.functions.astro import sphdist
+
+    df = spark.createDataFrame([(0.0, 0.0, 90.0, 0.0), (10.0, 20.0, 10.0, 20.0)],
+                               "ra1 double, dec1 double, ra2 double, dec2 double")
+    got = df.select(sphdist("ra1", "dec1", "ra2", "dec2").alias("d")).collect()
+    assert got[0].d == pytest.approx(90.0, abs=1e-9)
+    assert got[1].d == pytest.approx(0.0, abs=1e-12)
+
+
+def test_sexagesimal_roundtrip_property(spark):
+    from ezdata_spark.functions.astro import deg2dms, deg2hms, dms2deg, hms2deg
+
+    df = spark.createDataFrame(
+        [(d,) for d in [0.0, 15.125, 123.456, 359.9, 42.0]], "deg double"
+    )
+    out = df.select(
+        "deg",
+        hms2deg(deg2hms(F.col("deg"))).alias("h_rt"),
+        dms2deg(deg2dms(F.col("deg") - 90.0)).alias("d_rt"),
+    ).collect()
+    for r in out:
+        assert r.h_rt == pytest.approx(r.deg, abs=5e-4)
+        assert r.d_rt == pytest.approx(r.deg - 90.0, abs=5e-3)
+
+
+# ---------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------
+def test_token_count_and_quality(spark):
+    from ezdata_spark.operators.textstats import quality_features
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "!!! ??? ...")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in quality_features(df).collect()}
+    assert rows[1].n_tokens == 6
+    assert rows[1].stopword_ratio == pytest.approx(2 / 6)
+    assert rows[2].punct_ratio > 0.5
+    assert rows[1].quality_score > rows[2].quality_score
+
+
+def test_lang_id_votes(spark):
+    from ezdata_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund ist nicht da"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert rows == {1: "en", 2: "de", 3: "und"}

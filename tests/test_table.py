@@ -1,0 +1,147 @@
+"""EzTable verb tests on small in-memory frames, mirroring the
+reference's docstring examples (simpletable.py:19-33) as golden tests,
+plus the documented divergences (true groupby vs adjacency, null vs
+masked join misses)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ezdata_spark.table import EzTable
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a", 5.0),
+            (2, 20.0, "b", None),
+            (3, 30.0, "a", 1.0),
+            (4, 40.0, "c", 2.0),
+            (5, 50.0, "b", 3.0),
+        ],
+        "k int, v double, cat string, w double",
+    )
+    return EzTable(df, units={"v": "mag"}, desc={"v": "a value"})
+
+
+def test_keys_regex(t):
+    assert t.keys("k v") == ["k", "v"]
+    assert t.keys(".*a.*") == ["cat"]
+
+
+def test_get_preserves_metadata(t):
+    out = t.get("k v")
+    assert out.colnames == ["k", "v"]
+    assert out.unit("v") == "mag"
+    assert out.comment("v") == "a value"
+
+
+def test_where_and_selectwhere(t):
+    assert t.where("(v > 15) & (cat == 'b')").nrows == 2
+    out = t.selectWhere("k", "v >= 30")
+    assert sorted(r.k for r in out.df.collect()) == [3, 4, 5]
+
+
+def test_evalexpr_with_exprvars(t):
+    out = t.evalexpr("v * scale", exprvars={"scale": 2}, name="v2")
+    assert [r.v2 for r in out.sort("k").df.collect()] == [20.0, 40.0, 60.0, 80.0, 100.0]
+
+
+def test_add_rename_remove(t):
+    out = t.add_column("v2", "v + 1", unit="mag").rename_columns({"v2": "vplus"})
+    assert "vplus" in out.colnames
+    assert out.unit("vplus") == "mag"
+    out2 = out.remove_columns("vplus")
+    assert "vplus" not in out2.colnames
+
+
+def test_alias_lifecycle(t):
+    ta = t.set_alias("VAL", "v")
+    assert ta.resolve_alias("VAL") == "v"
+    assert ta.reverse_alias("v") == ["VAL"]
+    assert ta.where("VAL > 45").nrows == 1
+    # orphan cleanup: dropping the target kills the alias
+    assert "VAL" not in ta.remove_columns("v")._aliases
+
+
+def test_sort_reverse(t):
+    got = [r.k for r in t.sort("v", reverse=True).df.collect()]
+    assert got == [5, 4, 3, 2, 1]
+
+
+def test_stack_with_defaults(t, spark):
+    other = EzTable(spark.createDataFrame([(9, "z")], "k int, cat string"))
+    out = t.stack(other, defaults={"v": -1.0})
+    assert out.nrows == 6
+    row = [r for r in out.df.collect() if r.k == 9][0]
+    assert row.v == -1.0
+
+
+def test_join_left_null_fill(t, spark):
+    """DictDataFrame.join miss -> masked/NaN (dictdataframe.py:768-779);
+    ours -> null (documented improvement, SURVEY.md §1.2)."""
+    dim = EzTable(spark.createDataFrame([("a", 1), ("b", 2)], "cat string, code int"))
+    out = t.join(dim, on="cat", how="left")
+    rows = {r.k: r.code for r in out.df.collect()}
+    assert rows[1] == 1 and rows[4] is None
+
+
+def test_join_suffix_collision(t, spark):
+    other = EzTable(spark.createDataFrame([(1, 99.0)], "k int, v double"))
+    out = t.join(other, on="k", how="inner", rsuffix="_r")
+    assert set(out.colnames) == {"k", "v", "cat", "w", "v_r"}
+
+
+def test_match_inner(t, spark):
+    other = EzTable(spark.createDataFrame([(1,), (3,), (7,)], "k int"))
+    assert t.match(other, "k").nrows == 2
+
+
+def test_groupby_true_semantics(t):
+    """True grouping even when key values are not adjacent (divergence
+    from SimpleTable's itertools.groupby, simpletable.py:2869)."""
+    got = {r.cat: r.n for r in t.groupby("cat").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_aggregate_string_specs(t):
+    out = t.aggregate({"n": "count(*)", "mv": "mean(v)", "mw": "max(w)"}, keys="cat")
+    rows = {r.cat: r for r in out.df.collect()}
+    assert rows["a"].n == 2 and rows["a"].mv == 20.0 and rows["a"].mw == 5.0
+
+
+def test_stats_has_nan_null(t):
+    st = {r.column: r for r in t.stats("w").collect()}
+    assert st["w"].has_nan is True  # null counts as missing
+    assert st["w"].min == 1.0 and st["w"].max == 5.0
+
+
+def test_find_duplicate(t):
+    out = t.find_duplicate("cat")
+    assert {r.cat for r in out.df.collect()} == {"a", "b"}
+
+
+def test_positional_select_requires_row_id(t):
+    with pytest.raises(ValueError):
+        t.select("k", indices=[0, 1])
+    out = t.with_row_id(order_by="k").select(["k", "row_id"], indices=[0, 2])
+    assert sorted(r.k for r in out.df.collect()) == [1, 3]
+
+
+def test_append_row(t):
+    out = t.append_row({"k": 6, "v": 60.0, "cat": "d", "w": 0.0})
+    assert out.nrows == 6
+
+
+def test_info_contains_metadata(t):
+    s = t.set_alias("VAL", "v").info()
+    assert "mag" in s and "VAL --> v" in s
+
+
+def test_apply_in_pandas(t):
+    def top_row(pdf):
+        return pdf.nlargest(1, "v")[["cat", "v"]]
+
+    out = t.apply_in_pandas("cat", top_row, "cat string, v double")
+    got = {r.cat: r.v for r in out.df.collect()}
+    assert got == {"a": 30.0, "b": 50.0, "c": 40.0}
