@@ -155,8 +155,11 @@ def gaia_healpix_expr(source_id, level: int = 5) -> Column:
     healpix_<level> = source_id div (34359738368 * 4^(12-level))
     (astro/astro.py:53-79). Pure integer division — codegen'd."""
     c = F.col(source_id) if isinstance(source_id, str) else source_id
-    divisor = 34359738368 * (4 ** (12 - level))
-    return (c.cast("long") / F.lit(divisor)).cast("long")
+    # divisor = 2^35 * 4^(12-level): a power of two, so exact integer
+    # shift — double division would lose precision above 2^53 (real Gaia
+    # source_ids reach ~6e18)
+    shift = 35 + 2 * (12 - level)
+    return F.shiftright(c.cast("long"), shift)
 
 
 def _ang2pix_nest_np(nside: int, theta: np.ndarray, phi: np.ndarray) -> np.ndarray:
@@ -273,3 +276,45 @@ def crossmatch_cone(
         .drop("__zone")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Euler angle coordinate rotation (simpletable.py:1218-1335)
+# ---------------------------------------------------------------------------
+# (psi, stheta, ctheta, phi) per select mode, J2000 — the classic
+# astrolib euler constants (public algorithm; same table the reference
+# hardcodes at simpletable.py:1259-1284).
+_EULER_J2000 = {
+    1: (0.57477043300, 0.88998808748, 0.45598377618, 4.9368292465),   # RA/Dec -> Gal
+    2: (4.9368292465, -0.88998808748, 0.45598377618, 0.57477043300),  # Gal -> RA/Dec
+    3: (0.11142137093, 0.97861593277, 0.20587351971, 6.1538928776),   # RA/Dec -> Ecl
+    4: (6.1538928776, -0.97861593277, 0.20587351971, 0.11142137093),  # Ecl -> RA/Dec
+    5: (3.97320161703, 0.49357629827, 0.86966656058, 5.20835091708),  # Ecl -> Gal
+    6: (5.20835091708, -0.49357629827, 0.86966656058, 3.97320161703), # Gal -> Ecl
+}
+
+
+def euler(lon, lat, select: int = 1) -> tuple[Column, Column]:
+    """Rotate (lon, lat) degrees between celestial/galactic/ecliptic
+    frames (mode table above; simpletable.py:1218-1335). Pure builtin
+    trig — codegen'd, no UDF.
+
+    Returns (out_lon_deg, out_lat_deg) Columns.
+    """
+    if select not in _EULER_J2000:
+        raise ValueError(f"select must be 1..6, got {select}")
+    psi, stheta, ctheta, phi = _EULER_J2000[select]
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+
+    a = F.radians(lon_c) - F.lit(phi)
+    b = F.radians(lat_c)
+    sb = F.sin(b)
+    cb = F.cos(b)
+    cbsa = cb * F.sin(a)
+    b_out = F.lit(ctheta) * sb + F.lit(stheta) * cbsa
+    b_clamped = F.least(F.greatest(b_out, F.lit(-1.0)), F.lit(1.0))
+    a_out = F.atan2(F.lit(ctheta) * cbsa - F.lit(stheta) * sb, cb * F.cos(a))
+    lon_out = F.pmod(F.degrees(a_out + F.lit(psi)), F.lit(360.0))
+    lat_out = F.degrees(F.asin(b_clamped))
+    return lon_out.alias("lon_out"), lat_out.alias("lat_out")

@@ -1,0 +1,162 @@
+"""Multimodal (image/audio/video) columns: opaque binary + typed
+metadata, processed via Arrow-batched mapInPandas.
+
+Extension operators (the reference is tabular-only). Design per the
+large-scale training-pipeline pattern:
+
+- a media column is ``binary`` payload + a ``struct`` of typed metadata
+  (format, dims, sample rate...) — schema-first, splittable, columnar;
+- decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages: Arrow batches in, bounded memory, one Python
+  worker per core — the only sane shape for 100 TB of media;
+- the actual codecs (PIL / libav) are NOT installed in this container,
+  so the decode kernel is a clearly-marked deterministic STUB
+  (xxhash-seeded synthetic pixels); the Spark-side plumbing — schemas,
+  batch iteration, partitioning, output contracts — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _stub_decode(data: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """STUB decoder: deterministic synthetic pixels seeded by content
+    hash. Replaced by PIL/libav in a full deployment — the surrounding
+    pipeline is unchanged (same shapes, dtypes, batch flow)."""
+    seed = int.from_bytes(hashlib.sha256(data or b"").digest()[:8], "little")
+    rng = np.random.RandomState(seed % (2**32))
+    return rng.randint(0, 256, size=(height, width, channels), dtype=np.uint8)
+
+
+def decode_pixels(data: bytes, meta) -> np.ndarray:
+    if _have_pil():
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)))
+    return _stub_decode(data, meta["width"], meta["height"], meta["channels"])
+
+
+def synthesize_media(spark: SparkSession, df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Build a media table from any table: payload bytes from a string
+    column (deterministic fixture maker for tests/queries)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(payload_col), "utf-8").alias("data"),
+        F.struct(
+            F.lit("synthetic").alias("format"),
+            (F.pmod(F.xxhash64(payload_col), F.lit(48)) + 16).cast("int").alias("width"),
+            (F.pmod(F.xxhash64(payload_col, F.lit(1)), F.lit(48)) + 16).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, "
+    "mean_luma double, std_luma double, aspect double"
+)
+
+
+def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + per-image features via mapInPandas (Arrow batches,
+    bounded memory; decode kernel stubbed, see module docstring)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                meta = row["meta"]
+                px = decode_pixels(row["data"], meta)
+                luma = px.astype("float64").mean(axis=2)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": int(meta["width"]),
+                        "height": int(meta["height"]),
+                        "n_bytes": len(row["data"] or b""),
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                        "aspect": float(meta["width"]) / float(meta["height"]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_feats, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, thumb binary, thumb_w int, thumb_h int"
+
+
+def resize_images(media: DataFrame, max_side: int = 8) -> DataFrame:
+    """Thumbnail stage: decode -> nearest-neighbor downsample -> raw
+    bytes out. Output stays binary (chainable into further stages)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                meta = row["meta"]
+                px = decode_pixels(row["data"], meta)
+                h, w = px.shape[:2]
+                scale = max(1, max(h, w) // max_side)
+                thumb = px[::scale, ::scale]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "thumb": thumb.tobytes(),
+                        "thumb_w": thumb.shape[1],
+                        "thumb_h": thumb.shape[0],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index
+    (posexplode of a generated index sequence; the decode of each frame
+    is the same stubbed kernel). Partitioning: frames of one video stay
+    computable independently — no shuffle."""
+    n_frames = (F.pmod(F.xxhash64("media_id"), F.lit(40)) + 10).cast("int")
+    idx = F.slice(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)), 1, max_frames)
+    return media.select(
+        "media_id", "data", "meta", F.posexplode(idx).alias("frame_pos", "frame_index")
+    ).select("media_id", "frame_index", "data", "meta")

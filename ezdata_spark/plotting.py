@@ -1,0 +1,349 @@
+"""Plotting surface: aggregate on-cluster, render on-driver.
+
+Reference: ``Plotter``/``Group``/``PairGrid``/``CornerPlot``
+(plotter.py:130-1711), datashader raster path (datashader.py:105-386).
+The reference pulls whole columns into matplotlib; at 100 TB that is
+impossible, so every plot verb here reduces to a Spark aggregation
+(histogram / 2-D raster / per-group quantiles) and only the aggregate
+(KBs) reaches the driver. This is exactly the datashader
+``DSArtist.make_image`` design (datashader.py:183-219) generalized to
+every plot type.
+
+matplotlib is optional: every verb returns a small *Result object*
+(numpy arrays + metadata) with a ``.render(ax=None)`` method that is
+import-gated; pipelines and tests consume the arrays directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .operators.binned import BinSpec, binned_agg, guess_range
+from .table import EzTable
+
+
+def _have_mpl() -> bool:
+    try:
+        import matplotlib  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_ax(ax):
+    if not _have_mpl():
+        raise NotImplementedError(
+            "matplotlib is not installed in this environment; use the "
+            "Result object's data attributes (counts/edges/...) directly"
+        )
+    if ax is None:
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots()
+    return ax
+
+
+@dataclass
+class HistResult:
+    edges: np.ndarray
+    counts: np.ndarray
+    label: str = ""
+
+    @property
+    def centers(self) -> np.ndarray:
+        return 0.5 * (self.edges[:-1] + self.edges[1:])
+
+    def render(self, ax=None, **kw):
+        ax = _require_ax(ax)
+        ax.step(self.edges[:-1], self.counts, where="post", label=self.label, **kw)
+        return ax
+
+
+@dataclass
+class Hist2DResult:
+    x_edges: np.ndarray
+    y_edges: np.ndarray
+    counts: np.ndarray  # shape (nx, ny)
+    xlabel: str = ""
+    ylabel: str = ""
+
+    def render(self, ax=None, norm=None, **kw):
+        ax = _require_ax(ax)
+        img = self.counts.T if norm is None else norm(self.counts.T)
+        ax.imshow(
+            img,
+            origin="lower",
+            extent=(self.x_edges[0], self.x_edges[-1], self.y_edges[0], self.y_edges[-1]),
+            aspect="auto",
+            **kw,
+        )
+        return ax
+
+
+@dataclass
+class BoxStats:
+    keys: list
+    q1: np.ndarray
+    median: np.ndarray
+    q3: np.ndarray
+    lo: np.ndarray
+    hi: np.ndarray
+    mean: np.ndarray
+
+    def render(self, ax=None, **kw):
+        ax = _require_ax(ax)
+        stats = [
+            {
+                "label": str(k),
+                "q1": self.q1[i],
+                "med": self.median[i],
+                "q3": self.q3[i],
+                "whislo": self.lo[i],
+                "whishi": self.hi[i],
+                "mean": self.mean[i],
+                "fliers": [],
+            }
+            for i, k in enumerate(self.keys)
+        ]
+        ax.bxp(stats, **kw)
+        return ax
+
+
+class Plotter:
+    """plot verbs over an EzTable/DataFrame; expression strings go
+    through the engine's translator (plotter.py:1730-1779 analog)."""
+
+    def __init__(self, data: EzTable | DataFrame, label: str = ""):
+        self.t = data if isinstance(data, EzTable) else EzTable(data)
+        self.label = label
+
+    # -- helpers --------------------------------------------------------
+    def _col(self, expr: str) -> Column:
+        return self.t.expr_column(expr) if expr not in self.t.df.columns else F.col(expr)
+
+    def _frame_with(self, exprs: dict[str, str]) -> DataFrame:
+        df = self.t.df
+        for name, e in exprs.items():
+            df = df.withColumn(name, self._col(e))
+        return df
+
+    # -- 1-D ------------------------------------------------------------
+    def hist(self, expr: str, bins: int = 50, range: tuple | None = None, weights: str | None = None) -> HistResult:
+        """Histogram (Plotter.hist, plotter.py:967-990): groupBy bin id
+        on-cluster; only `bins` numbers reach the driver."""
+        df = self._frame_with({"__x": expr})
+        if range is None:
+            r = guess_range(df, ["__x"])["__x"]
+        else:
+            r = range
+        lo, hi = float(r[0]), float(r[1])
+        spec = BinSpec("__x", lo, hi, bins)
+        aggs = {"count": F.count(F.lit(1))} if weights is None else {"count": F.sum(self._col(weights))}
+        rows = binned_agg(df, [spec], aggs, with_centers=False).collect()
+        counts = np.zeros(bins)
+        for row in rows:
+            counts[int(row["__x__bin"])] = row["count"]
+        edges = np.linspace(lo, hi, bins + 1)
+        return HistResult(edges, counts, self.label or expr)
+
+    # -- 2-D rasters -----------------------------------------------------
+    def hist2d(
+        self,
+        xexpr: str,
+        yexpr: str,
+        bins: int | tuple[int, int] = 64,
+        range: tuple | None = None,
+        reduction: Column | None = None,
+    ) -> Hist2DResult:
+        """2-D histogram / raster aggregation (hist2d plotter.py:967;
+        datashader canvas aggregation datashader.py:183-219). The
+        ``reduction`` column generalizes to the datashader set (count,
+        sum, mean, var, first, last...)."""
+        nx, ny = (bins, bins) if isinstance(bins, int) else bins
+        df = self._frame_with({"__x": xexpr, "__y": yexpr})
+        if range is None:
+            r = guess_range(df, ["__x", "__y"])
+            xr, yr = r["__x"], r["__y"]
+        else:
+            xr, yr = range
+        specs = [
+            BinSpec("__x", float(xr[0]), float(xr[1]), nx),
+            BinSpec("__y", float(yr[0]), float(yr[1]), ny),
+        ]
+        aggs = {"v": reduction if reduction is not None else F.count(F.lit(1))}
+        rows = binned_agg(df, specs, aggs, densify=False, with_centers=False).collect()
+        grid = np.zeros((nx, ny))
+        for row in rows:
+            grid[int(row["__x__bin"]), int(row["__y__bin"])] = row["v"] or 0
+        return Hist2DResult(
+            np.linspace(xr[0], xr[1], nx + 1), np.linspace(yr[0], yr[1], ny + 1), grid, xexpr, yexpr
+        )
+
+    def scatter(self, xexpr: str, yexpr: str, bins: int = 256, **kw) -> Hist2DResult:
+        """Scatter at scale == raster (SURVEY.md §2.12: never collect)."""
+        return self.hist2d(xexpr, yexpr, bins=bins, **kw)
+
+    def hexbin(self, xexpr: str, yexpr: str, gridsize: int = 40) -> DataFrame:
+        """Hexagonal binning: axial hex coordinates computed as column
+        arithmetic; groupBy (q, r) on-cluster (hexbin plotter.py:809-)."""
+        df = self._frame_with({"__x": xexpr, "__y": yexpr})
+        r = guess_range(df, ["__x", "__y"])
+        (xlo, xhi), (ylo, yhi) = r["__x"], r["__y"]
+        sx = (xhi - xlo) / max(gridsize, 1) or 1.0
+        sy = (yhi - ylo) / max(gridsize, 1) or 1.0
+        # axial rounding on a pointy-top hex lattice, all in columns
+        xn = (F.col("__x") - F.lit(xlo)) / F.lit(sx)
+        yn = (F.col("__y") - F.lit(ylo)) / F.lit(sy)
+        q = xn - yn / F.lit(2.0)
+        hexed = (
+            df.withColumn("__q", F.round(q).cast("long"))
+            .withColumn("__r", F.round(yn).cast("long"))
+            .groupBy("__q", "__r")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .withColumn("x", F.lit(xlo) + (F.col("__q") + F.col("__r") / 2.0) * F.lit(sx))
+            .withColumn("y", F.lit(ylo) + F.col("__r") * F.lit(sy))
+            .select("x", "y", "count")
+        )
+        return hexed
+
+    def lagplot(self, expr: str, t: int = 1, order_by: str | None = None, bins: int = 128) -> Hist2DResult:
+        """lagplot (plotter.py:1059-1090): x[i] vs x[i+t] — window lag
+        then raster; needs an explicit order column on an unordered
+        engine (row_id discipline)."""
+        from .operators.window import lag_column
+
+        order = order_by or "row_id"
+        df = self._frame_with({"__x": expr})
+        if order not in df.columns:
+            raise ValueError("lagplot needs an order column (pass order_by=)")
+        lagged = lag_column(df.select("__x", order), "__x", order, t, name="__xlag").dropna()
+        return Plotter(EzTable(lagged)).hist2d("__x", "__xlag", bins=bins)
+
+    # -- distribution-per-group -----------------------------------------
+    def boxplot(self, key: str, value: str, whisker: float = 1.5) -> BoxStats:
+        """boxplot/violin data: per-group exact quartiles on-cluster
+        (plotter.py violin/box 809-966); whiskers at q +- 1.5 IQR."""
+        df = self._frame_with({"__v": value})
+        agg = (
+            df.groupBy(key)
+            .agg(
+                F.percentile("__v", F.lit(0.25)).alias("q1"),
+                F.percentile("__v", F.lit(0.5)).alias("med"),
+                F.percentile("__v", F.lit(0.75)).alias("q3"),
+                F.avg("__v").alias("mean"),
+            )
+            .orderBy(key)
+            .collect()
+        )
+        keys = [r[key] for r in agg]
+        q1 = np.array([r.q1 for r in agg])
+        q3 = np.array([r.q3 for r in agg])
+        med = np.array([r.med for r in agg])
+        iqr = q3 - q1
+        return BoxStats(keys, q1, med, q3, q1 - whisker * iqr, q3 + whisker * iqr,
+                        np.array([r.mean for r in agg]))
+
+    violinplot = boxplot  # same cluster-side statistics feed both renders
+
+    # -- sky plots -------------------------------------------------------
+    def plot_aitoff(self, lon: str, lat: str, bins: int = 180) -> Hist2DResult:
+        """plot_aitoff (plotter.py:1024-1057): project then raster."""
+        from .functions.astro import project_aitoff
+
+        x, y = project_aitoff(self._col(lon), self._col(lat))
+        df = self.t.df.withColumn("__x", x).withColumn("__y", y)
+        return Plotter(EzTable(df)).hist2d("__x", "__y", bins=(bins, bins // 2),
+                                           range=((-180.0, 180.0), (-90.0, 90.0)))
+
+    def healpix_plot(self, ra: str = "ra", dec: str = "dec", order: int = 4,
+                     what: str = "count(*)") -> DataFrame:
+        """healpix_plot (astro.py:340-402): value-per-healpix-cell grid;
+        the `what` string goes through the agg-spec parser."""
+        from .functions.astro import add_column_healpix
+        from .operators.groupby import parse_agg
+
+        df = add_column_healpix(self.t.df, order=order, ra=ra, dec=dec)
+        return df.groupBy("healpix").agg(parse_agg(EzTable(df), what).alias("value"))
+
+    # -- grouping --------------------------------------------------------
+    def groupby(self, key: str) -> "Group":
+        """One Plotter per group (plotter.py:992-1023). Group keys are
+        discovered with a distinct scan; each member is a filter view
+        (lazy — no materialization until a verb aggregates it)."""
+        keys = [r[0] for r in self.t.df.select(key).distinct().orderBy(key).collect()]
+        members = [
+            Plotter(EzTable(self.t.df.filter(F.col(key) == k)), label=f"{key}={k}") for k in keys
+        ]
+        return Group(members, keys)
+
+    def select(self, selections: list[str], labels: list[str] | None = None) -> "Group":
+        """Selection-string groups (Plotter.select, plotter.py:650-699)."""
+        labels = labels or selections
+        members = [Plotter(self.t.where(s), label=lab) for s, lab in zip(selections, labels)]
+        return Group(members, labels)
+
+    def apply(self, fn, *args, **kw):
+        """Arbitrary function over the frame (plotter.py:757-778)."""
+        return fn(self.t, *args, **kw)
+
+
+class Group:
+    """A set of Plotters; verbs loop and return lists (plotter.py
+    Group/looper_method 390-470)."""
+
+    def __init__(self, members: list[Plotter], keys: list):
+        self.members = members
+        self.keys = keys
+
+    def __len__(self):
+        return len(self.members)
+
+    def __add__(self, other: "Group") -> "Group":
+        return Group(self.members + other.members, self.keys + other.keys)
+
+    def apply(self, fn, *args, **kw):
+        return [fn(p.t, *args, **kw) for p in self.members]
+
+    def __getattr__(self, name):
+        def looper(*args, **kw):
+            return [getattr(p, name)(*args, **kw) for p in self.members]
+
+        return looper
+
+
+class PairGrid:
+    """All-pairs grid (plotter.py:1256-1612): each off-diagonal panel is
+    a raster, each diagonal a histogram — all cluster-side aggregates."""
+
+    def __init__(self, data: EzTable | DataFrame, keys: list[str], bins: int = 64):
+        self.plotter = Plotter(data)
+        self.keys = keys
+        self.bins = bins
+
+    def map_diag(self) -> dict[str, HistResult]:
+        return {k: self.plotter.hist(k, bins=self.bins) for k in self.keys}
+
+    def map_offdiag(self) -> dict[tuple[str, str], Hist2DResult]:
+        out = {}
+        for i, kx in enumerate(self.keys):
+            for j, ky in enumerate(self.keys):
+                if i < j:
+                    out[(kx, ky)] = self.plotter.hist2d(kx, ky, bins=self.bins)
+        return out
+
+    map_lower = map_offdiag
+    map_upper = map_offdiag
+
+
+class CornerPlot(PairGrid):
+    """Corner plot (plotter.py:1615-1711) = PairGrid lower triangle +
+    diagonals; data identical, layout is a render concern."""
+
+    def panels(self):
+        return {"diag": self.map_diag(), "lower": self.map_offdiag()}

@@ -1124,3 +1124,186 @@ def q52(spark, sf_dir):
         .filter(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# =====================================================================
+# plotting-layer aggregates (§2.12) + datashader reductions (§2.5)
+# =====================================================================
+
+@query(
+    "q53_raster_mean",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / 2.5) AS BIGINT), 19) AS px,
+           LEAST(CAST(FLOOR((l_discount - 0.0) / 0.011) AS BIGINT), 9) AS py,
+           ROUND(AVG(l_extendedprice), 4) AS mean_price,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity >= 0.0 AND l_quantity <= 50.0
+      AND l_discount >= 0.0 AND l_discount <= 0.11
+    GROUP BY 1, 2
+    """,
+)
+def q53(spark, sf_dir):
+    """Datashader-style raster reduction (datashader.py:105-138: mean
+    over 2-D pixel bins + count) — the scatter-at-scale path."""
+    from .operators.binned import BinSpec, binned_agg
+
+    out = binned_agg(
+        load(spark, sf_dir, "lineitem"),
+        [BinSpec("l_quantity", 0.0, 50.0, 20), BinSpec("l_discount", 0.0, 0.11, 10)],
+        {"mean_price": F.round(F.avg("l_extendedprice"), 4), "n": F.count(F.lit(1))},
+        densify=False,
+        with_centers=False,
+    )
+    return out.withColumnRenamed("l_quantity__bin", "px").withColumnRenamed("l_discount__bin", "py")
+
+
+@query(
+    "q54_sliding_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value, ts, time_bucket(INTERVAL 30 MINUTE, ts) AS s0
+      FROM events),
+    cand AS (
+      SELECT event_type, value, ts, s0 AS window_start FROM starts
+      UNION ALL
+      SELECT event_type, value, ts, s0 - INTERVAL 30 MINUTE FROM starts)
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+    FROM cand
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 60 MINUTE
+    GROUP BY window_start, event_type
+    """,
+)
+def q54(spark, sf_dir):
+    """Sliding event-time window (1h window, 30m slide): each event in 2
+    overlapping windows (F.window duration+slide; §2.10 extension).
+
+    avg computed as exact-decimal sum / count: double summation order is
+    nondeterministic across partitions, which flips the last rounded
+    digit vs the oracle; decimal accumulation is order-independent."""
+    df = load(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+@query(
+    "q55_udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wmean_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q55(spark, sf_dir):
+    """Arbitrary-Python UDAF surface (aggregate(func, keys),
+    dictdataframe.py:578-599) via applyInPandas — numpy reducer per
+    group, Arrow-batched; oracle proves it equals the SQL form."""
+    import pandas as pd
+
+    from .table import EzTable
+
+    def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf["l_quantity"].to_numpy()
+        p = pdf["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]],
+             "wmean_price": [round(float((p * w).sum() / w.sum()), 6)]}
+        )
+
+    t = EzTable(load(spark, sf_dir, "lineitem"))
+    return t.apply_in_pandas("l_returnflag", wmean, "l_returnflag string, wmean_price double").df
+
+
+@query(
+    "q56_euler_galactic",
+    oracle="""
+    WITH sky AS (SELECT c_custkey, (c_custkey * 37) % 360 AS ra,
+                        (c_custkey % 173) - 86 AS dec FROM customer),
+    t AS (SELECT c_custkey,
+                 radians(ra) - 4.9368292465 AS a, radians(dec) AS b
+          FROM sky)
+    SELECT c_custkey,
+           ROUND(CASE WHEN degrees(atan2(0.45598377618*cos(b)*sin(a) - 0.88998808748*sin(b),
+                                          cos(b)*cos(a)) + 0.57477043300) % 360.0 < 0
+                      THEN degrees(atan2(0.45598377618*cos(b)*sin(a) - 0.88998808748*sin(b),
+                                          cos(b)*cos(a)) + 0.57477043300) % 360.0 + 360.0
+                      ELSE degrees(atan2(0.45598377618*cos(b)*sin(a) - 0.88998808748*sin(b),
+                                          cos(b)*cos(a)) + 0.57477043300) % 360.0 END, 6) AS gl,
+           ROUND(degrees(asin(LEAST(GREATEST(
+                 0.45598377618*sin(b) + 0.88998808748*cos(b)*sin(a), -1.0), 1.0))), 6) AS gb
+    FROM t
+    """,
+)
+def q56(spark, sf_dir):
+    """Euler rotation RA/Dec -> galactic (simpletable.py:1218-1335,
+    J2000 select=1) as pure builtin trig."""
+    from .functions.astro import euler
+
+    sky = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    gl, gb = euler("ra", "dec", select=1)
+    return sky.select("c_custkey", F.round(gl, 6).alias("gl"), F.round(gb, 6).alias("gb"))
+
+
+@query(
+    "q57_boxplot_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+           ROUND(quantile_cont(c_acctbal, 0.50), 4) AS med,
+           ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q3,
+           ROUND(AVG(c_acctbal), 4) AS mean
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q57(spark, sf_dir):
+    """boxplot/violin statistics feed (plotter.py:809-966): exact
+    per-group quartiles on-cluster; only the stats reach the driver."""
+    df = load(spark, sf_dir, "customer")
+    return df.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("med"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("q3"),
+        F.round(F.avg("c_acctbal"), 4).alias("mean"),
+    )
+
+
+# =====================================================================
+# multimodal columns (binary + typed metadata; stub decode)
+# =====================================================================
+
+@query("q58_media_features")
+def q58(spark, sf_dir):
+    """Image feature extraction over binary media columns via
+    mapInPandas (operators/multimodal.py; decode kernel STUBBED —
+    deterministic synthetic pixels — since no codec libs ship in this
+    container; schema/batching/partitioning are the real pipeline).
+    Rows-only."""
+    from .operators.multimodal import image_features, synthesize_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media(spark, docs, "doc_id", "text")
+    out = image_features(media)
+    return out.select("media_id", "width", "height", "n_bytes",
+                      F.round("aspect", 6).alias("aspect"))
+
+
+@query("q59_frame_sample")
+def q59(spark, sf_dir):
+    """Video frame-sampling plumbing: posexplode of generated frame
+    indices, no shuffle (operators/multimodal.py). Rows-only."""
+    from .operators.multimodal import sample_frames, synthesize_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media(spark, docs, "doc_id", "text")
+    return sample_frames(media, every_n=7, max_frames=3).select("media_id", "frame_index")

@@ -1,0 +1,61 @@
+"""Parquet with metadata persistence — the engine's native format.
+
+The reference carries (header, units, descriptions, aliases) dicts on
+every table (simpletable.py:1449-1460). Spark persists StructField
+metadata inside the parquet footer (the Spark schema JSON), so we
+round-trip all four through field metadata: units/desc per column, and
+the table-level header + alias map on a reserved key of the first
+field. No sidecar files; survives any Spark-compatible reader.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..table import EzTable
+
+_TABLE_KEY = "ez_table_meta"
+
+
+def write_parquet(t: EzTable, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    df = t.df
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        md = dict(f.metadata or {})
+        if t.unit(f.name):
+            md["unit"] = t.unit(f.name)
+        if t.comment(f.name):
+            md["description"] = t.comment(f.name)
+        if i == 0:
+            md[_TABLE_KEY] = json.dumps({"header": t.header, "aliases": t._aliases})
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    # attach metadata without an RDD round-trip: per-column withMetadata
+    out = df
+    for f in fields:
+        out = out.withMetadata(f.name, f.metadata)
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> EzTable:
+    df = spark.read.parquet(path)
+    units: dict[str, str] = {}
+    desc: dict[str, str] = {}
+    header: dict = {}
+    aliases: dict[str, str] = {}
+    for f in df.schema.fields:
+        md = f.metadata or {}
+        if "unit" in md:
+            units[f.name] = md["unit"]
+        if "description" in md:
+            desc[f.name] = md["description"]
+        if _TABLE_KEY in md:
+            tm = json.loads(md[_TABLE_KEY])
+            header = tm.get("header", {})
+            aliases = tm.get("aliases", {})
+    return EzTable(df, header=header, units=units, desc=desc, aliases=aliases)
