@@ -135,7 +135,7 @@ def resize_images(media: DataFrame, max_side: int = 8) -> DataFrame:
                 meta = row["meta"]
                 px = decode_pixels(row["data"], meta)
                 h, w = px.shape[:2]
-                scale = max(1, max(h, w) // max_side)
+                scale = max(1, -(-max(h, w) // max_side))  # ceil: longest side must land <= max_side
                 thumb = px[::scale, ::scale]
                 out.append(
                     {

@@ -1,0 +1,91 @@
+"""Multimodal binary-column pipeline: schema, Arrow batching, and
+output contracts are real; the decode kernel is a deterministic stub
+(no codec libs in this container) — see operators/multimodal.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ezdata_spark.functions.astro import euler
+from ezdata_spark.operators.multimodal import (
+    image_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return synthesize_media(spark, docs, "doc_id", "text"), docs.count()
+
+
+def test_media_schema(media):
+    m, _ = media
+    assert dict(m.dtypes)["data"] == "binary"
+    assert dict(m.dtypes)["meta"].startswith("struct<")
+
+
+def test_image_features(media):
+    m, n = media
+    feats = image_features(m)
+    rows = feats.collect()
+    assert len(rows) == n
+    for r in rows[:20]:
+        assert r["aspect"] == pytest.approx(r["width"] / r["height"])
+        assert 0 <= r["mean_luma"] <= 255
+        assert r["n_bytes"] > 0
+
+
+def test_image_features_deterministic(media):
+    m, _ = media
+    a = {r["media_id"]: r["mean_luma"] for r in image_features(m).collect()}
+    b = {r["media_id"]: r["mean_luma"] for r in image_features(m).collect()}
+    assert a == b
+
+
+def test_resize_images(media):
+    m, n = media
+    thumbs = resize_images(m, max_side=8).collect()
+    assert len(thumbs) == n
+    for r in thumbs[:20]:
+        assert max(r["thumb_w"], r["thumb_h"]) <= 8
+        assert len(r["thumb"]) == r["thumb_w"] * r["thumb_h"] * 3
+
+
+def test_sample_frames(media):
+    m, n = media
+    frames = sample_frames(m, every_n=7, max_frames=3)
+    agg = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_index").alias("mx")
+    )
+    rows = agg.collect()
+    assert 0 < len(rows) <= n
+    for r in rows:
+        assert r["n"] <= 3
+        assert r["mx"] % 7 == 0  # stride respected
+    # no shuffle in the sampling plan itself (posexplode is a generate)
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_euler_inverse_roundtrip(spark):
+    """select=1 (cel->gal) then select=2 (gal->cel) restores RA/Dec
+    (simpletable.py:1218-1335 mode table)."""
+    df = spark.range(300).select(
+        ((F.col("id") * 7) % 360).cast("double").alias("ra"),
+        ((F.col("id") % 175) - 87).cast("double").alias("dec"),
+    )
+    gl, gb = euler("ra", "dec", select=1)
+    g = df.select("ra", "dec", gl.alias("gl"), gb.alias("gb"))
+    ra2, dec2 = euler("gl", "gb", select=2)
+    back = g.select(
+        "ra", "dec", ra2.alias("ra2"), dec2.alias("dec2")
+    ).withColumn("dra", F.least(F.abs(F.col("ra") - F.col("ra2")),
+                                360 - F.abs(F.col("ra") - F.col("ra2"))))
+    # double trig chains round at ~2e-9 deg (~10 uas); 1e-7 deg is far
+    # below any astrometric use
+    bad = back.filter(
+        (F.col("dra") > 1e-7) | (F.abs(F.col("dec") - F.col("dec2")) > 1e-7)
+    ).count()
+    assert bad == 0

@@ -1,0 +1,162 @@
+"""Plotting layer: every verb must aggregate on-cluster and return only
+small numpy results (SURVEY.md §2.12 — never collect raw rows)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ezdata_spark.functions import norms
+from ezdata_spark.plotting import CornerPlot, Group, PairGrid, Plotter
+from ezdata_spark.table import EzTable
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return EzTable.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return EzTable.read_parquet(spark, f"{sf_dir}/customer.parquet")
+
+
+def test_hist_counts_sum_to_rows(lineitem):
+    n = lineitem.df.count()
+    h = Plotter(lineitem).hist("l_quantity", bins=10, range=(0.0, 51.0))
+    assert h.counts.sum() == n
+    assert len(h.edges) == 11
+    assert len(h.centers) == 10
+
+
+def test_hist_expression_and_weights(lineitem):
+    h = Plotter(lineitem).hist(
+        "l_extendedprice * (1 - l_discount)", bins=5, weights="l_quantity"
+    )
+    total_w = lineitem.df.agg(F.sum("l_quantity")).collect()[0][0]
+    assert h.counts.sum() == pytest.approx(total_w, rel=1e-9)
+
+
+def test_hist2d_grid(lineitem):
+    g = Plotter(lineitem).hist2d(
+        "l_quantity", "l_discount", bins=(8, 4), range=((0.0, 51.0), (0.0, 0.12))
+    )
+    assert g.counts.shape == (8, 4)
+    assert g.counts.sum() == lineitem.df.count()
+
+
+def test_scatter_is_raster(lineitem):
+    g = Plotter(lineitem).scatter("l_quantity", "l_extendedprice", bins=16)
+    assert g.counts.shape == (16, 16)
+
+
+def test_hexbin_counts(lineitem):
+    hexed = Plotter(lineitem).hexbin("l_quantity", "l_extendedprice", gridsize=12)
+    total = hexed.agg(F.sum("count")).collect()[0][0]
+    assert total == lineitem.df.count()
+
+
+def test_boxplot_matches_sql(customer):
+    b = Plotter(customer).boxplot("c_mktsegment", "c_acctbal")
+    ref = (
+        customer.df.groupBy("c_mktsegment")
+        .agg(F.percentile("c_acctbal", F.lit(0.5)).alias("m"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert list(b.keys) == [r["c_mktsegment"] for r in ref]
+    np.testing.assert_allclose(b.median, [r["m"] for r in ref])
+    assert np.all(b.q1 <= b.median) and np.all(b.median <= b.q3)
+
+
+def test_groupby_group(customer):
+    grp = Plotter(customer).groupby("c_mktsegment")
+    nseg = customer.df.select("c_mktsegment").distinct().count()
+    assert len(grp) == nseg
+    hists = grp.hist("c_acctbal", bins=4, range=(-1000.0, 10000.0))
+    assert len(hists) == nseg
+    # per-group counts sum back to the total in range
+    in_range = customer.df.filter(
+        (F.col("c_acctbal") >= -1000) & (F.col("c_acctbal") <= 10000)
+    ).count()
+    assert sum(h.counts.sum() for h in hists) == in_range
+
+
+def test_select_groups_and_add(customer):
+    g1 = Plotter(customer).select(["c_acctbal > 5000"], labels=["rich"])
+    g2 = Plotter(customer).select(["c_acctbal <= 5000"], labels=["rest"])
+    both = g1 + g2
+    assert isinstance(both, Group) and len(both) == 2
+    counts = [p.t.df.count() for p in both.members]
+    assert sum(counts) == customer.df.count()
+
+
+def test_lagplot_needs_order(lineitem):
+    with pytest.raises(ValueError):
+        Plotter(lineitem).lagplot("l_quantity", t=1)
+
+
+def test_pairgrid_and_corner(lineitem):
+    keys = ["l_quantity", "l_discount"]
+    pg = PairGrid(lineitem, keys, bins=4)
+    diag = pg.map_diag()
+    assert set(diag) == set(keys)
+    off = pg.map_offdiag()
+    assert list(off) == [("l_quantity", "l_discount")]
+    panels = CornerPlot(lineitem, keys, bins=4).panels()
+    assert set(panels) == {"diag", "lower"}
+
+
+def test_plot_aitoff_bounds(spark):
+    df = spark.range(200).select(
+        ((F.col("id") * 37) % 360).cast("double").alias("lon"),
+        ((F.col("id") % 171) - 85).cast("double").alias("lat"),
+    )
+    g = Plotter(EzTable(df)).plot_aitoff("lon", "lat", bins=36)
+    assert g.counts.sum() == 200  # every point lands inside the Aitoff ellipse
+
+
+def test_render_gated_without_mpl(lineitem):
+    h = Plotter(lineitem).hist("l_quantity", bins=4, range=(0.0, 51.0))
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            h.render()
+
+
+# ---- norms (driver-side raster transforms, matplotlib/norm.py:49-148) ----
+
+
+def test_norms_range_and_shape():
+    a = np.array([[0.0, 1.0, 10.0], [100.0, 5.0, np.nan]])
+    for fn in (
+        norms.arcsinh_norm,
+        norms.sqrt_norm,
+        norms.pow_norm,
+        norms.log_norm,
+        norms.midpoint_norm,
+        norms.histeq_norm,
+        norms.percentile_norm,
+    ):
+        out = fn(a)
+        assert out.shape == a.shape
+        finite = out[np.isfinite(out)]
+        assert finite.min() >= 0.0 and finite.max() <= 1.0
+
+
+def test_histeq_is_monotone():
+    a = np.array([1.0, 2.0, 4.0, 8.0, 100.0])
+    out = norms.histeq_norm(a, nbins=8)
+    assert np.all(np.diff(out) >= 0)
+
+
+def test_histeq_edges_cluster_side(spark):
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    edges = norms.histeq_edges(df, "v", nbins=4)
+    assert len(edges) == 5
+    assert edges[0] <= edges[1] <= edges[2] <= edges[3] <= edges[4]
+
+
+def test_colorify_stable():
+    m = norms.colorify(["b", "a", "c", "a"])
+    assert m == {"a": 0, "b": 1, "c": 2}

