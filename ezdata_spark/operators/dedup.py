@@ -18,10 +18,8 @@ stable across runs and partitionings.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -56,6 +54,21 @@ def _tokens(text_col):
     return F.split(F.lower(text_col), r"\s+")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition CPU-bound per-row stages up to cluster parallelism.
+
+    A small parquet file arrives as 1-2 partitions (bytes-based split),
+    which serializes compute-heavy stages like shingle hashing on a
+    many-core executor; the shuffle of the raw rows costs far less than
+    the single-threaded hashing. At real scale (many files / row
+    groups) the input already has enough partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, text: str, id_col: str, num_hashes: int = 64, shingle_n: int = 5
 ) -> DataFrame:
@@ -67,32 +80,53 @@ def minhash_signatures(
     """
     # two bound-column steps so HOF lambdas never re-evaluate upstream
     # expressions (no CSE inside lambdas): tokens -> shingle hashes
-    toked = df.select(id_col, _tokens(F.col(text)).alias("tk"))
+    toked = _fan_out(df).select(id_col, _tokens(F.col(text)).alias("tk"))
     base = toked.select(
         id_col,
         F.transform(_shingles(F.col("tk"), shingle_n), lambda s: F.xxhash64(s)).alias("hv"),
     )
     # hash every shingle ONCE (JVM xxhash64), then derive the k hash
     # functions as affine transforms of the base hash (h_i = a_i*h + b_i
-    # over Z_2^64, universal hashing). The k x T min-reduction runs as a
-    # single Arrow-batched numpy matrix op per document — measured ~10x
-    # faster than k interpreted higher-order-function traversals.
+    # over Z_2^64, odd a_i => bijection; universal hashing). The k x T
+    # min-reduction is ONE aggregate pass whose accumulator is the
+    # k-slot signature array — pure JVM expressions, so the whole
+    # pipeline needs no Python workers (no Arrow transfer, no per-
+    # executor interpreter cold start). The min is the *unsigned* 64-bit
+    # min: signed compare of (x + 2^63) == unsigned compare of x, so we
+    # bias into the accumulator and un-bias at the end (adding -2^63
+    # twice is the identity mod 2^64).
     import random
 
     rng = random.Random(42)
-    a_co = np.array([rng.randrange(1, 2**62) * 2 + 1 for _ in range(num_hashes)], dtype=np.uint64)
-    b_co = np.array([rng.randrange(2**62) for _ in range(num_hashes)], dtype=np.uint64)
-
-    @pandas_udf("array<bigint>")
-    def _affine_min(hv: pd.Series) -> pd.Series:
-        out = []
-        for h in hv:
-            hh = np.asarray(h, dtype=np.int64).view(np.uint64)
-            sig = (hh[None, :] * a_co[:, None] + b_co[:, None]).min(axis=1)
-            out.append(sig.view(np.int64))
-        return pd.Series(out)
-
-    return base.select(id_col, _affine_min(F.col("hv")).alias("signature"))
+    a_signed = np.array(
+        [rng.randrange(1, 2**62) * 2 + 1 for _ in range(num_hashes)], dtype=np.uint64
+    ).view(np.int64)
+    b_signed = np.array(
+        [rng.randrange(2**62) for _ in range(num_hashes)], dtype=np.uint64
+    ).view(np.int64)
+    # single F.expr parse: building these trees Column-by-Column costs
+    # hundreds of py4j round-trips (~2 s of driver time per query)
+    a_sql = "array(" + ",".join(f"{int(a)}L" for a in a_signed) + ")"
+    bias = -(1 << 63)
+    # fold the unsigned-compare bias into b at build time (mod 2^64)
+    b_biased = (b_signed.view(np.uint64) + np.uint64(bias & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+    b_sql = "array(" + ",".join(f"{int(b)}L" for b in b_biased) + ")"
+    # NB: a*h+b wraps mod 2^64 (Java long); requires ANSI off, which
+    # get_spark/tune_existing guarantee
+    sig = F.expr(
+        f"""
+        transform(
+          aggregate(
+            hv,
+            array_repeat({(1 << 63) - 1}L, {num_hashes}),
+            (acc, h) -> zip_with(acc,
+                                 zip_with({a_sql}, {b_sql},
+                                          (a, b) -> a * h + b),
+                                 (m, v) -> least(m, v))),
+          x -> x + {bias}L)
+        """
+    )
+    return base.select(id_col, sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -105,23 +139,26 @@ def minhash_lsh_candidates(
     a uniform key; self-join within buckets only. Pairs are emitted with
     id_a < id_b so each pair appears once.
     """
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", *[
-                            F.element_at("signature", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ])
-                    ).alias("bucket"),
+    # one row per (doc, band); bucket = hash of that band's signature
+    # slice. explode(sequence) + column-start slice keeps the expression
+    # tree O(1) in `bands` (vs an unrolled array-of-structs, which is
+    # slow to build driver-side and to codegen)
+    banded = (
+        sigs.select(id_col, "signature", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+        .select(
+            id_col,
+            "band",
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("signature", F.col("band") * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
                 )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+            ).alias("bucket"),
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -175,7 +212,7 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     toks = F.filter(F.split(F.lower(F.col(text)), r"\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     hcol = "__simhash_hashes"
-    with_h = df.withColumn(hcol, hashes)
+    with_h = _fan_out(df).withColumn(hcol, hashes)
     # votes[i] = sum over tokens of (bit i set ? 1 : -1); bit index must
     # be a literal (shiftright takes a Python int), so unroll the bits
     def _vote_fn(i: int):
