@@ -150,6 +150,46 @@ def resize_images(media: DataFrame, max_side: int = 8) -> DataFrame:
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, peak double, zero_crossings long"
+)
+
+
+def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio decode + per-clip features via mapInPandas.
+
+    The decode kernel is the same STUB (deterministic synthetic waveform
+    seeded by content hash — libav/soundfile are not in this container);
+    the feature math (RMS / peak / zero-crossing rate) and the Spark
+    plumbing are real: binary in, Arrow batches, bounded memory.
+    """
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                data = row["data"] or b""
+                seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
+                rng = np.random.RandomState(seed % (2**32))
+                n = int(rng.randint(sample_rate // 4, sample_rate * 2))
+                wave = rng.standard_normal(n).astype("float32") * 0.1
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "sample_rate": sample_rate,
+                        "n_samples": n,
+                        "duration_s": n / sample_rate,
+                        "rms": float(np.sqrt(np.mean(wave**2))),
+                        "peak": float(np.abs(wave).max()),
+                        "zero_crossings": int(np.sum(np.diff(np.signbit(wave)))),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_feats, AUDIO_FEATURE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index
     (posexplode of a generated index sequence; the decode of each frame

@@ -123,6 +123,82 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantization: KMeans centroids (trained on a sample),
+    each corpus vector assigned to its nearest cell.
+
+    Scale shape: training touches a driver-bounded sample; assignment is
+    one scan with the centroid table folded into the plan (broadcast by
+    construction — it is n_cells x dim literals); the index is just an
+    extra int column, so it can be written back to parquet partitioned
+    by cell for pruned reads.
+    Returns (indexed_corpus, centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = normalize(df, vec, "v").select(id_col, "v")
+    train = n if sample_fraction is None else n.sample(sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
+    model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    indexed = n.withColumn("cell", _nearest_cell(F.col("v"), centroids, 1)[0])
+    return indexed, centroids
+
+
+def _nearest_cell(vec_col, centroids: list[list[float]], nprobe: int):
+    """Indices of the ``nprobe`` nearest centroids (by dot product on
+    normalized vectors) as literal-folded expressions."""
+    scores = F.array(
+        *[
+            F.struct(
+                _dot(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scores))
+    return [F.element_at(ranked, j + 1)["i"] for j in range(nprobe)]
+
+
+def ivf_topk(
+    indexed_corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest cells; only
+    vectors in those cells are scored (corpus_size * nprobe / n_cells
+    candidates on average). Equi-join on cell id — broadcastable query
+    side, partition-prunable corpus side when written partitioned by
+    cell."""
+    q = normalize(queries, vec, "qv").select(qid_col, "qv")
+    probes = q.select(
+        qid_col, "qv", F.explode(F.array(*_nearest_cell(F.col("qv"), centroids, nprobe))).alias("cell")
+    )
+    cand = indexed_corpus.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", _dot(F.col("v"), F.col("qv"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
 def pairwise_near_dup(
     df: DataFrame,
     vec: str = "embedding",

@@ -1307,3 +1307,73 @@ def q59(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = synthesize_media(spark, docs, "doc_id", "text")
     return sample_frames(media, every_n=7, max_frames=3).select("media_id", "frame_index")
+
+
+@query(
+    "q60_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY event_type ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT event_type, ts, value,
+             SUM(new_session) OVER (PARTITION BY event_type ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM islands GROUP BY event_type, session_id
+    """,
+)
+def q60(spark, sf_dir):
+    """Gap-based session windows (F.session_window, gap=30m): the
+    built-in replacement for hand-rolled sessionization (q32); oracle is
+    the gaps-and-islands SQL form. Exact-decimal sum for
+    order-independent rounding."""
+    from .streaming.stateful import session_agg
+
+    df = load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = session_agg(df, gap="30 minutes")
+    return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 4))
+
+
+@query("q61_ivf_ann")
+def q61(spark, sf_dir):
+    """IVF approximate nearest neighbors: KMeans coarse cells + nprobe
+    search (operators/similarity.py). Rows-only (KMeans centroids are
+    Spark-specific); pytest checks recall vs brute force."""
+    from .operators.similarity import ivf_index, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    indexed, centroids = ivf_index(emb, n_cells=8)
+    indexed = indexed.persist()
+    qs = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk(indexed, centroids, qs, k=5, nprobe=3)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@query("q62_audio_features")
+def q62(spark, sf_dir):
+    """Audio feature extraction over binary media (mapInPandas; decode
+    kernel STUBBED — deterministic synthetic waveform). Rows-only."""
+    from .operators.multimodal import audio_features, synthesize_media
+
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media(spark, docs, "doc_id", "text")
+    return audio_features(media).select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+    )

@@ -89,3 +89,15 @@ def test_euler_inverse_roundtrip(spark):
         (F.col("dra") > 1e-7) | (F.abs(F.col("dec") - F.col("dec2")) > 1e-7)
     ).count()
     assert bad == 0
+
+
+def test_audio_features(media):
+    from ezdata_spark.operators.multimodal import audio_features
+
+    m, n = media
+    rows = audio_features(m).collect()
+    assert len(rows) == n
+    for r in rows[:20]:
+        assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"])
+        assert 0 < r["rms"] < r["peak"]
+        assert 0 <= r["zero_crossings"] < r["n_samples"]

@@ -209,3 +209,27 @@ def test_lang_id_votes(spark):
     )
     rows = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
     assert rows == {1: "en", 2: "de", 3: "und"}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=n_cells degenerates to exact search; with fewer
+    probes recall@5 stays high on clustered data."""
+    from ezdata_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = {
+        (r.qid, r.vec_id) for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    indexed, cents = ivf_index(emb, n_cells=4)
+    indexed = indexed.persist()
+    # all cells probed == exact
+    full = {(r.qid, r.vec_id) for r in ivf_topk(indexed, cents, qs, k=5, nprobe=4).collect()}
+    assert full == exact
+    # partial probe: recall@5 >= 0.6 (every query's own vector must be found)
+    part = {(r.qid, r.vec_id) for r in ivf_topk(indexed, cents, qs, k=5, nprobe=2).collect()}
+    assert len(part & exact) / len(exact) >= 0.6
+    assert all((q, q) in part for q in range(5))

@@ -43,3 +43,42 @@ def test_watermark_present_in_plan(spark, events_batch):
     sdf = stream_tumbling_agg(spark, path, batch_df.schema)
     assert sdf.isStreaming
     assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+
+def test_stateful_running_stats(spark, events_batch):
+    """applyInPandasWithState running stats must equal batch aggregates
+    for count/sum (EMA is order-dependent so only sanity-checked)."""
+    path, batch_df = events_batch
+    from ezdata_spark.streaming.stateful import run_stateful_to_memory
+
+    got = run_stateful_to_memory(spark, path, batch_df.schema, name="ez_state_test")
+    # update mode emits once per key per micro-batch; keep the last emit
+    final = {}
+    for r in got.collect():
+        final[r.event_type] = (r.n, r.total, r.ema)
+    ref = {
+        r.event_type: (r.n, r.total)
+        for r in batch_df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(ref)
+    for k, (n, total) in ref.items():
+        gn, gtotal, gema = final[k]
+        assert gn == n
+        assert gtotal == pytest.approx(total, rel=1e-9)
+        lo, hi = batch_df.filter(F.col("event_type") == k).agg(
+            F.min("value"), F.max("value")
+        ).collect()[0]
+        assert lo <= gema <= hi
+
+
+def test_session_window_batch(spark, events_batch):
+    from ezdata_spark.streaming.stateful import session_agg
+
+    _, batch_df = events_batch
+    out = session_agg(batch_df, gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.session_end > r.session_start
