@@ -131,6 +131,41 @@ def read_fits(
     return ingest_chunked(spark, files, schema, count_rows, read_chunk, chunk_rows)
 
 
+def read_votable(spark: SparkSession, path: str):
+    """VOTable scan (simpletable.py:1551-1565): driver-side astropy
+    parse -> createDataFrame (VOTables are small interchange files)."""
+    if not _have("astropy"):
+        raise NotImplementedError(
+            "read_votable requires astropy, which is not installed in "
+            "this environment"
+        )
+    from astropy.table import Table
+
+    from ..table import EzTable
+
+    at = Table.read(path, format="votable")
+    units = {n: str(at[n].unit) for n in at.colnames if at[n].unit is not None}
+    desc = {n: at[n].description for n in at.colnames if at[n].description}
+    return EzTable(spark.createDataFrame(at.to_pandas()), units=units, desc=desc)
+
+
+def to_latex(t, n: int = 30) -> str:
+    """LaTeX tabular of the first ``n`` rows (simpletable.py:792-844) —
+    driver-side formatting of a collected head; a render concern, never
+    a data path."""
+    rows = t.df.limit(n).collect()
+    cols = t.df.columns
+    lines = [
+        "\\begin{tabular}{" + "c" * len(cols) + "}",
+        " & ".join(str(c).replace("_", "\\_") for c in cols) + " \\\\",
+        "\\hline",
+    ]
+    for r in rows:
+        lines.append(" & ".join(str(r[c]).replace("_", "\\_") for c in cols) + " \\\\")
+    lines.append("\\end{tabular}")
+    return "\n".join(lines)
+
+
 def from_dict(spark: SparkSession, data: dict, **meta):
     """dict-of-arrays ingest (SimpleTable(dict), simpletable.py:847-898;
     DictDataFrame construction, dictdataframe.py:93-112)."""

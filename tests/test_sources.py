@@ -137,3 +137,17 @@ def test_from_records(spark):
     t = from_records(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
     assert t.df.count() == 2
     assert set(t.colnames) == {"a", "b"}
+
+
+def test_votable_gated_and_latex(spark, meta_table):
+    from ezdata_spark.sources.binary_tables import read_votable, to_latex
+
+    try:
+        read_votable(spark, "/nonexistent.vot")
+    except NotImplementedError:
+        pass
+    except Exception:
+        pass  # astropy present: file-not-found path instead
+    tex = to_latex(meta_table, n=2)
+    assert tex.startswith("\\begin{tabular}")
+    assert "ra & dec & mag" in tex
