@@ -95,6 +95,23 @@ def running_stats_stream(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: a key seen once is suppressed on
+    re-arrival until the watermark passes it, then its state is evicted
+    — so state is O(keys per watermark window), not O(stream length).
+    The streaming form of ``operators/dedup.py::exact_dedup`` for
+    continuously-arriving corpora.
+    """
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_stateful_to_memory(
     spark: SparkSession, path: str, schema, name: str = "ez_stateful", alpha: float = 0.1
 ) -> DataFrame:

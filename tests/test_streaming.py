@@ -82,3 +82,26 @@ def test_session_window_batch(spark, events_batch):
     assert len(rows) > 0
     for r in rows[:50]:
         assert r.session_end > r.session_start
+
+
+def test_stream_dedup_within_watermark(spark, events_batch, tmp_path_factory):
+    """Duplicated input rows collapse to one within the watermark."""
+    path, batch_df = events_batch
+    from ezdata_spark.streaming.stateful import stream_dedup
+
+    # duplicate every row, write as the stream source
+    dup_path = str(tmp_path_factory.mktemp("events_dup"))
+    batch_df.unionAll(batch_df).write.mode("overwrite").parquet(dup_path)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(dup_path)
+    q = (
+        stream_dedup(stream, ["event_id"], ts="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("ez_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ez_dedup_test").count()
+    assert got == batch_df.count()  # every duplicate suppressed
