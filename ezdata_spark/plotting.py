@@ -288,6 +288,36 @@ class Plotter:
         members = [Plotter(self.t.where(s), label=lab) for s, lab in zip(selections, labels)]
         return Group(members, labels)
 
+    def all_against(self, key: str, others: list[str] | None = None, bins: int = 64) -> dict[str, Hist2DResult]:
+        """One raster of ``key`` against every other numeric column
+        (Plotter.all_against, plotter.py:992-1057) — all cluster-side."""
+        numeric = {"double", "float", "int", "bigint", "smallint", "tinyint"}
+        cols = others or [
+            n for n, t in self.t.df.dtypes if t in numeric and n != key
+        ]
+        return {c: self.hist2d(key, c, bins=bins) for c in cols}
+
+    def profile(self, xexpr: str, yexpr: str, bins: int = 50, range: tuple | None = None) -> DataFrame:
+        """Binned mean/std profile of y vs x — the scalable data feed for
+        line plots (``plot``/``step``): never collects raw rows."""
+        df = self._frame_with({"__x": xexpr, "__y": yexpr})
+        if range is None:
+            r = guess_range(df, ["__x"])["__x"]
+        else:
+            r = range
+        spec = BinSpec("__x", float(r[0]), float(r[1]), bins)
+        return binned_agg(
+            df,
+            [spec],
+            {
+                "mean_y": F.avg("__y"),
+                "std_y": F.stddev("__y"),
+                "n": F.count(F.lit(1)),
+            },
+            densify=True,
+            with_centers=True,
+        )
+
     def apply(self, fn, *args, **kw):
         """Arbitrary function over the frame (plotter.py:757-778)."""
         return fn(self.t, *args, **kw)

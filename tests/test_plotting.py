@@ -160,3 +160,17 @@ def test_histeq_edges_cluster_side(spark):
 def test_colorify_stable():
     m = norms.colorify(["b", "a", "c", "a"])
     assert m == {"a": 0, "b": 1, "c": 2}
+
+
+def test_all_against(lineitem):
+    out = Plotter(lineitem).all_against("l_quantity", ["l_discount", "l_tax"], bins=8)
+    assert set(out) == {"l_discount", "l_tax"}
+    assert all(g.counts.shape == (8, 8) for g in out.values())
+
+
+def test_profile_feed(lineitem):
+    rows = Plotter(lineitem).profile("l_quantity", "l_extendedprice", bins=10,
+                                     range=(0.0, 51.0)).collect()
+    assert len(rows) == 10  # densified: every bin present
+    total = sum(r["n"] for r in rows)
+    assert total == lineitem.df.count()
