@@ -1377,3 +1377,64 @@ def q62(spark, sf_dir):
         F.round("rms", 6).alias("rms"),
         "zero_crossings",
     )
+
+
+@query(
+    "q63_profile",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / 5.1) AS BIGINT), 9) AS bin,
+             l_extendedprice AS y
+      FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 51.0),
+    grid AS (SELECT range AS bin FROM range(0, 10))
+    SELECT g.bin,
+           0.0 + (g.bin + 0.5) * 5.1 AS l_quantity__center,
+           ROUND(CAST(SUM(CAST(b.y AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_y,
+           COUNT(b.y) AS n
+    FROM grid g LEFT JOIN binned b ON g.bin = b.bin
+    GROUP BY g.bin
+    """,
+)
+def q63(spark, sf_dir):
+    """Binned profile feed (Plotter.profile; the scalable line-plot
+    path): densified — empty bins present via generated-grid join.
+    Exact-decimal sum for order-independent rounding."""
+    from .operators.binned import BinSpec, binned_agg
+
+    df = load(spark, sf_dir, "lineitem")
+    out = binned_agg(
+        df,
+        [BinSpec("l_quantity", 0.0, 51.0, 10)],
+        {
+            "sum_y": F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 4
+            ),
+            "n": F.count("l_extendedprice"),
+        },
+        densify=True,
+        with_centers=True,
+    )
+    return out.withColumnRenamed("l_quantity__bin", "bin")
+
+
+@query(
+    "q64_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_extendedprice, o.o_orderdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 200000
+    """,
+)
+def q64(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): hot keys spread over 16
+    sub-keys; result must equal the plain join (oracle proves it)."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderdate")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    return salted_join(li, orders, on="l_orderkey", salt_n=16)

@@ -233,3 +233,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     part = {(r.qid, r.vec_id) for r in ivf_topk(indexed, cents, qs, k=5, nprobe=2).collect()}
     assert len(part & exact) / len(exact) >= 0.6
     assert all((q, q) in part for q in range(5))
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from ezdata_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.total, r.n)
+        for r in salted_agg(
+            df,
+            ["l_returnflag"],
+            {"total": ("sum(l_quantity)", "sum({p})"), "n": ("count(1)", "sum({p})")},
+            salt_n=8,
+        ).collect()
+    }
+    ref = {
+        r.l_returnflag: (r.total, r.n)
+        for r in df.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][1] == ref[k][1]
+        assert abs(got[k][0] - ref[k][0]) < 1e-6
