@@ -65,17 +65,27 @@ def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[lis
     return rng.randn(n_planes, dim).astype(float).tolist()
 
 
-def _sign_bucket(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id: bit i = (v . plane_i) > 0. Built-in exprs
-    only — the planes are literal arrays folded into the plan."""
-    bits = []
-    for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(vec_col, lit) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _matrix_sql(rows: list[list[float]]) -> str:
+    return (
+        "array("
+        + ",".join("array(" + ",".join(repr(float(x)) for x in r) + ")" for r in rows)
+        + ")"
+    )
+
+
+def _sign_bucket(vec_name: str, planes: list[list[float]]):
+    """Sign-pattern bucket id: bit i = (v . plane_i) > 0. One F.expr
+    parse with the planes as a literal 2-D array — building this
+    Column-by-Column costs thousands of py4j round-trips per table."""
+    return F.expr(
+        f"aggregate(transform({_matrix_sql(planes)},"
+        f" (p, i) -> IF({_dot_sql(vec_name, 'p')} > 0, shiftleft(1L, i), 0L)),"
+        " 0L, (a, x) -> a + x)"
+    )
 
 
 def cosine_topk_lsh(
@@ -104,8 +114,8 @@ def cosine_topk_lsh(
     q_b = None
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed=42 + t)
-        cb = c.select(id_col, "cv", F.lit(t).alias("tbl"), _sign_bucket(F.col("cv"), planes).alias("bucket"))
-        qb = q.select(qid_col, "qv", F.lit(t).alias("tbl"), _sign_bucket(F.col("qv"), planes).alias("bucket"))
+        cb = c.select(id_col, "cv", F.lit(t).alias("tbl"), _sign_bucket("cv", planes).alias("bucket"))
+        qb = q.select(qid_col, "qv", F.lit(t).alias("tbl"), _sign_bucket("qv", planes).alias("bucket"))
         c_b = cb if c_b is None else c_b.unionByName(cb)
         q_b = qb if q_b is None else q_b.unionByName(qb)
 
@@ -149,24 +159,19 @@ def ivf_index(
     km = KMeans(k=n_cells, seed=seed, featuresCol="features")
     model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
-    indexed = n.withColumn("cell", _nearest_cell(F.col("v"), centroids, 1)[0])
+    indexed = n.withColumn("cell", F.element_at(_nearest_cells("v", centroids, 1), 1))
     return indexed, centroids
 
 
-def _nearest_cell(vec_col, centroids: list[list[float]], nprobe: int):
-    """Indices of the ``nprobe`` nearest centroids (by dot product on
-    normalized vectors) as literal-folded expressions."""
-    scores = F.array(
-        *[
-            F.struct(
-                _dot(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+def _nearest_cells(vec_name: str, centroids: list[list[float]], nprobe: int):
+    """Array of the ``nprobe`` nearest centroid indices (by dot product
+    on normalized vectors); one F.expr parse, centroids folded in as a
+    literal 2-D array."""
+    ranked = (
+        f"reverse(array_sort(transform({_matrix_sql(centroids)},"
+        f" (c, i) -> struct({_dot_sql(vec_name, 'c')} AS s, i AS i))))"
     )
-    ranked = F.reverse(F.array_sort(scores))
-    return [F.element_at(ranked, j + 1)["i"] for j in range(nprobe)]
+    return F.expr(f"transform(slice({ranked}, 1, {nprobe}), x -> x.i)")
 
 
 def ivf_topk(
@@ -186,7 +191,7 @@ def ivf_topk(
     cell."""
     q = normalize(queries, vec, "qv").select(qid_col, "qv")
     probes = q.select(
-        qid_col, "qv", F.explode(F.array(*_nearest_cell(F.col("qv"), centroids, nprobe))).alias("cell")
+        qid_col, "qv", F.explode(_nearest_cells("qv", centroids, nprobe)).alias("cell")
     )
     cand = indexed_corpus.join(F.broadcast(probes), "cell").withColumn(
         "cosine", _dot(F.col("v"), F.col("qv"))
@@ -213,7 +218,7 @@ def pairwise_near_dup(
         dim = len(df.select(vec).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed=7)
     n = normalize(df, vec, "v").select(id_col, "v")
-    b = n.withColumn("bucket", _sign_bucket(F.col("v"), planes))
+    b = n.withColumn("bucket", _sign_bucket("v", planes))
     a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
     b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (
