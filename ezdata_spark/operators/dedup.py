@@ -213,21 +213,25 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     hcol = "__simhash_hashes"
     with_h = _fan_out(df).withColumn(hcol, hashes)
-    # votes[i] = sum over tokens of (bit i set ? 1 : -1); bit index must
-    # be a literal (shiftright takes a Python int), so unroll the bits
-    def _vote_fn(i: int):
-        def merge(acc, h):
-            return acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-        return merge
-
-    fp = None
-    for i in range(bits):
-        vote = F.aggregate(F.col(hcol), F.lit(0), _vote_fn(i))
-        bit = F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp.bitwiseOR(bit)
+    # votes[i] = sum over tokens of (bit i set ? +1 : -1), all `bits`
+    # slots accumulated in ONE pass over the token hashes (a 64-slot
+    # array accumulator; transform's index var supplies the bit number);
+    # fingerprint bit i set iff votes[i] > 0. One F.expr parse — the
+    # unrolled per-bit form costs `bits` interpreted traversals of the
+    # array and a py4j-built expression tree to match.
+    fp = F.expr(
+        f"""
+        aggregate(
+          transform(
+            aggregate(
+              {hcol},
+              array_repeat(0, {bits}),
+              (acc, h) -> transform(acc, (v, i) ->
+                 v + IF((h >> i) & 1 = 1, 1, -1))),
+            (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+          0L, (a, x) -> a + x)
+        """
+    )
     return with_h.select(id_col, fp.alias("simhash"))
 
 

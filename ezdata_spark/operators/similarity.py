@@ -29,9 +29,23 @@ def _norm(v):
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
 
 
+def _normalize_sql(vec_name: str) -> str:
+    """L2-normalize expression with the norm evaluated ONCE per row.
+
+    Catalyst does not CSE inside HOF lambdas, so the naive
+    ``transform(v, x -> x / norm(v))`` recomputes the O(dim) norm for
+    every element (O(dim^2) per row, measured ~10x slower). Binding the
+    norm through a 1-element array's lambda variable forces single
+    evaluation: the outer transform runs its lambda exactly once, with
+    ``nrm`` bound to the computed scalar."""
+    return (
+        f"element_at(transform(array(sqrt({_dot_sql(vec_name, vec_name)})),"
+        f" nrm -> transform({vec_name}, x -> x / nrm)), 1)"
+    )
+
+
 def normalize(df: DataFrame, vec: str = "embedding", out: str = "vec_n") -> DataFrame:
-    n = _norm(F.col(vec))
-    return df.withColumn(out, F.transform(F.col(vec), lambda x: x / n))
+    return df.withColumn(out, F.expr(_normalize_sql(vec)))
 
 
 def cosine_topk(
@@ -80,7 +94,14 @@ def _matrix_sql(rows: list[list[float]]) -> str:
 def _sign_bucket(vec_name: str, planes: list[list[float]]):
     """Sign-pattern bucket id: bit i = (v . plane_i) > 0. One F.expr
     parse with the planes as a literal 2-D array — building this
-    Column-by-Column costs thousands of py4j round-trips per table."""
+    Column-by-Column costs thousands of py4j round-trips per table.
+
+    IMPORTANT: pass a RAW (or physically materialized) vector column
+    name. The dot is evaluated once per plane, and Catalyst does not CSE
+    inside HOF lambdas — an inlined normalize() expression would be
+    recomputed ``n_planes`` times per row (measured 6x slowdown). Sign
+    buckets are invariant under positive scaling, so raw vectors give
+    identical buckets."""
     return F.expr(
         f"aggregate(transform({_matrix_sql(planes)},"
         f" (p, i) -> IF({_dot_sql(vec_name, 'p')} > 0, shiftleft(1L, i), 0L)),"
@@ -107,8 +128,11 @@ def cosine_topk_lsh(
     """
     if dim is None:
         dim = len(corpus.select(vec).first()[0])
-    c = normalize(corpus, vec, "cv").select(id_col, "cv")
-    q = normalize(queries, vec, "qv").select(qid_col, "qv")
+    # buckets from RAW vectors (scale-invariant; see _sign_bucket note);
+    # cosine computed once per surviving candidate after the dedup
+    # shuffle has materialized the arrays
+    c = corpus.select(id_col, F.col(vec).alias("cv"))
+    q = queries.select(qid_col, F.col(vec).alias("qv"))
 
     c_b = None
     q_b = None
@@ -124,7 +148,9 @@ def cosine_topk_lsh(
         .select(qid_col, id_col, "cv", "qv")
         .dropDuplicates([qid_col, id_col])
     )
-    scored = cand.withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -159,7 +185,16 @@ def ivf_index(
     km = KMeans(k=n_cells, seed=seed, featuresCol="features")
     model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
-    indexed = n.withColumn("cell", F.element_at(_nearest_cells("v", centroids, 1), 1))
+    # cell assignment from the RAW vector: argmax dot(v/|v|, c) ==
+    # argmax dot(v, c), and the inlined normalize would otherwise be
+    # re-evaluated once per centroid inside the HOF (no lambda CSE);
+    # the normalized "v" itself is evaluated once (single array expr)
+    raw = df.select(id_col, F.col(vec).alias("rawv"))
+    indexed = raw.select(
+        id_col,
+        F.element_at(_nearest_cells("rawv", centroids, 1), 1).alias("cell"),
+        F.expr(_normalize_sql("rawv")).alias("v"),
+    )
     return indexed, centroids
 
 
@@ -189,12 +224,14 @@ def ivf_topk(
     candidates on average). Equi-join on cell id — broadcastable query
     side, partition-prunable corpus side when written partitioned by
     cell."""
-    q = normalize(queries, vec, "qv").select(qid_col, "qv")
+    # probes from RAW query vectors (dot ranking is scale-invariant; an
+    # inlined normalize would be recomputed per centroid in the HOF)
+    q = queries.select(qid_col, F.col(vec).alias("qv"))
     probes = q.select(
         qid_col, "qv", F.explode(_nearest_cells("qv", centroids, nprobe)).alias("cell")
     )
     cand = indexed_corpus.join(F.broadcast(probes), "cell").withColumn(
-        "cosine", _dot(F.col("v"), F.col("qv"))
+        "cosine", _dot(F.col("v"), F.col("qv")) / _norm(F.col("qv"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -217,14 +254,18 @@ def pairwise_near_dup(
     if dim is None:
         dim = len(df.select(vec).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed=7)
-    n = normalize(df, vec, "v").select(id_col, "v")
-    b = n.withColumn("bucket", _sign_bucket("v", planes))
+    # buckets from RAW vectors (scale-invariant); cosine scored once per
+    # candidate pair from raw dots and norms
+    b = df.select(id_col, F.col(vec).alias("v")).withColumn("bucket", _sign_bucket("v", planes))
     a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
     b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (
         a_side.join(b_side, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

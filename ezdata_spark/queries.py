@@ -1115,7 +1115,15 @@ def q52(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    n = normalize(emb, "embedding", "v").select("vec_id", "v")
+    # repartition = shuffle barrier: materializes the normalized arrays
+    # (otherwise the normalize expression is inlined into the post-join
+    # projection and recomputed per PAIR, O(n^2 * dim) extra work) and
+    # spreads the quadratic pair scoring across all cores
+    n = (
+        normalize(emb, "embedding", "v")
+        .select("vec_id", "v")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
