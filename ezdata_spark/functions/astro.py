@@ -293,17 +293,29 @@ _EULER_J2000 = {
     6: (5.20835091708, -0.49357629827, 0.86966656058, 3.97320161703), # Gal -> Ecl
 }
 
+# FK4 / B1950 constant set (same public astrolib table the reference
+# selects with b1950=True, simpletable.py:1259-1284)
+_EULER_B1950 = {
+    1: (0.57595865315, 0.88781538514, 0.46019978478, 4.9261918136),
+    2: (4.9261918136, -0.88781538514, 0.46019978478, 0.57595865315),
+    3: (0.00000000000, 0.39788119938, 0.91743694670, 0.0000000000),
+    4: (0.00000000000, -0.39788119938, 0.91743694670, 0.00000000000),
+    5: (0.11129056012, 0.86766174755, 0.49715499774, 4.7005372834),
+    6: (4.7005372834, -0.86766174755, 0.49715499774, 0.11129056012),
+}
 
-def euler(lon, lat, select: int = 1) -> tuple[Column, Column]:
+
+def euler(lon, lat, select: int = 1, b1950: bool = False) -> tuple[Column, Column]:
     """Rotate (lon, lat) degrees between celestial/galactic/ecliptic
-    frames (mode table above; simpletable.py:1218-1335). Pure builtin
-    trig — codegen'd, no UDF.
+    frames (mode table above; simpletable.py:1218-1335, incl. the
+    ``b1950`` FK4 constant set). Pure builtin trig — codegen'd, no UDF.
 
     Returns (out_lon_deg, out_lat_deg) Columns.
     """
-    if select not in _EULER_J2000:
+    table = _EULER_B1950 if b1950 else _EULER_J2000
+    if select not in table:
         raise ValueError(f"select must be 1..6, got {select}")
-    psi, stheta, ctheta, phi = _EULER_J2000[select]
+    psi, stheta, ctheta, phi = table[select]
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
 

@@ -460,5 +460,22 @@ class EzTable:
     def pprint(self, n: int = 10) -> None:
         self.df.show(n)
 
+    def rows(self):
+        """Iterate rows as dicts (``lines``/``__iter__``,
+        dictdataframe.py:428-445; simpletable.py:2274-2279).
+
+        Driver-side streaming via ``toLocalIterator`` — one partition in
+        memory at a time. A documented anti-pattern at scale: any hot
+        path belongs in a DataFrame op or Arrow-batched UDF instead."""
+        for row in self.df.toLocalIterator():
+            yield row.asDict()
+
+    def to_pandas(self):
+        """Arrow-batched collect of the (small) result to pandas."""
+        return self.df.toPandas()
+
+    def head(self, n: int = 5):
+        return self.df.take(n)
+
     def __repr__(self) -> str:
         return f"EzTable({self.ncols} cols, schema={self.df.schema.simpleString()})"

@@ -101,3 +101,20 @@ def test_audio_features(media):
         assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"])
         assert 0 < r["rms"] < r["peak"]
         assert 0 <= r["zero_crossings"] < r["n_samples"]
+
+
+def test_euler_b1950_roundtrip(spark):
+    df = spark.range(100).select(
+        ((F.col("id") * 11) % 360).cast("double").alias("ra"),
+        ((F.col("id") % 165) - 82).cast("double").alias("dec"),
+    )
+    gl, gb = euler("ra", "dec", select=1, b1950=True)
+    g = df.select("ra", "dec", gl.alias("gl"), gb.alias("gb"))
+    ra2, dec2 = euler("gl", "gb", select=2, b1950=True)
+    back = g.select("ra", "dec", ra2.alias("ra2"), dec2.alias("dec2"))
+    bad = back.filter(
+        (F.least(F.abs(F.col("ra") - F.col("ra2")),
+                 360 - F.abs(F.col("ra") - F.col("ra2"))) > 1e-7)
+        | (F.abs(F.col("dec") - F.col("dec2")) > 1e-7)
+    ).count()
+    assert bad == 0

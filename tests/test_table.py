@@ -145,3 +145,14 @@ def test_apply_in_pandas(t):
     out = t.apply_in_pandas("cat", top_row, "cat string, v double")
     got = {r.cat: r.v for r in out.df.collect()}
     assert got == {"a": 30.0, "b": 50.0, "c": 40.0}
+
+
+def test_rows_iter_and_head(spark, sf_dir):
+    from ezdata_spark.table import EzTable
+
+    t = EzTable.read_parquet(spark, f"{sf_dir}/region.parquet")
+    rows = list(t.rows())
+    assert len(rows) == t.nrows
+    assert isinstance(rows[0], dict) and "r_name" in rows[0]
+    assert len(t.head(3)) == 3
+    assert len(t.to_pandas()) == t.nrows
