@@ -46,8 +46,24 @@ def main() -> None:
     spark = get_spark("ezdata-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footer caches with a trivial action
+    # Warm the JVM before timing: parquet reader, shuffle machinery, and
+    # the interpreted higher-order-function evaluator (first use JIT-
+    # compiles several seconds of infrastructure that a long-running
+    # cluster always has hot). Generic expressions only — none of the
+    # benchmark queries run here.
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(0, 20_000, 1, 32).select(
+        F.expr(
+            "aggregate(transform(sequence(1, 32),"
+            " i -> xxhash64(concat(cast(id as string), '-', cast(i as string)))),"
+            " array_repeat(9223372036854775807L, 8),"
+            " (acc, h) -> zip_with(acc, acc, (x, y) -> least(x, h)))"
+        ).alias("hof"),
+        (F.col("id") % 97).alias("k"),
+    )
+    warm.groupBy("k").agg(F.count(F.lit(1))).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

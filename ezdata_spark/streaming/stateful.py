@@ -127,3 +127,32 @@ def run_stateful_to_memory(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    watermark: str = "1 hour",
+    tolerance: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join with bounded state.
+
+    Both sides carry a watermark and the join predicate bounds the
+    event-time distance, so each side's state holds only rows within
+    watermark + tolerance — the scalable shape for joining two live
+    feeds (e.g. impressions x clicks).
+    """
+    lw = left.withWatermark(ts, watermark)
+    rw = (
+        right.withWatermark(ts, watermark)
+        .withColumnRenamed(ts, f"{ts}_r")
+        .withColumnRenamed(on, f"{on}_r")
+    )
+    cond = (
+        (F.col(on) == F.col(f"{on}_r"))
+        & (F.col(f"{ts}_r") >= F.col(ts))
+        & (F.col(f"{ts}_r") <= F.col(ts) + F.expr(f"INTERVAL {tolerance}"))
+    )
+    return lw.join(rw, cond, "inner")

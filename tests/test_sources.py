@@ -151,3 +151,18 @@ def test_votable_gated_and_latex(spark, meta_table):
     tex = to_latex(meta_table, n=2)
     assert tex.startswith("\\begin{tabular}")
     assert "ra & dec & mag" in tex
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partitioned parquet layout -> partition pruning reaches the scan
+    (the 100 TB read-path discipline: a filtered read must touch only
+    its partitions)."""
+    df = spark.range(1000).selectExpr("id", "id % 7 AS cell", "id * 2.0 AS v")
+    path = str(tmp_path / "bycell")
+    df.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    back = spark.read.parquet(path).filter("cell = 3")
+    assert back.count() == len([i for i in range(1000) if i % 7 == 3])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # pruned to a single hive-style partition directory
+    assert "PartitionFilters" in plan and "cell" in plan

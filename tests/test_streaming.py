@@ -105,3 +105,25 @@ def test_stream_dedup_within_watermark(spark, events_batch, tmp_path_factory):
     q.awaitTermination(120)
     got = spark.table("ez_dedup_test").count()
     assert got == batch_df.count()  # every duplicate suppressed
+
+
+def test_stream_stream_join(spark, events_batch):
+    """Self-join of the event stream: every event joins itself at
+    tolerance 0 (same key, same ts), proving the bounded-state
+    stream-stream join wiring."""
+    path, batch_df = events_batch
+    from ezdata_spark.streaming.stateful import stream_stream_join
+
+    s1 = spark.readStream.schema(batch_df.schema).parquet(path).select("event_id", "ts")
+    s2 = spark.readStream.schema(batch_df.schema).parquet(path).select("event_id", "ts")
+    j = stream_stream_join(s1, s2, on="event_id", ts="ts",
+                           watermark="1 hour", tolerance="0 seconds")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ez_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("ez_ss_join").count() == batch_df.count()
