@@ -4,8 +4,19 @@ Spark DataFrame/SQL stack (Catalyst-optimized, cluster-scale).
 """
 
 from .expr import ExprError, translate
+from .plotting import CornerPlot, Group, PairGrid, Plotter
 from .session import get_spark, tune_existing
 from .table import EzTable
 
-__all__ = ["EzTable", "translate", "ExprError", "get_spark", "tune_existing"]
+__all__ = [
+    "EzTable",
+    "translate",
+    "ExprError",
+    "get_spark",
+    "tune_existing",
+    "Plotter",
+    "Group",
+    "PairGrid",
+    "CornerPlot",
+]
 __version__ = "0.1.0"

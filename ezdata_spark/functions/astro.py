@@ -285,12 +285,12 @@ def crossmatch_cone(
 # astrolib euler constants (public algorithm; same table the reference
 # hardcodes at simpletable.py:1259-1284).
 _EULER_J2000 = {
-    1: (0.57477043300, 0.88998808748, 0.45598377618, 4.9368292465),   # RA/Dec -> Gal
-    2: (4.9368292465, -0.88998808748, 0.45598377618, 0.57477043300),  # Gal -> RA/Dec
-    3: (0.11142137093, 0.97861593277, 0.20587351971, 6.1538928776),   # RA/Dec -> Ecl
-    4: (6.1538928776, -0.97861593277, 0.20587351971, 0.11142137093),  # Ecl -> RA/Dec
-    5: (3.97320161703, 0.49357629827, 0.86966656058, 5.20835091708),  # Ecl -> Gal
-    6: (5.20835091708, -0.49357629827, 0.86966656058, 3.97320161703), # Gal -> Ecl
+    1: (0.57477043300, 0.88998808748, 0.45598377618, 4.9368292465),    # RA/Dec -> Gal
+    2: (4.9368292465, -0.88998808748, 0.45598377618, 0.57477043300),   # Gal -> RA/Dec
+    3: (0.00000000000, 0.39777715593, 0.91748206207, 0.0000000000),    # RA/Dec -> Ecl
+    4: (0.00000000000, -0.39777715593, 0.91748206207, 0.00000000000),  # Ecl -> RA/Dec
+    5: (0.11142137093, 0.86766622025, 0.49714719172, 4.71279419371),   # Ecl -> Gal
+    6: (4.71279419371, -0.86766622025, 0.49714719172, 0.11142137093),  # Gal -> Ecl
 }
 
 # FK4 / B1950 constant set (same public astrolib table the reference
@@ -319,14 +319,17 @@ def euler(lon, lat, select: int = 1, b1950: bool = False) -> tuple[Column, Colum
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
 
+    # astrolib euler formula (simpletable.py:1326-1334):
+    #   b_out = -stheta*cbsa + ctheta*sb
+    #   a_out = atan2(ctheta*cbsa + stheta*sb, cb*cos(a))
     a = F.radians(lon_c) - F.lit(phi)
     b = F.radians(lat_c)
     sb = F.sin(b)
     cb = F.cos(b)
     cbsa = cb * F.sin(a)
-    b_out = F.lit(ctheta) * sb + F.lit(stheta) * cbsa
+    b_out = F.lit(-stheta) * cbsa + F.lit(ctheta) * sb
     b_clamped = F.least(F.greatest(b_out, F.lit(-1.0)), F.lit(1.0))
-    a_out = F.atan2(F.lit(ctheta) * cbsa - F.lit(stheta) * sb, cb * F.cos(a))
+    a_out = F.atan2(F.lit(ctheta) * cbsa + F.lit(stheta) * sb, cb * F.cos(a))
     lon_out = F.pmod(F.degrees(a_out + F.lit(psi)), F.lit(360.0))
     lat_out = F.degrees(F.asin(b_clamped))
     return lon_out.alias("lon_out"), lat_out.alias("lat_out")

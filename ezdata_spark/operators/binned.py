@@ -38,7 +38,10 @@ class BinSpec:
 
     @property
     def width(self) -> float:
-        return (self.hi - self.lo) / self.nbins
+        span = self.hi - self.lo
+        # constant column (lo == hi): any positive width puts every value
+        # in bin 0 instead of NaN bins from a zero division
+        return (span if span > 0 else 1.0) / self.nbins
 
 
 def _bin_id(spec: BinSpec) -> Column:
@@ -61,7 +64,16 @@ def guess_range(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, fl
     for c in cols:
         aggs += [F.min(c).alias(f"{c}__lo"), F.max(c).alias(f"{c}__hi")]
     row = df.agg(*aggs).collect()[0]
-    return {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols}
+    out = {}
+    for c in cols:
+        lo, hi = row[f"{c}__lo"], row[f"{c}__hi"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"column {c!r} has no non-null values to infer a range from; "
+                "pass an explicit range="
+            )
+        out[c] = (lo, hi)
+    return out
 
 
 def _grid(df: DataFrame, specs: Sequence[BinSpec]) -> DataFrame:

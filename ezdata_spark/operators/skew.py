@@ -38,7 +38,18 @@ def salted_join(
     stay reproducible; small rows are replicated once per salt value
     (explode of a literal sequence). The join key becomes (on, salt), so
     one hot key occupies ``salt_n`` shuffle partitions instead of one.
+
+    Only joins that never emit unmatched SMALL-side rows are valid:
+    a right/full outer would surface each unmatched small row once per
+    salt replica (salt_n duplicates), so those types are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            f"unmatched small-side rows {salt_n}x (use AQE skew join or "
+            "broadcast for outer-right semantics)"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n)).cast("int")
     big_s = big.withColumn("__salt", salt)
     small_s = small.withColumn(

@@ -197,13 +197,29 @@ class Plotter:
         (xlo, xhi), (ylo, yhi) = r["__x"], r["__y"]
         sx = (xhi - xlo) / max(gridsize, 1) or 1.0
         sy = (yhi - ylo) / max(gridsize, 1) or 1.0
-        # axial rounding on a pointy-top hex lattice, all in columns
+        # axial coords on a pointy-top lattice, then CUBE ROUNDING — the
+        # correct nearest-hex assignment (independent rounding of q and
+        # r produces a sheared parallelogram tiling, not hexagons): round
+        # all three cube coords, then fix the one with the largest error
+        # so q + y + r == 0 holds.
         xn = (F.col("__x") - F.lit(xlo)) / F.lit(sx)
         yn = (F.col("__y") - F.lit(ylo)) / F.lit(sy)
-        q = xn - yn / F.lit(2.0)
+        qf = xn - yn / F.lit(2.0)
+        rf = yn
+        yf = -qf - rf
+        rq = F.round(qf)
+        rr = F.round(rf)
+        ry = F.round(yf)
+        dq = F.abs(rq - qf)
+        dr = F.abs(rr - rf)
+        dy = F.abs(ry - yf)
+        fix_q = (dq > dr) & (dq > dy)
+        fix_r = (~fix_q) & (dr > dy)
+        q_id = F.when(fix_q, -ry - rr).otherwise(rq).cast("long")
+        r_id = F.when(fix_r, -rq - ry).otherwise(rr).cast("long")
         hexed = (
-            df.withColumn("__q", F.round(q).cast("long"))
-            .withColumn("__r", F.round(yn).cast("long"))
+            df.withColumn("__q", q_id)
+            .withColumn("__r", r_id)
             .groupBy("__q", "__r")
             .agg(F.count(F.lit(1)).alias("count"))
             .withColumn("x", F.lit(xlo) + (F.col("__q") + F.col("__r") / 2.0) * F.lit(sx))
@@ -290,12 +306,18 @@ class Plotter:
 
     def all_against(self, key: str, others: list[str] | None = None, bins: int = 64) -> dict[str, Hist2DResult]:
         """One raster of ``key`` against every other numeric column
-        (Plotter.all_against, plotter.py:992-1057) — all cluster-side."""
+        (Plotter.all_against, plotter.py:992-1057) — all cluster-side.
+
+        All column ranges come from ONE min/max scan shared across
+        panels (not one full scan per panel)."""
         numeric = {"double", "float", "int", "bigint", "smallint", "tinyint"}
         cols = others or [
             n for n, t in self.t.df.dtypes if t in numeric and n != key
         ]
-        return {c: self.hist2d(key, c, bins=bins) for c in cols}
+        ranges = guess_range(self.t.df, [key] + cols)
+        return {
+            c: self.hist2d(key, c, bins=bins, range=(ranges[key], ranges[c])) for c in cols
+        }
 
     def profile(self, xexpr: str, yexpr: str, bins: int = 50, range: tuple | None = None) -> DataFrame:
         """Binned mean/std profile of y vs x — the scalable data feed for
@@ -349,22 +371,31 @@ class Group:
 
 class PairGrid:
     """All-pairs grid (plotter.py:1256-1612): each off-diagonal panel is
-    a raster, each diagonal a histogram — all cluster-side aggregates."""
+    a raster, each diagonal a histogram — all cluster-side aggregates.
+
+    Column ranges are computed ONCE for all keys in a single min/max
+    job and shared across every panel — a k-column grid costs k(k-1)/2
+    aggregations plus one scan, not one scan per panel."""
 
     def __init__(self, data: EzTable | DataFrame, keys: list[str], bins: int = 64):
         self.plotter = Plotter(data)
         self.keys = keys
         self.bins = bins
+        self._ranges = guess_range(self.plotter.t.df, keys)
 
     def map_diag(self) -> dict[str, HistResult]:
-        return {k: self.plotter.hist(k, bins=self.bins) for k in self.keys}
+        return {
+            k: self.plotter.hist(k, bins=self.bins, range=self._ranges[k]) for k in self.keys
+        }
 
     def map_offdiag(self) -> dict[tuple[str, str], Hist2DResult]:
         out = {}
         for i, kx in enumerate(self.keys):
             for j, ky in enumerate(self.keys):
                 if i < j:
-                    out[(kx, ky)] = self.plotter.hist2d(kx, ky, bins=self.bins)
+                    out[(kx, ky)] = self.plotter.hist2d(
+                        kx, ky, bins=self.bins, range=(self._ranges[kx], self._ranges[ky])
+                    )
         return out
 
     map_lower = map_offdiag

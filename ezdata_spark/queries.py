@@ -1240,14 +1240,14 @@ def q55(spark, sf_dir):
                  radians(ra) - 4.9368292465 AS a, radians(dec) AS b
           FROM sky)
     SELECT c_custkey,
-           ROUND(CASE WHEN degrees(atan2(0.45598377618*cos(b)*sin(a) - 0.88998808748*sin(b),
+           ROUND(CASE WHEN degrees(atan2(0.45598377618*cos(b)*sin(a) + 0.88998808748*sin(b),
                                           cos(b)*cos(a)) + 0.57477043300) % 360.0 < 0
-                      THEN degrees(atan2(0.45598377618*cos(b)*sin(a) - 0.88998808748*sin(b),
+                      THEN degrees(atan2(0.45598377618*cos(b)*sin(a) + 0.88998808748*sin(b),
                                           cos(b)*cos(a)) + 0.57477043300) % 360.0 + 360.0
-                      ELSE degrees(atan2(0.45598377618*cos(b)*sin(a) - 0.88998808748*sin(b),
+                      ELSE degrees(atan2(0.45598377618*cos(b)*sin(a) + 0.88998808748*sin(b),
                                           cos(b)*cos(a)) + 0.57477043300) % 360.0 END, 6) AS gl,
            ROUND(degrees(asin(LEAST(GREATEST(
-                 0.45598377618*sin(b) + 0.88998808748*cos(b)*sin(a), -1.0), 1.0))), 6) AS gb
+                 0.45598377618*sin(b) - 0.88998808748*cos(b)*sin(a), -1.0), 1.0))), 6) AS gb
     FROM t
     """,
 )

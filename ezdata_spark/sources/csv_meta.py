@@ -78,7 +78,18 @@ def read_csv(
     lines dropped executor-side).
     """
     first = sorted(glob.glob(path)) if any(c in path for c in "*?[") else [path]
-    with open(first[0], "r", encoding="utf-8", errors="replace") as fh:
+    peek = first[0]
+    if os.path.isdir(peek):
+        # write_csv's default layout: part files + a `_header` sidecar
+        sidecar = os.path.join(peek, "_header")
+        if os.path.exists(sidecar):
+            peek = sidecar
+        else:
+            parts = sorted(glob.glob(os.path.join(peek, "part-*")))
+            if not parts:
+                raise FileNotFoundError(f"no _header or part files under {peek}")
+            peek = parts[0]
+    with open(peek, "r", encoding="utf-8", errors="replace") as fh:
         head = fh.read(header_peek_bytes).splitlines()
     hdr_lines = [ln for ln in head if ln.startswith(HEADER_PREFIX)]
     header, units, desc, aliases, colnames = _parse_header_lines(hdr_lines)

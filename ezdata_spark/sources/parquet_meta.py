@@ -22,15 +22,30 @@ _TABLE_KEY = "ez_table_meta"
 
 def write_parquet(t: EzTable, path: str, mode: str = "overwrite", partition_by=None) -> None:
     df = t.df
+    part_cols = set(partition_by or [])
+    # partition columns leave the data-file schema (they become directory
+    # names and are reconstructed metadata-less on read), so the table-
+    # level key must ride on a NON-partition field — and per-column
+    # metadata of partition columns goes into the table-level blob
+    carrier = next((f.name for f in df.schema.fields if f.name not in part_cols), None)
+    if carrier is None:
+        raise ValueError("cannot partition by every column")
+    part_meta = {
+        c: {"unit": t.unit(c), "description": t.comment(c)}
+        for c in part_cols
+        if t.unit(c) or t.comment(c)
+    }
     fields = []
-    for i, f in enumerate(df.schema.fields):
+    for f in df.schema.fields:
         md = dict(f.metadata or {})
         if t.unit(f.name):
             md["unit"] = t.unit(f.name)
         if t.comment(f.name):
             md["description"] = t.comment(f.name)
-        if i == 0:
-            md[_TABLE_KEY] = json.dumps({"header": t.header, "aliases": t._aliases})
+        if f.name == carrier:
+            md[_TABLE_KEY] = json.dumps(
+                {"header": t.header, "aliases": t._aliases, "part_meta": part_meta}
+            )
         fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
     # attach metadata without an RDD round-trip: per-column withMetadata
     out = df
@@ -58,4 +73,9 @@ def read_parquet(spark: SparkSession, path: str) -> EzTable:
             tm = json.loads(md[_TABLE_KEY])
             header = tm.get("header", {})
             aliases = tm.get("aliases", {})
+            for c, m in tm.get("part_meta", {}).items():
+                if m.get("unit"):
+                    units[c] = m["unit"]
+                if m.get("description"):
+                    desc[c] = m["description"]
     return EzTable(df, header=header, units=units, desc=desc, aliases=aliases)

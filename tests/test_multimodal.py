@@ -118,3 +118,29 @@ def test_euler_b1950_roundtrip(spark):
         | (F.abs(F.col("dec") - F.col("dec2")) > 1e-7)
     ).count()
     assert bad == 0
+
+
+def test_euler_ground_truth(spark):
+    """Absolute anchors (roundtrips alone are blind to self-consistent
+    sign errors): NGP maps to b=+90; the J2000 ecliptic pole RA=270,
+    Dec=66.56 maps to ecliptic lat=+90; equinox stays at lat 0."""
+    df = spark.createDataFrame(
+        [(1, 192.85948, 27.12825),   # North Galactic Pole (J2000)
+         (2, 270.0, 66.5607),        # ~north ecliptic pole
+         (3, 0.0, 0.0)],             # vernal equinox
+        "pid long, lon double, lat double",
+    )
+    gl, gb = euler("lon", "lat", select=1)
+    el, eb = euler("lon", "lat", select=3)
+    rows = {r.pid: r for r in df.select(
+        "pid", gl.alias("gl"), gb.alias("gb"), el.alias("el"), eb.alias("eb")
+    ).collect()}
+    assert rows[1].gb == pytest.approx(90.0, abs=1e-3)       # NGP -> b=90
+    assert rows[2].eb == pytest.approx(90.0, abs=1e-2)       # ecl pole -> beta=90
+    assert rows[3].eb == pytest.approx(0.0, abs=1e-9)        # equinox on ecliptic
+    assert rows[3].el == pytest.approx(0.0, abs=1e-9)
+    # galactic center (Sgr A* region): l ~ 359.94, b ~ -0.05
+    gc = spark.createDataFrame([(266.405, -28.936)], "lon double, lat double")
+    g = gc.select(gl.alias("gl"), gb.alias("gb")).collect()[0]
+    assert g.gb == pytest.approx(0.0, abs=0.1)
+    assert min(g.gl, 360 - g.gl) == pytest.approx(0.0, abs=0.1)

@@ -174,3 +174,48 @@ def test_profile_feed(lineitem):
     assert len(rows) == 10  # densified: every bin present
     total = sum(r["n"] for r in rows)
     assert total == lineitem.df.count()
+
+
+def test_hist_empty_column_clear_error(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    with pytest.raises(ValueError, match="no non-null values"):
+        Plotter(EzTable(df)).hist("x")
+
+
+def test_hist_constant_column(spark):
+    df = spark.createDataFrame([(5.0,)] * 7, "x double")
+    h = Plotter(EzTable(df)).hist("x", bins=4)
+    assert h.counts.sum() == 7
+
+
+def test_hexbin_is_nearest_center(spark):
+    """Cube rounding: every point must land in the hex whose center is
+    nearest in the axial metric (sheared-lattice rounding fails this)."""
+    import itertools
+
+    rows = [(float(x) / 7, float(y) / 7) for x, y in itertools.product(range(70), range(70))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    hexed = Plotter(EzTable(df)).hexbin("x", "y", gridsize=10).collect()
+    assert sum(r["count"] for r in hexed) == len(rows)
+    # axial-distance check on a sample of assigned centers
+    sx = sy = 10.0 / 10  # range/gridsize
+    import numpy as np
+
+    centers = [(r["x"], r["y"]) for r in hexed]
+
+    def axial(px, py):
+        return (px / sx - (py / sy) / 2.0, py / sy)
+
+    carr = np.array([axial(cx, cy) for cx, cy in centers])
+    for px, py in rows[::500]:
+        pq, pr = axial(px, py)
+        # hex distance in axial coords
+        dq = carr[:, 0] - pq
+        dr = carr[:, 1] - pr
+        hexdist = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) / 2
+        # the point's own bucket must be among the nearest centers
+        own = min(
+            range(len(centers)),
+            key=lambda i: hexdist[i],
+        )
+        assert hexdist[own] <= hexdist.min() + 1e-9

@@ -166,3 +166,35 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     # pruned to a single hive-style partition directory
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_parquet_meta_partitioned_by_first_column(spark, tmp_path):
+    """Table-level metadata must survive partitioning by the first
+    schema column (the metadata carrier skips partition columns)."""
+    t = from_dict(
+        spark,
+        {"cell": [1, 1, 2], "flux": [0.1, 0.2, 0.3]},
+        header={"NAME": "survey"},
+        units={"cell": "healpix", "flux": "mJy"},
+        aliases={"f": "flux"},
+    )
+    path = str(tmp_path / "bycell.parquet")
+    write_parquet(t, path, partition_by=["cell"])
+    back = read_parquet(spark, path)
+    assert back.header == {"NAME": "survey"}
+    assert back._aliases == {"f": "flux"}
+    assert back.unit("flux") == "mJy"
+    assert back.unit("cell") == "healpix"  # partition column meta restored
+    assert back.df.count() == 3
+
+
+def test_csv_meta_directory_roundtrip(spark, meta_table, tmp_path):
+    """Default (scalable) layout: part files + _header sidecar must
+    round-trip through read_csv."""
+    path = str(tmp_path / "parts_rt")
+    write_csv(meta_table, path, single_file=False)
+    back = read_csv(spark, path)
+    assert back.df.count() == 3
+    assert back.unit("ra") == "deg"
+    assert back.header.get("SURVEY") == "demo"
+    assert set(back.colnames) == {"ra", "dec", "mag"}
