@@ -3,6 +3,7 @@ data-processing capabilities of mfouesneau/ezdata, re-expressed on the
 Spark DataFrame/SQL stack (Catalyst-optimized, cluster-scale).
 """
 
+from .astrotable import AstroTable
 from .expr import ExprError, translate
 from .plotting import CornerPlot, Group, PairGrid, Plotter
 from .session import get_spark, tune_existing
@@ -10,6 +11,7 @@ from .table import EzTable
 
 __all__ = [
     "EzTable",
+    "AstroTable",
     "translate",
     "ExprError",
     "get_spark",

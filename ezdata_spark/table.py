@@ -460,6 +460,14 @@ class EzTable:
     def pprint(self, n: int = 10) -> None:
         self.df.show(n)
 
+    @property
+    def Plotter(self):
+        """Plot surface over this table (t.Plotter.hist(...); reference
+        property at simpletable.py:2153-2160)."""
+        from .plotting import Plotter as _Plotter
+
+        return _Plotter(self)
+
     def rows(self):
         """Iterate rows as dicts (``lines``/``__iter__``,
         dictdataframe.py:428-445; simpletable.py:2274-2279).

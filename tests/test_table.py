@@ -156,3 +156,43 @@ def test_rows_iter_and_head(spark, sf_dir):
     assert isinstance(rows[0], dict) and "r_name" in rows[0]
     assert len(t.head(3)) == 3
     assert len(t.to_pandas()) == t.nrows
+
+
+def test_astrotable_surface(spark):
+    from ezdata_spark import AstroTable
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 360).cast("double").alias("ra"),
+        ((F.col("id") % 173) - 86).cast("double").alias("dec"),
+        (F.col("id") % 20).cast("double").alias("mag"),
+    )
+    t = AstroTable(df)
+    assert t.ra_name == "ra" and t.dec_name == "dec"
+
+    cone = t.coneSearch(180.0, 0.0, 10.0)
+    assert "separation" in cone.colnames
+    assert cone.df.filter(F.col("separation") > 10.0).count() == 0
+
+    zone = t.zoneSearch(10, 20, -5, 5)
+    assert zone.df.filter(
+        (F.col("ra") < 10) | (F.col("ra") > 20) | (F.abs(F.col("dec")) > 5)
+    ).count() == 0
+
+    combo = t.selectWhere("id mag", "mag > 5", cone=(180.0, 0.0, 30.0))
+    assert set(combo.colnames) == {"id", "mag", "separation"}
+    assert combo.df.filter(F.col("mag") <= 5).count() == 0
+
+    # guessed alternate names + metadata survival through the verbs
+    t2 = AstroTable(df.withColumnRenamed("ra", "RAJ2000").withColumnRenamed("dec", "DEJ2000"))
+    assert t2.ra_name == "RAJ2000" and t2.dec_name == "DEJ2000"
+    assert isinstance(t2.coneSearch(0, 0, 5), AstroTable)
+
+
+def test_eztable_plotter_property(spark, sf_dir):
+    from ezdata_spark.table import EzTable
+
+    t = EzTable.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    h = t.Plotter.hist("l_quantity", bins=5, range=(0.0, 51.0))
+    assert h.counts.sum() == t.nrows
