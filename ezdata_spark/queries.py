@@ -1446,3 +1446,38 @@ def q64(spark, sf_dir):
         .withColumnRenamed("o_orderkey", "l_orderkey")
     )
     return salted_join(li, orders, on="l_orderkey", salt_n=16)
+
+
+@query(
+    "q65_astro_combined_where",
+    oracle="""
+    WITH sky AS (
+      SELECT c_custkey, c_acctbal,
+             (c_custkey * 37) % 360 AS ra, (c_custkey % 173) - 86 AS dec
+      FROM customer),
+    coned AS (
+      SELECT *, 2*degrees(asin(sqrt(
+               pow(sin(radians(dec - 0.0)/2),2) +
+               cos(radians(0.0))*cos(radians(dec))*pow(sin(radians(ra - 180.0)/2),2)
+             ))) AS separation
+      FROM sky
+      WHERE dec >= -40.0 AND dec <= 40.0)
+    SELECT c_custkey, c_acctbal, ROUND(separation, 6) AS separation
+    FROM coned
+    WHERE separation <= 40.0
+      AND ra >= 140.0 AND ra <= 220.0 AND dec >= -30.0 AND dec <= 30.0
+      AND c_acctbal > 0
+    """,
+)
+def q65(spark, sf_dir):
+    """AstroTable combined where (simpletable.py:3139-3224): expr AND
+    cone AND zone composed; separation column added by the cone leg."""
+    from .astrotable import AstroTable
+
+    sky = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "c_acctbal",
+        "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec",
+    )
+    t = AstroTable(sky)
+    out = t.where("c_acctbal > 0", cone=(180.0, 0.0, 40.0), zone=(140.0, 220.0, -30.0, 30.0))
+    return out.df.select("c_custkey", "c_acctbal", F.round("separation", 6).alias("separation"))
