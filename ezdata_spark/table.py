@@ -146,11 +146,18 @@ class EzTable:
             ensure_numpy_fallbacks(self.spark, res.fallback_fns)
         return res.sql
 
-    def evalexpr(self, expr: str, exprvars: dict | None = None, name: str = "expr") -> "EzTable":
+    def evalexpr(
+        self, expr: str, exprvars: dict | None = None, name: str = "expr", dtype: str | None = None
+    ) -> "EzTable":
         """Evaluate a numpy-dialect expression into a new column named
-        ``name`` (reference returns a bare ndarray; we keep it columnar)."""
+        ``name`` (reference returns a bare ndarray; we keep it columnar).
+        ``dtype``: optional Spark type name to cast the result to — the
+        reference's ``evalexpr(..., dtype=)`` (simpletable.py:2710)."""
         sql = self._translate(expr, exprvars)
-        return self._clone(self.df.withColumn(name, F.expr(sql)))
+        col = F.expr(sql)
+        if dtype is not None:
+            col = col.cast(dtype)
+        return self._clone(self.df.withColumn(name, col))
 
     def expr_column(self, expr: str, exprvars: dict | None = None) -> Column:
         return F.expr(self._translate(expr, exprvars))

@@ -198,3 +198,35 @@ def test_csv_meta_directory_roundtrip(spark, meta_table, tmp_path):
     assert back.unit("ra") == "deg"
     assert back.header.get("SURVEY") == "demo"
     assert set(back.colnames) == {"ra", "dec", "mag"}
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key must join with NO Exchange
+    in the physical plan (the co-located-join discipline for
+    large-large joins at scale)."""
+    from ezdata_spark.sources.bucketed import is_shuffle_free_join, write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "ez_li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ez_ord_bucketed",
+        "l_orderkey",
+        n_buckets=8,
+    )
+    a = spark.table("ez_li_bucketed")
+    b = spark.table("ez_ord_bucketed")
+    # disable broadcast so the plan must pick a shuffle-or-colocated join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "l_orderkey")
+        assert is_shuffle_free_join(joined)
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ez_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ez_ord_bucketed")

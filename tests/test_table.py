@@ -196,3 +196,11 @@ def test_eztable_plotter_property(spark, sf_dir):
     t = EzTable.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     h = t.Plotter.hist("l_quantity", bins=5, range=(0.0, 51.0))
     assert h.counts.sum() == t.nrows
+
+
+def test_evalexpr_dtype(spark, sf_dir):
+    from ezdata_spark.table import EzTable
+
+    t = EzTable.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    out = t.evalexpr("l_quantity * 2", name="q2", dtype="int")
+    assert dict(out.df.dtypes)["q2"] == "int"
