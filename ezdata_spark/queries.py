@@ -1481,3 +1481,121 @@ def q65(spark, sf_dir):
     t = AstroTable(sky)
     out = t.where("c_acctbal > 0", cone=(180.0, 0.0, 40.0), zone=(140.0, 220.0, -30.0, 30.0))
     return out.df.select("c_custkey", "c_acctbal", F.round("separation", 6).alias("separation"))
+
+
+# =====================================================================
+# extension surface breadth: range windows, string/date/array functions
+# (SURVEY.md §2.6 frame semantics, §2.9 "extension surface" claims —
+# each proven against the DuckDB oracle)
+# =====================================================================
+
+@query(
+    "q66_range_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS near_sum
+    FROM orders
+    """,
+)
+def q66(spark, sf_dir):
+    """RANGE-frame window (value-based frame, not row-based): sum of
+    orders within 10000 below the current price per customer."""
+    from pyspark.sql import Window
+
+    df = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return df.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"), 4
+        ).alias("near_sum"),
+    )
+
+
+@query(
+    "q67_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           LENGTH(c_name) AS nlen,
+           SUBSTRING(c_mktsegment, 1, 3) AS seg3,
+           CASE WHEN POSITION('1' IN c_name) > 0 THEN 1 ELSE 0 END AS has_one,
+           CONCAT(c_mktsegment, '/', c_name) AS tag,
+           REPLACE(LOWER(c_mktsegment), 'a', '_') AS subbed,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           string_split(c_name, '#')[1] AS name_head
+    FROM customer
+    """,
+)
+def q67(spark, sf_dir):
+    """String-function extension surface (upper/length/substring/instr/
+    concat/replace/lpad/split — all JVM builtins)."""
+    df = load(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").alias("nlen"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.when(F.instr("c_name", "1") > 0, 1).otherwise(0).alias("has_one"),
+        F.concat_ws("/", "c_mktsegment", "c_name").alias("tag"),
+        F.replace(F.lower("c_mktsegment"), F.lit("a"), F.lit("_")).alias("subbed"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.split("c_name", "#").getItem(0).alias("name_head"),
+    )
+
+
+@query(
+    "q68_date_funcs",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           EXTRACT(dow FROM o_orderdate) AS dow_sample_max,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q68(spark, sf_dir):
+    """Date-function extension surface: month truncation + day-of-week
+    grouping (DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1)."""
+    df = load(spark, sf_dir, "orders")
+    return (
+        df.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow_sample_max"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q69_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vmax,
+           ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS vmin,
+           len(embedding) AS dim,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vsum
+    FROM embeddings
+    """,
+)
+def q69(spark, sf_dir):
+    """Array-function extension surface over the embedding column
+    (array_max/min/size + aggregate-sum, all JVM HOFs)."""
+    df = load(spark, sf_dir, "embeddings").withColumn(
+        "e", F.col("embedding").cast("array<double>")
+    )
+    return df.select(
+        "vec_id",
+        F.round(F.array_max("e"), 6).alias("vmax"),
+        F.round(F.array_min("e"), 6).alias("vmin"),
+        F.size("e").alias("dim"),
+        F.round(
+            F.aggregate("e", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("vsum"),
+    )
