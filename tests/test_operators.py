@@ -259,3 +259,23 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     for k in ref:
         assert got[k][1] == ref[k][1]
         assert abs(got[k][0] - ref[k][0]) < 1e-6
+
+
+def test_bpe_ish_token_count(spark):
+    from ezdata_spark.operators.textstats import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame(
+        [(1, "Hello world"), (2, "don't split-this badly!"), (3, "CamelCaseWords x2")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.bpe, r.ws)
+        for r in df.select(
+            "doc_id",
+            bpe_ish_token_count("text").alias("bpe"),
+            token_count("text").alias("ws"),
+        ).collect()
+    }
+    for doc_id, (bpe, ws) in rows.items():
+        assert bpe >= ws  # word pieces at least as granular as words
+    assert rows[3][0] >= 4  # CamelCase splits on capitals: Camel/Case/Words + x + 2
