@@ -262,13 +262,24 @@ def crossmatch_cone(
     zone_h = max(radius_deg, 1e-6)
     nz = F.lit(zone_h)
 
+    # disambiguate colliding column names up front (both sides commonly
+    # use ra/dec): collided right columns get an _r suffix in the output
+    rt = right
+    renamed = {}
+    for c in right.columns:
+        if c in left.columns:
+            rt = rt.withColumnRenamed(c, c + "_r")
+            renamed[c] = c + "_r"
+    ra_r_eff = renamed.get(ra_r, ra_r)
+    dec_r_eff = renamed.get(dec_r, dec_r)
+
     zl = F.floor((F.col(dec_l) + 90.0) / nz).cast("long")
-    zr = F.floor((F.col(dec_r) + 90.0) / nz).cast("long")
+    zr = F.floor((F.col(dec_r_eff) + 90.0) / nz).cast("long")
 
     lt = left.withColumn("__zone", F.explode(F.array(zl - 1, zl, zl + 1)))
-    rt = right.withColumn("__zone", zr)
+    rt = rt.withColumn("__zone", zr)
 
-    sep = sphdist(F.col(ra_l), F.col(dec_l), F.col(ra_r), F.col(dec_r))
+    sep = sphdist(F.col(ra_l), F.col(dec_l), F.col(ra_r_eff), F.col(dec_r_eff))
     out = (
         lt.join(rt, on="__zone", how="inner")
         .withColumn("separation", sep)
