@@ -323,20 +323,29 @@ class _Emitter(ast.NodeVisitor):
             raise ExprError("only np.<fn> attribute calls are supported")
         raise ExprError("unsupported call target")
 
+    # exact arities for the special-cased calls; checked before indexing
+    _SPECIAL_ARITY = {
+        "where": 3, "clip": 3, "square": 1, "exp2": 1, "trunc": 1,
+        "isfinite": 1, "isinf": 1, "sinc": 1, "logical_and": 2,
+        "logical_or": 2, "logical_not": 1, "floor_divide": 2,
+        "true_divide": 2, "divide": 2, "multiply": 2, "add": 2,
+        "subtract": 2, "negative": 1,
+    }
+
     def visit_Call(self, node: ast.Call) -> str:
         if node.keywords:
             raise ExprError("keyword arguments are not supported in expressions")
         name = self._fn_name(node.func)
         args = [self.emit(a) for a in node.args]
 
+        want = self._SPECIAL_ARITY.get(name)
+        if want is not None and len(args) != want:
+            raise ExprError(f"{name}() takes {want} argument(s), got {len(args)}")
+
         # special cases ------------------------------------------------
         if name == "where":
-            if len(args) != 3:
-                raise ExprError("where(cond, a, b) takes 3 arguments")
             return f"IF({args[0]}, {args[1]}, {args[2]})"
         if name == "clip":
-            if len(args) != 3:
-                raise ExprError("clip(x, lo, hi) takes 3 arguments")
             return f"least(greatest({args[0]}, {args[1]}), {args[2]})"
         if name == "square":
             return f"({args[0]} * {args[0]})"

@@ -14,20 +14,23 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
-_REGISTERED: dict[int, set[str]] = {}
-
-
 def ensure_numpy_fallbacks(spark: SparkSession, names: set[str]) -> None:
-    """Register ``ez_np_<name>`` pandas_udfs for each numpy function name."""
-    key = id(spark)
-    done = _REGISTERED.setdefault(key, set())
+    """Register ``ez_np_<name>`` pandas_udfs for each numpy function name.
+
+    The done-set rides on the session object itself (NOT a dict keyed by
+    ``id(spark)``, which a later session can collide with after GC), and
+    a name is marked done only after successful registration.
+    """
+    done: set[str] = getattr(spark, "_ez_np_registered", None)
+    if done is None:
+        done = set()
+        spark._ez_np_registered = done  # type: ignore[attr-defined]
     for name in names:
         if name in done:
             continue
         fn = getattr(np, name, None)
         if fn is None or not callable(fn):
             raise ValueError(f"numpy has no callable {name!r}")
-        done.add(name)
 
         def _make(f):
             def _apply(*cols):
@@ -39,3 +42,4 @@ def ensure_numpy_fallbacks(spark: SparkSession, names: set[str]) -> None:
             return _apply
 
         spark.udf.register(f"ez_np_{name}", pandas_udf(_make(fn), "double"))
+        done.add(name)

@@ -124,8 +124,16 @@ def binned_agg(
         grid = _grid(df, specs)
         keys = [f"{s.col}__bin" for s in specs]
         # the agg result is at most prod(nbins) rows -> broadcast side of
-        # the densification join; grid is generated, also tiny
-        agged = grid.join(agged, on=keys, how="left")
+        # the densification join; grid is generated, also tiny.
+        # NULL-SAFE equality: a categorical dim may contain null as a
+        # real category, and a plain equi-join would drop its counts
+        a = agged
+        for k in keys:
+            a = a.withColumnRenamed(k, k + "__r")
+        cond = reduce(
+            lambda x, y: x & y, [grid[k].eqNullSafe(a[k + "__r"]) for k in keys]
+        )
+        agged = grid.join(a, cond, "left").drop(*[k + "__r" for k in keys])
         fills = fill or {}
         for n in aggs:
             agged = agged.withColumn(n, F.coalesce(F.col(n), F.lit(fills.get(n, 0))))

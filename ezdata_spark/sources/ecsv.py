@@ -143,12 +143,16 @@ def write_ecsv(t: EzTable, path: str, **meta) -> None:
 
     yaml_text = yaml.safe_dump(spec, sort_keys=False, default_flow_style=False)
     rows = df.toPandas()
+    import csv as _csv
+
     with open(path, "w", encoding="utf-8") as out:
         out.write("# %ECSV 1.0\n")
         out.write("# ---\n")
         for line in yaml_text.splitlines():
             out.write(f"# {line}\n")
-        rows.to_csv(out, index=False, lineterminator="\n")
+        # quote non-numeric fields: an unquoted string value starting
+        # with '#' would be eaten by the reader's comment option
+        rows.to_csv(out, index=False, lineterminator="\n", quoting=_csv.QUOTE_NONNUMERIC)
 
 
 def json_array_column(df, col: str, element_type: str = "float") -> "F.Column":

@@ -81,14 +81,30 @@ class EzTable:
         desc = {k: v for k, v in self._desc.items() if k in kept}
         # orphan-alias cleanup (simpletable.py:1981-1984)
         aliases = {a: t for a, t in self._aliases.items() if self._alias_root(t, kept)}
-        return EzTable(df, self.header, units, desc, aliases, self.caseless)
+        out = EzTable(df, self.header, units, desc, aliases, self.caseless)
+        if getattr(self, "_small_dim", False):
+            out._small_dim = True  # broadcast hint survives intervening ops
+        return out
 
-    @staticmethod
-    def _alias_root(target: str, kept: set) -> bool:
-        # an alias survives if every bare name it references survives
-        return all(tok in kept for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", target) if tok in kept) and any(
-            tok in kept for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", target)
-        )
+    def _alias_root(self, target: str, kept: set) -> bool:
+        """An alias survives a projection iff every identifier its target
+        references still resolves — to a kept column, another alias, a
+        known function, or a constant (reference orphan-alias cleanup,
+        simpletable.py:1981-1984, extended to expression targets)."""
+        from .expr import _CONSTANTS, _FN_MAP
+
+        for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", target):
+            if (
+                tok in kept
+                or tok in self._aliases
+                or tok in _FN_MAP
+                or tok in _CONSTANTS
+                or tok in ("np", "numpy", "where", "clip", "square", "exp2", "trunc",
+                           "isfinite", "isinf", "sinc")
+            ):
+                continue
+            return False
+        return True
 
     # ------------------------------------------------------------------
     # metadata surface (simpletable.py:1965-2053)
@@ -167,7 +183,11 @@ class EzTable:
     # ------------------------------------------------------------------
     def keys(self, regexp: str | None = None, full_match: bool = False) -> list[str]:
         """Column names matching comma/space-separated regex patterns,
-        alias names included (simpletable.py:2055-2109)."""
+        alias names included (simpletable.py:2055-2109).
+
+        Reference semantics: default = ``re.match`` (anchored at the
+        start only — pattern 'ra' also matches 'radius');
+        ``full_match=True`` = ``re.fullmatch``."""
         if regexp is None or regexp == "*":
             return self.colnames
         names = list(self.df.columns) + list(self._aliases)
@@ -175,12 +195,10 @@ class EzTable:
         for pattern in re.split(r"[,\s]+", regexp.strip()):
             if not pattern:
                 continue
-            pat = pattern if full_match else pattern + r"\Z"
-            if not pat.startswith("^"):
-                pat = r"\A" + pat
-            matcher = re.compile(pat)
+            matcher = re.compile(pattern)
+            hit = matcher.fullmatch if full_match else matcher.match
             for n in names:
-                if matcher.match(n) and n not in out:
+                if hit(n) and n not in out:
                     out.append(n)
         return out
 
@@ -199,9 +217,7 @@ class EzTable:
         for n in names:
             if n in self.df.columns:
                 cols.append(F.col(n))
-            elif n in self._aliases:
-                cols.append(F.expr(self._translate(n)).alias(n))
-            else:
+            else:  # alias or expression: translate and name the result
                 cols.append(F.expr(self._translate(n)).alias(n))
         return cols
 
@@ -277,13 +293,17 @@ class EzTable:
         df = self.df
         out_units = dict(self._units)
         out_desc = dict(self._desc)
+        out_aliases = dict(self._aliases)
         for old, new in mapping.items():
             df = df.withColumnRenamed(old, new)
             if old in out_units:
                 out_units[new] = out_units.pop(old)
             if old in out_desc:
                 out_desc[new] = out_desc.pop(old)
-        out = EzTable(df, self.header, out_units, out_desc, dict(self._aliases), self.caseless)
+            # alias targets referencing the renamed column follow it
+            pat = re.compile(rf"\b{re.escape(old)}\b")
+            out_aliases = {a: pat.sub(new, t) for a, t in out_aliases.items()}
+        out = EzTable(df, self.header, out_units, out_desc, out_aliases, self.caseless)
         return out
 
     def remove_columns(self, names) -> "EzTable":
@@ -349,41 +369,47 @@ class EzTable:
         hint for known-small dims.
         """
         odf = other.df if isinstance(other, EzTable) else other
+        ro = [right_on] if isinstance(right_on, str) else list(right_on or [])
         if columns_other is not None:
             keep = list(columns_other)
-            keys = [right_on] if isinstance(right_on, str) else list(right_on or [])
-            if on is not None and isinstance(on, str):
-                keys.append(on)
+            keys = list(ro)
+            if on is not None and not isinstance(on, Column):
+                keys += [on] if isinstance(on, str) else list(on)
             for k in keys:
                 if k and k not in keep:
                     keep.append(k)
             odf = odf.select(*keep)
 
-        # suffix collided non-key columns (simpletable.py:2484-2488)
+        # suffix collided non-key columns (simpletable.py:2484-2488);
+        # a right_on key colliding with a left column is renamed too, and
+        # the join condition below uses the renamed name
         join_keys: list[str] = []
         if on is not None and not isinstance(on, Column):
             join_keys = [on] if isinstance(on, str) else list(on)
         collisions = (set(self.df.columns) & set(odf.columns)) - set(join_keys)
         ldf = self.df
+        right_renames: dict[str, str] = {}
         for c in collisions:
-            if lsuffix:
+            if lsuffix and c not in ro:
                 ldf = ldf.withColumnRenamed(c, c + lsuffix)
             odf = odf.withColumnRenamed(c, c + rsuffix)
+            right_renames[c] = c + rsuffix
 
-        if broadcast_other is None:
-            broadcast_other = how in ("left", "inner", "left_semi", "left_anti")
-        # Spark's autoBroadcastJoinThreshold normally decides; the explicit
-        # hint is applied when the caller knows the dim is small, or left to
-        # AQE otherwise. We only hint when explicitly asked:
-        if broadcast_other is True and isinstance(other, EzTable) and getattr(other, "_small_dim", False):
+        # explicit broadcast_other=True always forces the hint; None (the
+        # default) hints only tables flagged small via hint_small(),
+        # otherwise Catalyst/AQE decide from statistics
+        if broadcast_other is True or (
+            broadcast_other is None
+            and isinstance(other, EzTable)
+            and getattr(other, "_small_dim", False)
+        ):
             odf = F.broadcast(odf)
 
         if on is None and (left_on or right_on):
             lo = [left_on] if isinstance(left_on, str) else list(left_on or [])
-            ro = [right_on] if isinstance(right_on, str) else list(right_on or [])
             cond = None
             for a, b in zip(lo, ro):
-                c = ldf[a] == odf[b]
+                c = ldf[a] == odf[right_renames.get(b, b)]
                 cond = c if cond is None else (cond & c)
             joined = ldf.join(odf, cond, how)
         else:

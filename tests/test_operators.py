@@ -279,3 +279,17 @@ def test_bpe_ish_token_count(spark):
     for doc_id, (bpe, ws) in rows.items():
         assert bpe >= ws  # word pieces at least as granular as words
     assert rows[3][0] >= 4  # CamelCase splits on capitals: Camel/Case/Words + x + 2
+
+
+def test_densify_null_category(spark):
+    """A null category is a real bin: densify must not zero its count
+    (null-safe grid join)."""
+    from ezdata_spark.operators.binned import BinSpec, binned_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a",), (None,), (None,)], "cat string")
+    out = binned_agg(
+        df, [BinSpec("cat", categorical=True)], {"n": F.count(F.lit(1))}, densify=True
+    )
+    got = {r["cat__bin"]: r["n"] for r in out.collect()}
+    assert got == {"a": 1, None: 2}

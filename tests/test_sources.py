@@ -230,3 +230,14 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ez_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ez_ord_bucketed")
+
+
+def test_ecsv_hash_prefixed_value(spark, tmp_path):
+    """String values starting with '#' must survive the round-trip
+    (quoted on write so the comment option cannot eat them)."""
+    df = spark.createDataFrame([("#note", 1), ("plain", 2)], "tag string, v long")
+    path = str(tmp_path / "hash.ecsv")
+    write_ecsv(EzTable(df), path)
+    back = read_ecsv(spark, path)
+    assert back.df.count() == 2
+    assert {r["tag"] for r in back.df.collect()} == {"#note", "plain"}

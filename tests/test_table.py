@@ -204,3 +204,69 @@ def test_evalexpr_dtype(spark, sf_dir):
     t = EzTable.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     out = t.evalexpr("l_quantity * 2", name="q2", dtype="int")
     assert dict(out.df.dtypes)["q2"] == "int"
+
+
+def test_keys_reference_semantics(spark):
+    """Default = re.match (prefix: 'ra' also matches 'radius');
+    full_match=True = re.fullmatch (simpletable.py:2055-2109)."""
+    from ezdata_spark.table import EzTable
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "ra double, radius double, dec double")
+    t = EzTable(df)
+    assert t.keys("ra") == ["ra", "radius"]
+    assert t.keys("ra", full_match=True) == ["ra"]
+
+
+def test_join_same_key_left_right_on(spark):
+    from ezdata_spark.table import EzTable
+
+    l = EzTable(spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string"))
+    r = EzTable(spark.createDataFrame([(1, "A")], "id long, y string"))
+    out = l.join(r, left_on="id", right_on="id", how="left").df
+    assert out.count() == 2
+    assert "id_r" in out.columns  # collided key suffixed, join still on it
+
+
+def test_join_list_on_columns_other(spark):
+    from ezdata_spark.table import EzTable
+
+    l = EzTable(spark.createDataFrame([(1, 2, "a")], "k1 long, k2 long, x string"))
+    r = EzTable(spark.createDataFrame([(1, 2, "keep", "drop")], "k1 long, k2 long, v string, w string"))
+    out = l.join(r, on=["k1", "k2"], columns_other=["v"]).df
+    assert set(out.columns) == {"k1", "k2", "x", "v"}
+    assert out.count() == 1
+
+
+def test_broadcast_other_forced(spark):
+    from ezdata_spark.table import EzTable
+
+    l = EzTable(spark.range(1000).selectExpr("id AS k", "id * 2 AS a"))
+    r = EzTable(spark.range(10).selectExpr("id AS k", "id AS b"))
+    out = l.join(r, on="k", broadcast_other=True).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_alias_pruning_and_survival(spark):
+    from ezdata_spark.table import EzTable
+
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    t = EzTable(df).set_alias("s", "a + b").set_alias("two", "2 * pi")
+    # dropping b prunes the broken alias, keeps the constant one
+    t2 = t.remove_columns("b")
+    assert "s" not in t2._aliases
+    assert "two" in t2._aliases
+    # renaming rewrites alias targets
+    t3 = t.rename_columns({"a": "x"})
+    assert t3._aliases["s"] == "x + b"
+    assert t3.where("s > 0").df.count() == 1
+
+
+def test_expr_arity_errors(spark):
+    import pytest as _pytest
+
+    from ezdata_spark.expr import ExprError, translate
+
+    for bad in ("square()", "logical_and(x)", "clip(x)"):
+        with _pytest.raises(ExprError):
+            translate(bad, ["x"])
