@@ -73,13 +73,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_raw = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_raw)
+    except ValueError:
+        sf = None  # non-standard dir name: still emit the JSON line
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf else None,
+        "sf": sf,
     }
     print(json.dumps(out))
     spark.stop()

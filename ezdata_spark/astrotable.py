@@ -46,18 +46,12 @@ class AstroTable(EzTable):
                 f"(columns: {self.df.columns})"
             )
 
-    def _clone(self, df, drop_meta_for=()) -> "AstroTable":
-        base = super()._clone(df, drop_meta_for)
-        out = AstroTable(
-            base.df,
-            ra_name=self.ra_name if self.ra_name in df.columns else None,
-            dec_name=self.dec_name if self.dec_name in df.columns else None,
-            header=base.header,
-            units=base._units,
-            desc=base._desc,
-            aliases=base._aliases,
-        )
-        out.caseless = self.caseless
+    def _clone(self, df) -> "AstroTable":
+        base = super()._clone(df)
+        out = AstroTable.__new__(AstroTable)
+        out.__dict__.update(base.__dict__)
+        out.ra_name = self.ra_name if self.ra_name in df.columns else None
+        out.dec_name = self.dec_name if self.dec_name in df.columns else None
         return out
 
     # -- spatial verbs (simpletable.py:3056-3224) -----------------------

@@ -41,14 +41,29 @@ _SPEC_RE = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$", re.S)
 def parse_agg(table, spec: str) -> Column:
     """Parse ``'fn(value_expr)'`` where value_expr is numpy-dialect.
 
-    ``'count(*)'`` maps to count(1) (astro.py:386-388 semantics).
+    ``'count(*)'`` maps to count(1) (astro.py:386-388 semantics). A bare
+    paren-free expression defaults to its mean (scipy binned_statistic
+    default); anything else malformed raises instead of silently
+    aggregating the wrong thing.
     """
     m = _SPEC_RE.match(spec)
     if not m:
-        # bare column/expression -> default count-like passthrough not
-        # meaningful; treat as mean to mirror binned_statistic default
+        if "(" in spec or ")" in spec:
+            raise ValueError(
+                f"cannot parse aggregate spec {spec!r}; expected 'fn(expr)' "
+                f"with fn in {sorted(_AGG_MAP)}"
+            )
+        # bare column/expression -> mean (binned_statistic default)
         return F.avg(F.expr(table._translate(spec)))
     fn_name, inner = m.group(1).lower(), m.group(2).strip()
+    # the greedy regex would accept 'sum(a) + sum(b)' with unbalanced
+    # inner text; compound aggregate arithmetic is not this dialect
+    if inner.count("(") != inner.count(")"):
+        raise ValueError(
+            f"cannot parse aggregate spec {spec!r} (unbalanced parentheses); "
+            "compound aggregates like 'sum(a) + sum(b)' are not supported — "
+            "compute them as separate aggs and combine afterwards"
+        )
     if fn_name not in _AGG_MAP:
         raise ValueError(f"unknown aggregate {fn_name!r}; known: {sorted(_AGG_MAP)}")
     if inner in ("*", ""):

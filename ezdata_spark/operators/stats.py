@@ -24,7 +24,6 @@ def _nan_to_null(c):
 
 def _stat_col(name: str, fn: str):
     c = F.col(name)
-    dtype_numeric_float = True  # guard applied generically; isnan on ints is false
     cc = _nan_to_null(c.cast("double"))
     if fn == "mean":
         return F.avg(cc)

@@ -95,7 +95,6 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFr
     plain CASE expression — SQL-mirrorable for the oracle."""
     votes = lang_votes(F.col(text))
     order = list(_STOPWORDS)
-    pred = F.lit("und")
     cascade = None
     for lang in order:
         v = votes[lang]

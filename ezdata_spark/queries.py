@@ -914,7 +914,7 @@ def q41(spark, sf_dir):
     "q42_token_stats",
     oracle="""
     SELECT doc_id,
-           len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+           len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
            length(text) AS len_chars
     FROM documents
     """,
@@ -931,7 +931,7 @@ def q42(spark, sf_dir):
 @query(
     "q43_quality_score",
     oracle="""
-    WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
                FROM documents)
     SELECT doc_id,
            ROUND(CASE WHEN len(toks) > 0
@@ -962,7 +962,7 @@ def q43(spark, sf_dir):
     "q44_lang_id",
     oracle="""
     WITH t AS (SELECT doc_id, lang,
-                      list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
                FROM documents),
     v AS (SELECT doc_id, lang,
             len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS v_en,
@@ -1365,7 +1365,6 @@ def q61(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     indexed, centroids = ivf_index(emb, n_cells=8)
-    indexed = indexed.persist()
     qs = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
     out = ivf_topk(indexed, centroids, qs, k=5, nprobe=3)
     return out.withColumn("cosine", F.round("cosine", 6))
@@ -1397,7 +1396,7 @@ def q62(spark, sf_dir):
     grid AS (SELECT range AS bin FROM range(0, 10))
     SELECT g.bin,
            0.0 + (g.bin + 0.5) * 5.1 AS l_quantity__center,
-           ROUND(CAST(SUM(CAST(b.y AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_y,
+           COALESCE(ROUND(CAST(SUM(CAST(b.y AS DECIMAL(18,4))) AS DOUBLE), 4), 0.0) AS sum_y,
            COUNT(b.y) AS n
     FROM grid g LEFT JOIN binned b ON g.bin = b.bin
     GROUP BY g.bin

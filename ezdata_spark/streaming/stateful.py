@@ -125,7 +125,9 @@ def run_stateful_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stateful stream {name!r} did not finish within 120s")
     return spark.table(name)
 
 

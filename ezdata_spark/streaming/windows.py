@@ -71,5 +71,7 @@ def run_stream_to_memory(spark: SparkSession, path: str, schema, name: str = "ez
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"stream {name!r} did not finish within 120s")
     return spark.table(name)

@@ -16,7 +16,7 @@ collect in any query path.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterable, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,7 +73,7 @@ class EzTable:
     def shape(self) -> tuple[int, int]:
         return (self.nrows, self.ncols)
 
-    def _clone(self, df: DataFrame, drop_meta_for: Iterable[str] = ()) -> "EzTable":
+    def _clone(self, df: DataFrame) -> "EzTable":
         """New EzTable sharing metadata; the reference deep-copies metadata
         through every op (simpletable.py:2808-2812)."""
         kept = set(df.columns)
