@@ -78,14 +78,20 @@ def zone_search(
 # sexagesimal <-> degrees (simpletable.py:1109-1214)
 # ---------------------------------------------------------------------------
 def hms2deg(col) -> Column:
-    """'HH:MM:SS.s' -> degrees (simpletable.py:1191-1214); 15 deg/hour."""
+    """'HH:MM:SS.s' -> degrees (simpletable.py:1191-1214); 15 deg/hour.
+
+    Sign applies to the whole magnitude ('-01:30:00' = -22.5 deg, not
+    -1h + 30m), mirroring the reference's strip-sign-then-negate."""
     c = F.col(col) if isinstance(col, str) else col
-    p = F.split(c, ":")
-    return (
-        (p.getItem(0).cast("double")
-         + p.getItem(1).cast("double") / 60.0
-         + p.getItem(2).cast("double") / 3600.0) * 15.0
+    sign = F.when(c.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    stripped = F.regexp_replace(c, r"^[+-]", "")
+    p = F.split(stripped, ":")
+    mag = (
+        p.getItem(0).cast("double")
+        + p.getItem(1).cast("double") / 60.0
+        + p.getItem(2).cast("double") / 3600.0
     )
+    return sign * mag * 15.0
 
 
 def dms2deg(col) -> Column:
@@ -131,9 +137,12 @@ def project_aitoff(lon, lat) -> tuple[Column, Column]:
     """Aitoff x,y from lon/lat degrees; lon wrapped to [-180, 180).
 
     sinc is expanded with the guarded sin(x)/x form (alpha=0 -> 1).
-    Returns (x, y) Columns in degrees-like units, matching the
-    reference's convention.
+    Returns (x, y) Columns in the reference's normalized convention
+    (astro/astro.py:248-251: divide by pi — x in ~[-1, 1], y in
+    ~[-0.5, 0.5]).
     """
+    import math
+
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     # wrap to [-pi, pi)
@@ -142,9 +151,9 @@ def project_aitoff(lon, lat) -> tuple[Column, Column]:
     alpha = F.acos(F.cos(b) * F.cos(l / 2))
     # normalized sinc(alpha/pi) = sin(alpha)/alpha guarded at 0
     sinc_a = F.when(alpha == 0, F.lit(1.0)).otherwise(F.sin(alpha) / alpha)
-    x = F.lit(2.0) * F.cos(b) * F.sin(l / 2) / sinc_a
-    y = F.sin(b) / sinc_a
-    return F.degrees(x).alias("aitoff_x"), F.degrees(y).alias("aitoff_y")
+    x = F.lit(2.0) * F.cos(b) * F.sin(l / 2) / sinc_a / F.lit(math.pi)
+    y = F.sin(b) / sinc_a / F.lit(math.pi)
+    return x.alias("aitoff_x"), y.alias("aitoff_y")
 
 
 # ---------------------------------------------------------------------------
@@ -226,9 +235,18 @@ def healpix_udf(order: int, nest: bool = True):
 
     @pandas_udf("long")
     def _hpx(ra: pd.Series, dec: pd.Series) -> pd.Series:
-        theta = np.radians(90.0 - dec.to_numpy(dtype="float64"))
-        phi = np.radians(ra.to_numpy(dtype="float64"))
-        return pd.Series(_ang2pix_nest_np(nside, theta, phi))
+        ra_v = ra.to_numpy(dtype="float64", na_value=np.nan)
+        dec_v = dec.to_numpy(dtype="float64", na_value=np.nan)
+        ok = np.isfinite(ra_v) & np.isfinite(dec_v)
+        out = np.zeros(len(ra_v), dtype=np.int64)
+        if ok.any():
+            theta = np.radians(90.0 - dec_v[ok])
+            phi = np.radians(ra_v[ok])
+            out[ok] = _ang2pix_nest_np(nside, theta, phi)
+        # null/NaN coordinates -> null index, never a garbage pixel
+        res = pd.Series(out, dtype="Int64")
+        res[~ok] = pd.NA
+        return res
 
     return _hpx
 
@@ -262,14 +280,26 @@ def crossmatch_cone(
     zone_h = max(radius_deg, 1e-6)
     nz = F.lit(zone_h)
 
+    for reserved in ("__zone", "separation"):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(
+                f"crossmatch_cone reserves the column name {reserved!r}; "
+                "rename it on the input first"
+            )
     # disambiguate colliding column names up front (both sides commonly
     # use ra/dec): collided right columns get an _r suffix in the output
+    # (deepened until unique, so a pre-existing '<col>_r' cannot collide)
     rt = right
     renamed = {}
+    taken = set(left.columns) | set(right.columns)
     for c in right.columns:
         if c in left.columns:
-            rt = rt.withColumnRenamed(c, c + "_r")
-            renamed[c] = c + "_r"
+            new = c + "_r"
+            while new in taken:
+                new += "_r"
+            taken.add(new)
+            rt = rt.withColumnRenamed(c, new)
+            renamed[c] = new
     ra_r_eff = renamed.get(ra_r, ra_r)
     dec_r_eff = renamed.get(dec_r, dec_r)
 

@@ -275,7 +275,7 @@ class Plotter:
         x, y = project_aitoff(self._col(lon), self._col(lat))
         df = self.t.df.withColumn("__x", x).withColumn("__y", y)
         return Plotter(EzTable(df)).hist2d("__x", "__y", bins=(bins, bins // 2),
-                                           range=((-180.0, 180.0), (-90.0, 90.0)))
+                                           range=((-1.0, 1.0), (-0.5, 0.5)))
 
     def healpix_plot(self, ra: str = "ra", dec: str = "dec", order: int = 4,
                      what: str = "count(*)") -> DataFrame:

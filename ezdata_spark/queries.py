@@ -786,10 +786,10 @@ def q35(spark, sf_dir):
           FROM sky),
     a AS (SELECT n_nationkey, l, b, acos(cos(b) * cos(l/2)) AS alpha FROM p)
     SELECT n_nationkey,
-           ROUND(degrees(2.0 * cos(b) * sin(l/2)
-                 / (CASE WHEN alpha = 0 THEN 1.0 ELSE sin(alpha)/alpha END)), 6) AS aitoff_x,
-           ROUND(degrees(sin(b)
-                 / (CASE WHEN alpha = 0 THEN 1.0 ELSE sin(alpha)/alpha END)), 6) AS aitoff_y
+           ROUND(2.0 * cos(b) * sin(l/2)
+                 / (CASE WHEN alpha = 0 THEN 1.0 ELSE sin(alpha)/alpha END) / pi(), 6) AS aitoff_x,
+           ROUND(sin(b)
+                 / (CASE WHEN alpha = 0 THEN 1.0 ELSE sin(alpha)/alpha END) / pi(), 6) AS aitoff_y
     FROM a
     """,
 )

@@ -28,7 +28,7 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def get_spark(app_name: str = "ezdata-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    sp = DEFAULT_SHUFFLE_PARTITIONS if shuffle_partitions is None else shuffle_partitions
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -44,7 +44,14 @@ def get_spark(app_name: str = "ezdata-spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate returns an existing session with builder confs ignored;
+    # re-apply the runtime-settable ones so explicit args are honored
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+    except Exception:
+        pass
+    return spark
 
 
 def tune_existing(spark: SparkSession) -> SparkSession:

@@ -48,9 +48,14 @@ def ingest_chunked(
     ``mapInPandas``. The task list is (file, start, stop) triples —
     exactly dask/hdf5.py's partitioning, but scheduled by Spark.
     """
+    # metadata reads are I/O-bound: count files concurrently so a
+    # many-thousand-file archive does not serialize startup on the driver
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, max(len(files), 1))) as pool:
+        counts = list(pool.map(count_rows, files))
     tasks = []
-    for path in files:
-        n = count_rows(path)
+    for path, n in zip(files, counts):
         for start in range(0, max(n, 1), chunk_rows):
             tasks.append((path, start, min(start + chunk_rows, n)))
     task_df = spark.createDataFrame(tasks, "path string, start long, stop long").repartition(
@@ -124,7 +129,10 @@ def read_fits(
     def read_chunk(path: str, start: int, stop: int) -> pd.DataFrame:
         with fits.open(path, memmap=True) as hd:
             arr = hd[hdu].data[start:stop]
-        return pd.DataFrame({n: arr[n].byteswap().newbyteorder() for n in arr.names})
+        return pd.DataFrame(
+            # numpy>=2 removed ndarray.newbyteorder(); view via dtype
+            {n: arr[n].byteswap().view(arr[n].dtype.newbyteorder()) for n in arr.names}
+        )
 
     if schema is None:
         raise ValueError("pass an explicit schema (FITS dtypes -> Spark types)")

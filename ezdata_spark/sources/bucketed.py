@@ -46,4 +46,5 @@ def is_shuffle_free_join(joined: DataFrame) -> bool:
     """True if the physical plan contains a join but no Exchange —
     the assertion that bucketing removed the shuffle."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Join" in plan and "Exchange" not in plan
+    shuffles = plan.replace("BroadcastExchange", "").count("Exchange")
+    return "Join" in plan and shuffles == 0

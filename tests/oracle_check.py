@@ -100,7 +100,7 @@ def main():
             ok = False
             msgs.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         if ok:
-            ms = rows_to_multiset([r.asDict() and tuple(r) for r in srows], scols)
+            ms = rows_to_multiset([tuple(r) for r in srows], scols)
             mo = rows_to_multiset(orows, ocols)
             if ms != mo:
                 ok = False

@@ -144,3 +144,28 @@ def test_euler_ground_truth(spark):
     g = gc.select(gl.alias("gl"), gb.alias("gb")).collect()[0]
     assert g.gb == pytest.approx(0.0, abs=0.1)
     assert min(g.gl, 360 - g.gl) == pytest.approx(0.0, abs=0.1)
+
+
+def test_hms2deg_sign(spark):
+    from ezdata_spark.functions.astro import dms2deg, hms2deg
+
+    df = spark.createDataFrame(
+        [("-01:30:00", "-10:30:00"), ("01:30:00", "+10:30:00")], "h string, d string"
+    )
+    rows = df.select(hms2deg("h").alias("hd"), dms2deg("d").alias("dd")).collect()
+    assert rows[0].hd == pytest.approx(-22.5)  # sign scales the whole magnitude
+    assert rows[0].dd == pytest.approx(-10.5)
+    assert rows[1].hd == pytest.approx(22.5)
+    assert rows[1].dd == pytest.approx(10.5)
+
+
+def test_healpix_null_coords(spark):
+    from ezdata_spark.functions.astro import add_column_healpix
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, None, 20.0), (3, 10.0, None)],
+        "id long, ra double, dec double",
+    )
+    rows = {r.id: r.healpix for r in add_column_healpix(df, order=4).collect()}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None  # null coords -> null pixel
