@@ -167,6 +167,64 @@ def histogram(
     return binned_agg(df, [spec], agg, densify=densify)
 
 
+def histogram_df(
+    df: DataFrame,
+    binby: str,
+    columns: Sequence[str] | None = None,
+    nbins: int = 50,
+    lo: float | None = None,
+    hi: float | None = None,
+    densify: bool = True,
+) -> DataFrame:
+    """Weighted histogram per column (xr_histogram_df, xarray.py:99-165):
+    for each value column, the per-bin SUM of that column (weights=the
+    column itself), plus the plain count — ALL columns in ONE pass
+    (one groupBy; the reference loops np.histogram per column).
+    """
+    if lo is None or hi is None:
+        r = guess_range(df, [binby])[binby]
+        lo = lo if lo is not None else r[0]
+        hi = hi if hi is not None else r[1]
+    numeric = {"double", "float", "int", "bigint", "smallint", "tinyint"}
+    cols = list(columns) if columns else [
+        n for n, t in df.dtypes if t in numeric and n != binby
+    ]
+    spec = BinSpec(binby, float(lo), float(hi), nbins)
+    aggs: dict[str, Column] = {"count": F.count(F.lit(1))}
+    for c in cols:
+        aggs[f"sum_{c}"] = F.sum(c)
+    return binned_agg(df, [spec], aggs, densify=densify)
+
+
+def count_cat(
+    df: DataFrame,
+    specs: Sequence[BinSpec],
+    cat: str,
+    densify: bool = False,
+) -> DataFrame:
+    """Datashader ``count_cat`` reduction (datashader.py:132-133): per
+    raster cell, one count column per category — groupBy(bins, cat)
+    then pivot. The category dimension must be low-cardinality (it
+    becomes columns); the pivot values are collected once driver-side
+    for a deterministic column order."""
+    cats = sorted(
+        r[0] for r in df.select(cat).distinct().collect() if r[0] is not None
+    )
+    bin_cols = [
+        (F.col(s.col) if s.categorical else _bin_id(s)).alias(f"{s.col}__bin")
+        for s in specs
+    ]
+    pred = [_in_range(s) for s in specs if not s.categorical]
+    filtered = df.filter(reduce(lambda a, b: a & b, pred)) if pred else df
+    out = (
+        filtered.groupBy(*bin_cols)
+        .pivot(cat, cats)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [str(c) for c in cats])
+    )
+    return out
+
+
 def binned_statistic(
     df: DataFrame,
     bin_specs: Sequence[BinSpec],

@@ -1598,3 +1598,66 @@ def q69(spark, sf_dir):
             F.aggregate("e", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("vsum"),
     )
+
+
+@query(
+    "q70_raster_count_cat",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / 5.1) AS BIGINT), 9) AS px,
+           COUNT(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+           COUNT(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+    FROM lineitem
+    WHERE l_quantity >= 0.0 AND l_quantity <= 51.0
+    GROUP BY 1
+    """,
+)
+def q70(spark, sf_dir):
+    """Datashader count_cat reduction (datashader.py:132-133): per-cell
+    per-category counts via groupBy+pivot."""
+    from .operators.binned import BinSpec, count_cat
+
+    out = count_cat(
+        load(spark, sf_dir, "lineitem"),
+        [BinSpec("l_quantity", 0.0, 51.0, 10)],
+        "l_returnflag",
+    )
+    return out.withColumnRenamed("l_quantity__bin", "px")
+
+
+@query(
+    "q71_histogram_df",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(CAST(FLOOR((l_quantity - 0.0) / 5.1) AS BIGINT), 9) AS bin,
+             l_extendedprice, l_discount
+      FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 51.0),
+    grid AS (SELECT range AS bin FROM range(0, 10))
+    SELECT g.bin AS l_quantity__bin,
+           0.0 + (g.bin + 0.5) * 5.1 AS l_quantity__center,
+           COUNT(b.l_extendedprice) AS count,
+           COALESCE(ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4), 0.0)
+             AS sum_l_extendedprice,
+           COALESCE(ROUND(CAST(SUM(CAST(b.l_discount AS DECIMAL(18,4))) AS DOUBLE), 4), 0.0)
+             AS sum_l_discount
+    FROM grid g LEFT JOIN binned b ON g.bin = b.bin
+    GROUP BY g.bin
+    """,
+)
+def q71(spark, sf_dir):
+    """Per-column weighted histogram (xr_histogram_df, xarray.py:99-165)
+    — every column's per-bin sum in ONE groupBy pass (the reference
+    loops np.histogram per column)."""
+    from .operators.binned import histogram_df
+
+    df = load(spark, sf_dir, "lineitem").withColumn(
+        "l_extendedprice", F.col("l_extendedprice").cast("decimal(18,4)")
+    ).withColumn("l_discount", F.col("l_discount").cast("decimal(18,4)"))
+    out = histogram_df(df, "l_quantity", ["l_extendedprice", "l_discount"],
+                       nbins=10, lo=0.0, hi=51.0)
+    return (
+        out.withColumn("sum_l_extendedprice",
+                       F.round(F.coalesce(F.col("sum_l_extendedprice").cast("double"), F.lit(0.0)), 4))
+        .withColumn("sum_l_discount",
+                    F.round(F.coalesce(F.col("sum_l_discount").cast("double"), F.lit(0.0)), 4))
+    )

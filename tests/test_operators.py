@@ -293,3 +293,22 @@ def test_densify_null_category(spark):
     )
     got = {r["cat__bin"]: r["n"] for r in out.collect()}
     assert got == {"a": 1, None: 2}
+
+
+def test_count_cat_and_histogram_df(spark, sf_dir):
+    from ezdata_spark.operators.binned import BinSpec, count_cat, histogram_df
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cc = count_cat(li, [BinSpec("l_quantity", 0.0, 51.0, 5)], "l_returnflag")
+    flags = {r[0] for r in li.select("l_returnflag").distinct().collect()}
+    assert flags <= set(cc.columns)
+    total = cc.select(sum(F.sum(c) for c in flags).alias("t")).collect()[0]["t"]
+    assert total == li.count()
+
+    h = histogram_df(li, "l_quantity", ["l_extendedprice"], nbins=5, lo=0.0, hi=51.0)
+    rows = h.collect()
+    assert len(rows) == 5  # densified
+    assert sum(r["count"] for r in rows) == li.count()
+    ref = li.agg(F.sum("l_extendedprice")).collect()[0][0]
+    assert abs(sum(r["sum_l_extendedprice"] for r in rows) - ref) < 1e-4
