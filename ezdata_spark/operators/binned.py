@@ -167,6 +167,51 @@ def histogram(
     return binned_agg(df, [spec], agg, densify=densify)
 
 
+def bin_by_edges(col, edges: Sequence[float]) -> Column:
+    """Bin id from EXPLICIT (possibly non-uniform) edges —
+    xr_histogram_like semantics (xarray.py:234-266: reuse another
+    grid's bin edges). np.histogramdd edge rules: right-closed last
+    bin, out-of-range -> null.
+
+    One aggregate pass over the literal edge array (O(n_edges) per row,
+    codegen-free but tiny); for uniform edges prefer BinSpec's O(1)
+    arithmetic form.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    e = F.array(*[F.lit(float(x)) for x in edges])
+    n = len(edges) - 1
+    # count of edges <= value, over the interior edges only
+    idx = F.aggregate(
+        F.slice(e, 2, n - 1), F.lit(0), lambda acc, b: acc + F.when(c >= b, 1).otherwise(0)
+    )
+    lo, hi = float(edges[0]), float(edges[-1])
+    return F.when((c >= F.lit(lo)) & (c <= F.lit(hi)), idx.cast("long")).otherwise(F.lit(None))
+
+
+def histogram_like(
+    df: DataFrame,
+    col: str,
+    edges: Sequence[float],
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Histogram on a reference grid's edges (xr_histogram_like,
+    xarray.py:234-266): out-of-range rows drop, the last bin is
+    right-closed, empty bins densify against the edge count."""
+    spark = df.sparkSession
+    binned = df.withColumn("__bin", bin_by_edges(col, edges)).filter(
+        F.col("__bin").isNotNull()
+    )
+    use = aggs or {"count": F.count(F.lit(1))}
+    agged = binned.groupBy(F.col("__bin").alias(f"{col}__bin")).agg(
+        *[c.alias(nm) for nm, c in use.items()]
+    )
+    grid = spark.range(len(edges) - 1).select(F.col("id").alias(f"{col}__bin"))
+    out = grid.join(agged, on=f"{col}__bin", how="left")
+    for nm in use:
+        out = out.withColumn(nm, F.coalesce(F.col(nm), F.lit(0)))
+    return out
+
+
 def histogram_df(
     df: DataFrame,
     binby: str,

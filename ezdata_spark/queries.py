@@ -1661,3 +1661,31 @@ def q71(spark, sf_dir):
         .withColumn("sum_l_discount",
                     F.round(F.coalesce(F.col("sum_l_discount").cast("double"), F.lit(0.0)), 4))
     )
+
+
+@query(
+    "q72_histogram_like",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE
+               WHEN c_acctbal >= -1000.0 AND c_acctbal < 0.0 THEN 0
+               WHEN c_acctbal >= 0.0 AND c_acctbal < 100.0 THEN 1
+               WHEN c_acctbal >= 100.0 AND c_acctbal < 2500.0 THEN 2
+               WHEN c_acctbal >= 2500.0 AND c_acctbal <= 10000.0 THEN 3
+             END AS bin
+      FROM customer
+      WHERE c_acctbal >= -1000.0 AND c_acctbal <= 10000.0),
+    grid AS (SELECT range AS bin FROM range(0, 4))
+    SELECT g.bin AS c_acctbal__bin, COUNT(b.bin) AS count
+    FROM grid g LEFT JOIN binned b ON g.bin = b.bin
+    GROUP BY g.bin
+    """,
+)
+def q72(spark, sf_dir):
+    """Histogram on explicit NON-UNIFORM edges (xr_histogram_like,
+    xarray.py:234-266): reuse a reference grid's edges; right-closed
+    last bin, out-of-range dropped, empty bins densified."""
+    from .operators.binned import histogram_like
+
+    df = load(spark, sf_dir, "customer")
+    return histogram_like(df, "c_acctbal", [-1000.0, 0.0, 100.0, 2500.0, 10000.0])

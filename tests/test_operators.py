@@ -312,3 +312,19 @@ def test_count_cat_and_histogram_df(spark, sf_dir):
     assert sum(r["count"] for r in rows) == li.count()
     ref = li.agg(F.sum("l_extendedprice")).collect()[0][0]
     assert abs(sum(r["sum_l_extendedprice"] for r in rows) - ref) < 1e-4
+
+
+def test_histogram_like_nonuniform_edges(spark):
+    """xr_histogram_like parity: arbitrary edges, right-closed last bin,
+    out-of-range dropped, empty bins densified."""
+    import numpy as np
+
+    from ezdata_spark.operators.binned import histogram_like
+
+    vals = [0.5, 1.0, 2.5, 7.0, 10.0, 11.0, -1.0, 4.0]
+    edges = [0.0, 1.0, 5.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = {r["x__bin"]: r["count"] for r in histogram_like(df, "x", edges).collect()}
+    ref, _ = np.histogram(vals, bins=edges)
+    assert rows == {i: int(c) for i, c in enumerate(ref)}
+    assert sum(rows.values()) == 6  # -1 and 11 out of range
