@@ -193,10 +193,16 @@ def histogram_like(
     col: str,
     edges: Sequence[float],
     aggs: dict[str, Column] | None = None,
+    fill: dict | None = None,
 ) -> DataFrame:
     """Histogram on a reference grid's edges (xr_histogram_like,
     xarray.py:234-266): out-of-range rows drop, the last bin is
-    right-closed, empty bins densify against the edge count."""
+    right-closed, empty bins densify against the edge count.
+
+    ``fill`` sets the empty-bin value per agg (default 0, matching
+    np.histogram counts); non-additive stats (mean/min/...) should pass
+    ``fill={name: None}`` to keep empty bins null, same policy as
+    binned_agg."""
     spark = df.sparkSession
     binned = df.withColumn("__bin", bin_by_edges(col, edges)).filter(
         F.col("__bin").isNotNull()
@@ -207,8 +213,11 @@ def histogram_like(
     )
     grid = spark.range(len(edges) - 1).select(F.col("id").alias(f"{col}__bin"))
     out = grid.join(agged, on=f"{col}__bin", how="left")
+    fills = fill or {}
     for nm in use:
-        out = out.withColumn(nm, F.coalesce(F.col(nm), F.lit(0)))
+        fv = fills.get(nm, 0)
+        if fv is not None:
+            out = out.withColumn(nm, F.coalesce(F.col(nm), F.lit(fv)))
     return out
 
 

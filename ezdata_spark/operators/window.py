@@ -9,6 +9,8 @@ unpartitioned global sort by accident at scale.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,15 +46,28 @@ def top_per_group(
 
 
 def sessionize(
-    df: DataFrame, ts: str, user: str, gap_seconds: int = 1800, name: str = "session_id"
+    df: DataFrame,
+    ts: str,
+    user: str,
+    gap_seconds: int = 1800,
+    name: str = "session_id",
+    tiebreak: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the previous event (per user) exceeds ``gap_seconds``. Classic
     lag + conditional cumulative sum — two window passes over the same
-    (user, ts) partitioning, one shuffle total."""
-    w = Window.partitionBy(user).orderBy(ts)
-    prev = F.lag(F.col(ts)).over(w)
+    (user, ts) partitioning, one shuffle total.
+
+    Gap arithmetic is exact integer microseconds (``unix_micros``), not a
+    truncated seconds cast, so sub-second timestamps sessionize
+    deterministically. ``tiebreak`` adds ordering columns after ``ts`` so
+    equal-timestamp events get a stable cumulative-sum order (otherwise
+    the session split within a tie group is partition-order dependent)."""
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    w = Window.partitionBy(user).orderBy(ts, *tb)
+    us = F.unix_micros(F.col(ts))
+    prev = F.lag(us).over(w)
     new_sess = F.when(
-        prev.isNull() | (F.col(ts).cast("long") - prev.cast("long") > gap_seconds), 1
+        prev.isNull() | (us - prev > int(gap_seconds) * 1_000_000), 1
     ).otherwise(0)
     return df.withColumn(name, F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))

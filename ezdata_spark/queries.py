@@ -529,7 +529,7 @@ def q25(spark, sf_dir):
       GROUP BY 1)
     SELECT g.b AS l_quantity__bin,
            COALESCE(binned.count, 0) AS count,
-           0.0 + (g.b + 0.5) * 2.0 AS l_quantity__center
+           0.0 + (CAST(g.b AS DOUBLE) + 0.5) * 2.0 AS l_quantity__center
     FROM (SELECT range AS b FROM range(25)) g
     LEFT JOIN binned ON binned.l_quantity__bin = g.b
     """,
@@ -584,7 +584,7 @@ def q27(spark, sf_dir):
       GROUP BY 1, 2)
     SELECT f.l_returnflag AS l_returnflag__bin, g.b AS l_quantity__bin,
            binned.mean AS mean,
-           0.0 + (g.b + 0.5) * 10.0 AS l_quantity__center
+           0.0 + (CAST(g.b AS DOUBLE) + 0.5) * 10.0 AS l_quantity__center
     FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
     CROSS JOIN (SELECT range AS b FROM range(5)) g
     LEFT JOIN binned ON binned.l_returnflag = f.l_returnflag AND binned.l_quantity__bin = g.b
@@ -671,25 +671,30 @@ def q31(spark, sf_dir):
     "q32_sessionize",
     oracle="""
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
     FROM s GROUP BY user_id, session_id
     """,
 )
 def q32(spark, sf_dir):
-    """Gap-based sessionization (stateful-streaming analog in batch)."""
+    """Gap-based sessionization (stateful-streaming analog in batch).
+
+    Exact-microsecond gap arithmetic + event_id tiebreak on BOTH sides so
+    the cumulative-sum order is deterministic; the oracle casts its window
+    SUM to BIGINT because DuckDB's integer SUM is HUGEINT (→ float64 via
+    pandas) while Spark returns bigint."""
     from .operators.window import sessionize
 
-    df = sessionize(load(spark, sf_dir, "events"), "ts", "user_id", 1800)
+    df = sessionize(load(spark, sf_dir, "events"), "ts", "user_id", 1800, tiebreak="event_id")
     return df.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start")
     )
@@ -877,7 +882,7 @@ def q39(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
 )
@@ -912,7 +917,7 @@ def q41(spark, sf_dir):
 
 @query(
     "q42_token_stats",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
            length(text) AS len_chars
@@ -930,7 +935,7 @@ def q42(spark, sf_dir):
 
 @query(
     "q43_quality_score",
-    oracle="""
+    oracle=r"""
     WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
                FROM documents)
     SELECT doc_id,
@@ -960,7 +965,7 @@ def q43(spark, sf_dir):
 
 @query(
     "q44_lang_id",
-    oracle="""
+    oracle=r"""
     WITH t AS (SELECT doc_id, lang,
                       list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
                FROM documents),
@@ -1395,7 +1400,7 @@ def q62(spark, sf_dir):
       FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 51.0),
     grid AS (SELECT range AS bin FROM range(0, 10))
     SELECT g.bin,
-           0.0 + (g.bin + 0.5) * 5.1 AS l_quantity__center,
+           0.0 + (CAST(g.bin AS DOUBLE) + 0.5) * 5.1 AS l_quantity__center,
            COALESCE(ROUND(CAST(SUM(CAST(b.y AS DECIMAL(18,4))) AS DOUBLE), 4), 0.0) AS sum_y,
            COUNT(b.y) AS n
     FROM grid g LEFT JOIN binned b ON g.bin = b.bin
@@ -1552,7 +1557,7 @@ def q67(spark, sf_dir):
 @query(
     "q68_date_funcs",
     oracle="""
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            EXTRACT(dow FROM o_orderdate) AS dow_sample_max,
            COUNT(*) AS n
     FROM orders
@@ -1561,11 +1566,14 @@ def q67(spark, sf_dir):
 )
 def q68(spark, sf_dir):
     """Date-function extension surface: month truncation + day-of-week
-    grouping (DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1)."""
+    grouping (DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1). The
+    month is a STRING on both sides: a DATE would survive Spark collect
+    as datetime.date but become datetime64 through the driver's pandas
+    fetch of the oracle, mismatching on representation alone."""
     df = load(spark, sf_dir, "orders")
     return (
         df.groupBy(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
             (F.dayofweek("o_orderdate") - 1).alias("dow_sample_max"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1634,7 +1642,7 @@ def q70(spark, sf_dir):
       FROM lineitem WHERE l_quantity >= 0.0 AND l_quantity <= 51.0),
     grid AS (SELECT range AS bin FROM range(0, 10))
     SELECT g.bin AS l_quantity__bin,
-           0.0 + (g.bin + 0.5) * 5.1 AS l_quantity__center,
+           0.0 + (CAST(g.bin AS DOUBLE) + 0.5) * 5.1 AS l_quantity__center,
            COUNT(b.l_extendedprice) AS count,
            COALESCE(ROUND(CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4), 0.0)
              AS sum_l_extendedprice,

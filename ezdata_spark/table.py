@@ -101,6 +101,8 @@ class EzTable:
                 or tok in _CONSTANTS
                 or tok in ("np", "numpy", "where", "clip", "square", "exp2", "trunc",
                            "isfinite", "isinf", "sinc")
+                # grammar keywords are not identifiers (a if c else b, x and y)
+                or tok in ("and", "or", "not", "in", "if", "else", "is")
             ):
                 continue
             return False
@@ -388,10 +390,12 @@ class EzTable:
             join_keys = [on] if isinstance(on, str) else list(on)
         collisions = (set(self.df.columns) & set(odf.columns)) - set(join_keys)
         ldf = self.df
+        left_renames: dict[str, str] = {}
         right_renames: dict[str, str] = {}
         for c in collisions:
             if lsuffix and c not in ro:
                 ldf = ldf.withColumnRenamed(c, c + lsuffix)
+                left_renames[c] = c + lsuffix
             odf = odf.withColumnRenamed(c, c + rsuffix)
             right_renames[c] = c + rsuffix
 
@@ -409,7 +413,7 @@ class EzTable:
             lo = [left_on] if isinstance(left_on, str) else list(left_on or [])
             cond = None
             for a, b in zip(lo, ro):
-                c = ldf[a] == odf[right_renames.get(b, b)]
+                c = ldf[left_renames.get(a, a)] == odf[right_renames.get(b, b)]
                 cond = c if cond is None else (cond & c)
             joined = ldf.join(odf, cond, how)
         else:

@@ -17,20 +17,36 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(value):
-    """Canonical form for order-insensitive comparison."""
+    """Canonical form for order-insensitive comparison.
+
+    Ints and floats canonicalize DIFFERENTLY (integral floats keep a
+    ``.0``): the driver fetches DuckDB results through pandas, where
+    HUGEINT (SUM of integers) and DECIMAL become float64, so an oracle
+    that leaves those types unchecked hash-mismatches against Spark's
+    bigint even when the values are equal (round-1 q32/q40). Keeping the
+    distinction here makes that class of bug fail locally too — oracles
+    must CAST integer sums to BIGINT."""
     import datetime
     import decimal
 
     if value is None:
         return "NULL"
+    try:
+        if value != value:  # NaN / NaT from the pandas fetch
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, decimal.Decimal):
+        return canon(float(value))  # driver-side pandas fetch does this
     if isinstance(value, float):
         if math.isnan(value):
             return "NULL"  # NaN(duckdb/numpy) == null(Spark) per SURVEY §1.2
-        return f"{value:.9g}"
-    if isinstance(value, decimal.Decimal):
-        return f"{float(value):.9g}"
-    if isinstance(value, bool):
-        return str(value)
+        s = f"{value:.9g}"
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"  # integral float stays distinct from int
+        return s
     if isinstance(value, datetime.datetime):
         return value.replace(tzinfo=None).isoformat()
     if isinstance(value, (list, tuple)):
@@ -83,9 +99,11 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch via pandas like the driver does: HUGEINT/DECIMAL ->
+            # float64, so type drift vs Spark is caught locally
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1

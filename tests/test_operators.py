@@ -328,3 +328,25 @@ def test_histogram_like_nonuniform_edges(spark):
     ref, _ = np.histogram(vals, bins=edges)
     assert rows == {i: int(c) for i, c in enumerate(ref)}
     assert sum(rows.values()) == 6  # -1 and 11 out of range
+
+
+def test_histogram_like_empty_bin_fill_policy(spark):
+    """Non-additive stats keep empty bins null via fill={stat: None}
+    (binned_agg policy), instead of a misleading 0 (round-1 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    from ezdata_spark.operators.binned import histogram_like
+
+    df = spark.createDataFrame([(0.5, 10.0), (7.0, 20.0)], "x double, y double")
+    edges = [0.0, 1.0, 5.0, 10.0]
+    out = {
+        r["x__bin"]: (r["n"], r["mean_y"])
+        for r in histogram_like(
+            df, "x", edges,
+            aggs={"n": F.count(F.lit(1)), "mean_y": F.avg("y")},
+            fill={"mean_y": None},
+        ).collect()
+    }
+    assert out[0] == (1, 10.0)
+    assert out[1] == (0, None)  # count fills 0, mean stays null
+    assert out[2] == (1, 20.0)

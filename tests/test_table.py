@@ -227,6 +227,18 @@ def test_join_same_key_left_right_on(spark):
     assert "id_r" in out.columns  # collided key suffixed, join still on it
 
 
+def test_join_lsuffix_on_colliding_left_key(spark):
+    """A left_on key that collides with a right column gets lsuffix-renamed;
+    the join condition must follow the rename (round-1 ADVICE)."""
+    from ezdata_spark.table import EzTable
+
+    l = EzTable(spark.createDataFrame([(1, "a"), (2, "b")], "id long, x string"))
+    r = EzTable(spark.createDataFrame([(1, "A")], "fk long, id string"))
+    out = l.join(r, left_on="id", right_on="fk", how="left", lsuffix="_l").df
+    assert out.count() == 2
+    assert "id_l" in out.columns and "id_r" in out.columns
+
+
 def test_join_list_on_columns_other(spark):
     from ezdata_spark.table import EzTable
 
@@ -260,6 +272,11 @@ def test_alias_pruning_and_survival(spark):
     t3 = t.rename_columns({"a": "x"})
     assert t3._aliases["s"] == "x + b"
     assert t3.where("s > 0").df.count() == 1
+    # grammar keywords in a target are not identifiers: alias survives
+    t4 = EzTable(df).set_alias("c", "a if a > b else b").remove_columns([])
+    assert "c" in t4._aliases
+    t5 = EzTable(df).set_alias("m", "(a > 0) and (b > 0)")._clone(df)
+    assert "m" in t5._aliases
 
 
 def test_expr_arity_errors(spark):
