@@ -24,8 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_catalog.QUERIES)
+    # name-sorted: oracle-checked queries are numbered low (q01-q72),
+    # rows-only ones high (q73+), so any prefix of the catalog is
+    # maximally oracle-verifiable
+    return dict(sorted(_catalog.QUERIES.items()))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_catalog.ORACLE)
+    return dict(sorted(_catalog.ORACLE.items()))

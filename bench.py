@@ -26,10 +26,10 @@ HEADLINE = [
     "q32_sessionize",        # two-pass window state
     "q38_crossmatch_cone",   # zone-bucketed spatial join
     "q45_exact_dedup",       # full-text hash dedup
-    "q46_minhash_neardup",   # minhash+LSH near-dup pipeline
-    "q47_simhash",           # one-pass 64-slot bit votes
+    "q74_minhash_neardup",   # minhash+LSH near-dup pipeline
+    "q75_simhash",           # one-pass 64-slot bit votes
     "q50_cosine_topk",       # brute-force vector search
-    "q51_cosine_topk_lsh",   # hyperplane-bucketed ANN
+    "q78_cosine_topk_lsh",   # hyperplane-bucketed ANN
     "q41_tumbling_window",   # event-time windowed agg
     "q60_session_window",    # gap-based session windows
     "q53_raster_mean",       # datashader-style 2-D raster reduction

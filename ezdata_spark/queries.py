@@ -858,7 +858,7 @@ def q38(spark, sf_dir):
     return out.select("c_custkey", "s_suppkey", F.round("separation", 6).alias("separation"))
 
 
-@query("q39_healpix_column")
+@query("q73_healpix_column")
 def q39(spark, sf_dir):
     """ang2pix NESTED healpix column (astro/astro.py:178-211) via
     Arrow-vectorized numpy pandas_udf; grouped into a count grid.
@@ -1007,7 +1007,7 @@ def q45(spark, sf_dir):
     return exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
 
 
-@query("q46_minhash_neardup")
+@query("q74_minhash_neardup")
 def q46(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs (shingle -> 64-slot signature ->
     16 bands -> bucket join -> estimated Jaccard >= 0.5). Rows-only
@@ -1018,7 +1018,7 @@ def q46(spark, sf_dir):
     return minhash_dedup(load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5)
 
 
-@query("q47_simhash")
+@query("q75_simhash")
 def q47(spark, sf_dir):
     """64-bit SimHash fingerprints (token-hash bit votes); rows-only."""
     from .operators.dedup import simhash
@@ -1026,7 +1026,7 @@ def q47(spark, sf_dir):
     return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@query("q48_ngram_jaccard")
+@query("q76_ngram_jaccard")
 def q48(spark, sf_dir):
     """Exact 3-gram Jaccard on LSH candidate pairs only; rows-only."""
     from .operators.dedup import ngram_jaccard_pairs
@@ -1035,7 +1035,7 @@ def q48(spark, sf_dir):
                                n=3, threshold=0.5)
 
 
-@query("q49_fingerprint")
+@query("q77_fingerprint")
 def q49(spark, sf_dir):
     """Normalized-token-stream fingerprints; rows-only (xxhash64).
     Equal fingerprints == dedup-equivalent docs (case/whitespace
@@ -1083,7 +1083,7 @@ def q50(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
-@query("q51_cosine_topk_lsh")
+@query("q78_cosine_topk_lsh")
 def q51(spark, sf_dir):
     """Approximate top-k via random-hyperplane LSH (4 tables x 8 planes),
     exact rescore of candidates. Rows-only oracle (approximate by
@@ -1295,7 +1295,7 @@ def q57(spark, sf_dir):
 # multimodal columns (binary + typed metadata; stub decode)
 # =====================================================================
 
-@query("q58_media_features")
+@query("q79_media_features")
 def q58(spark, sf_dir):
     """Image feature extraction over binary media columns via
     mapInPandas (operators/multimodal.py; decode kernel STUBBED —
@@ -1311,7 +1311,7 @@ def q58(spark, sf_dir):
                       F.round("aspect", 6).alias("aspect"))
 
 
-@query("q59_frame_sample")
+@query("q80_frame_sample")
 def q59(spark, sf_dir):
     """Video frame-sampling plumbing: posexplode of generated frame
     indices, no shuffle (operators/multimodal.py). Rows-only."""
@@ -1359,7 +1359,7 @@ def q60(spark, sf_dir):
     return out.withColumn("sum_value", F.round(F.col("sum_value").cast("double"), 4))
 
 
-@query("q61_ivf_ann")
+@query("q81_ivf_ann")
 def q61(spark, sf_dir):
     """IVF approximate nearest neighbors: KMeans coarse cells + nprobe
     search (operators/similarity.py). Rows-only (KMeans centroids are
@@ -1375,7 +1375,7 @@ def q61(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
-@query("q62_audio_features")
+@query("q82_audio_features")
 def q62(spark, sf_dir):
     """Audio feature extraction over binary media (mapInPandas; decode
     kernel STUBBED — deterministic synthetic waveform). Rows-only."""
