@@ -214,6 +214,9 @@ def histogram_like(
     grid = spark.range(len(edges) - 1).select(F.col("id").alias(f"{col}__bin"))
     out = grid.join(agged, on=f"{col}__bin", how="left")
     fills = fill or {}
+    unknown = set(fills) - set(use)
+    if unknown:
+        raise ValueError(f"fill keys not in aggs: {sorted(unknown)} (aggs: {sorted(use)})")
     for nm in use:
         fv = fills.get(nm, 0)
         if fv is not None:

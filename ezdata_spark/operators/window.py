@@ -15,14 +15,64 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_row_id(df: DataFrame, keys: Sequence[str], name: str = "row_id") -> DataFrame:
+    """Dense 0-based row ids in ascending ``keys`` order WITHOUT a
+    single-partition stage (deterministic when the key is unique).
+
+    A global ``Window.orderBy`` funnels every row through one task
+    (Exchange SinglePartition) — the classic scale-killer. Instead:
+    range-repartition on the keys + sort within partitions (ascending
+    key ranges land on ascending partition indices, so global order =
+    (partition, local position)), read the local position out of
+    ``monotonically_increasing_id`` (= pid << 33 | local index on the
+    sorted stream), then one tiny per-partition count job feeds a
+    cumulative-offset literal map. The rdd.zipWithIndex two-job
+    pattern, kept in Catalyst; the sorted frame is persisted between
+    the two jobs so both see identical partitioning."""
+    srt = (
+        df.repartitionByRange(*[F.col(c) for c in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.expr("shiftright(__mono, 33)")
+    local = F.expr(f"__mono & {(1 << 33) - 1}")
+    counts = sorted(
+        (r[0], r[1])
+        for r in srt.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    if not counts:
+        return df.withColumn(name, F.lit(0).cast("long"))
+    offsets, acc = {}, 0
+    for p, n_rows in counts:
+        offsets[p] = acc
+        acc += n_rows
+    # one F.expr parse with the offsets inlined (a per-entry
+    # F.create_map builds 2P Columns = 2P py4j round-trips)
+    omap = "map(" + ",".join(f"{p},{o}L" for p, o in offsets.items()) + ")"
+    return srt.withColumn(
+        name, F.expr(f"element_at({omap}, int(shiftright(__mono, 33)))") + local
+    ).drop("__mono")
+
+
 def lag_column(
     df: DataFrame, value: str, order_by: str, t: int = 1, partition_by: str | None = None,
     name: str | None = None,
 ) -> DataFrame:
-    """x[t] series (lagplot analog). Without partition_by this is a
-    global-sort window — fine for plot-sized frames, flagged for scale."""
-    w = Window.orderBy(order_by) if partition_by is None else Window.partitionBy(partition_by).orderBy(order_by)
-    return df.withColumn(name or f"{value}_lag{t}", F.lag(value, t).over(w))
+    """x[t] series (lagplot analog, plotter.py:1059-1090). With
+    partition_by: a plain partitioned lag window. Without: the global
+    series case — implemented as partition-offset row ids (see
+    global_row_id) + a left self-equi-join on ``row_id - t``, so the
+    plan is parallel shuffles end-to-end instead of an Exchange
+    SinglePartition global sort. Type-generic (the lagged value rides
+    the join, no literal maps)."""
+    out = name or f"{value}_lag{t}"
+    if partition_by is not None:
+        w = Window.partitionBy(partition_by).orderBy(order_by)
+        return df.withColumn(out, F.lag(value, t).over(w))
+    ids = global_row_id(df, [order_by], "__rid")
+    shifted = ids.select((F.col("__rid") + t).alias("__rid"), F.col(value).alias(out))
+    return ids.join(shifted, "__rid", "left").drop("__rid")
 
 
 def moving_average(
@@ -49,7 +99,7 @@ def sessionize(
     df: DataFrame,
     ts: str,
     user: str,
-    gap_seconds: int = 1800,
+    gap_seconds: float = 1800,
     name: str = "session_id",
     tiebreak: str | Sequence[str] | None = None,
 ) -> DataFrame:
@@ -68,6 +118,6 @@ def sessionize(
     us = F.unix_micros(F.col(ts))
     prev = F.lag(us).over(w)
     new_sess = F.when(
-        prev.isNull() | (us - prev > int(gap_seconds) * 1_000_000), 1
+        prev.isNull() | (us - prev > int(round(gap_seconds * 1_000_000))), 1
     ).otherwise(0)
     return df.withColumn(name, F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))

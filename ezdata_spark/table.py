@@ -245,15 +245,18 @@ class EzTable:
         raise TypeError("EzTable indexing supports column-name strings")
 
     def with_row_id(self, order_by: str | None = None, name: str = "row_id") -> "EzTable":
-        """Materialize an explicit row id. With ``order_by``: dense
-        row_number over that sort key (deterministic). Without: Spark's
-        monotonically_increasing_id (partition-local, not dense) — cheap,
-        order-free, suitable for joins-back."""
-        if order_by:
-            from pyspark.sql import Window
+        """Materialize an explicit row id. With ``order_by``: dense 0-based
+        ids in that sort order (deterministic when the key is unique).
+        Without: Spark's monotonically_increasing_id (partition-local, not
+        dense) — cheap, order-free, suitable for joins-back.
 
-            w = Window.orderBy(*[F.col(c) for c in self._expand_fields(order_by)])
-            df = self.df.withColumn(name, F.row_number().over(w) - F.lit(1))
+        Scale shape: delegates to ``operators.window.global_row_id`` —
+        range-repartition + per-partition offsets, no single-partition
+        stage (asserted in tests)."""
+        if order_by:
+            from .operators.window import global_row_id
+
+            df = global_row_id(self.df, self._expand_fields(order_by), name)
         else:
             df = self.df.withColumn(name, F.monotonically_increasing_id())
         return self._clone(df)

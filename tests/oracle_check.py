@@ -51,6 +51,10 @@ def canon(value):
         return value.replace(tzinfo=None).isoformat()
     if isinstance(value, (list, tuple)):
         return "[" + ",".join(canon(v) for v in value) + "]"
+    if hasattr(value, "tolist") and not isinstance(value, (str, bytes)):
+        # DuckDB LIST columns surface as numpy arrays through the pandas
+        # fetch; str() on those would yield '[1 2 3]' vs Spark's '[1,2,3]'
+        return canon(value.tolist())
     return str(value)
 
 
@@ -59,9 +63,50 @@ def rows_to_multiset(rows, colnames):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
-def main():
+def connect_oracle(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
     import duckdb
 
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_one(spark, con, fn, oracle_sql: str | None, sf_dir: str):
+    """Run one catalog entry against its oracle exactly as the driver
+    does. Returns (status, n_rows, msgs): status 'pass'|'fail'|'rows'."""
+    try:
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+    except Exception as exc:
+        return "fail", 0, [f"spark error: {exc}"]
+    if oracle_sql is None:
+        return "rows", len(srows), []
+    try:
+        # fetch via pandas like the driver does: HUGEINT/DECIMAL ->
+        # float64, so type drift vs Spark is caught locally
+        odf = con.execute(oracle_sql).df()
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+    except Exception as exc:
+        return "fail", len(srows), [f"duckdb error: {exc}"]
+    msgs = []
+    if len(srows) != len(orows):
+        msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        msgs.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+    if not msgs:
+        ms = rows_to_multiset([tuple(r) for r in srows], scols)
+        mo = rows_to_multiset(orows, ocols)
+        if ms != mo:
+            diff = [(a, b) for a, b in zip(ms, mo) if a != b][:3]
+            msgs.append(f"values differ, first diffs: {diff}")
+    return ("fail" if msgs else "pass"), len(srows), msgs
+
+
+def main():
     import __spark_entry__ as entry_mod
     from ezdata_spark.session import get_spark
 
@@ -77,55 +122,17 @@ def main():
 
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = connect_oracle(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
     failures = []
     for name in names:
-        fn = queries[name]
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as exc:
-            print(f"FAIL  {name}: spark error: {exc}")
-            n_fail += 1
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+        status, n_rows, msgs = compare_one(spark, con, queries[name], oracles.get(name), sf_dir)
+        if status == "rows":
+            print(f"rows  {name}: {n_rows} rows (no oracle)")
             n_rowsonly += 1
-            continue
-        try:
-            # fetch via pandas like the driver does: HUGEINT/DECIMAL ->
-            # float64, so type drift vs Spark is caught locally
-            odf = con.execute(oracles[name]).df()
-            ocols = list(odf.columns)
-            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
-        except Exception as exc:
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            n_fail += 1
-            failures.append(name)
-            continue
-        ok = True
-        msgs = []
-        if len(srows) != len(orows):
-            ok = False
-            msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            ok = False
-            msgs.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if ok:
-            ms = rows_to_multiset([tuple(r) for r in srows], scols)
-            mo = rows_to_multiset(orows, ocols)
-            if ms != mo:
-                ok = False
-                diff = [(a, b) for a, b in zip(ms, mo) if a != b][:3]
-                msgs.append(f"values differ, first diffs: {diff}")
-        if ok:
-            print(f"PASS  {name}: {len(srows)} rows")
+        elif status == "pass":
+            print(f"PASS  {name}: {n_rows} rows")
             n_pass += 1
         else:
             print(f"FAIL  {name}: " + "; ".join(msgs))

@@ -297,6 +297,40 @@ def test_pairwise_neardup_lsh_prunes_at_tight_threshold(spark):
     assert sizes < (220 * 219 / 2) * 0.2, f"no pruning: {sizes} candidates"
 
 
+def test_global_row_id_no_single_partition_stage(spark, sf_dir):
+    """Positional ids must not funnel through one task: the plan has no
+    Exchange SinglePartition, and ids are dense 0..n-1 in key order."""
+    from ezdata_spark.operators.window import global_row_id
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = global_row_id(df, ["o_orderkey"], "rid")
+    plan = ids._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    rows = ids.select("o_orderkey", "rid").orderBy("rid").collect()
+    assert [r.rid for r in rows] == list(range(len(rows)))
+    keys = [r.o_orderkey for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_lag_column_global_matches_window_and_plan(spark, sf_dir):
+    """Global lag (no partition_by) must equal the textbook window lag
+    while planning without a single-partition exchange."""
+    from pyspark.sql import Window
+
+    from ezdata_spark.operators.window import lag_column
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    got_df = lag_column(ev, "value", "event_id", 2)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    got = {r.event_id: r.value_lag2 for r in got_df.collect()}
+    ref = {
+        r.event_id: r.ref
+        for r in ev.withColumn("ref", F.lag("value", 2).over(Window.orderBy("event_id"))).collect()
+    }
+    assert got == ref
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from ezdata_spark.operators.skew import salted_agg
     from pyspark.sql import functions as F
