@@ -225,13 +225,49 @@ def _ang2pix_nest_np(nside: int, theta: np.ndarray, phi: np.ndarray) -> np.ndarr
     return (face * nside * nside + pix.astype(np.int64)).astype(np.int64)
 
 
+def _ang2pix_ring_np(nside: int, theta: np.ndarray, phi: np.ndarray) -> np.ndarray:
+    """RING ang2pix (public HEALPix construction, same scheme as the
+    canonical C ang2pix_ring_z_phi). Ring ordering counts pixels along
+    iso-latitude rings from the north pole: north cap rings hold 4*ir
+    pixels, the 2*nside-1 equatorial rings 4*nside each, mirrored in the
+    south. Vectorized numpy."""
+    z = np.cos(theta)
+    za = np.abs(z)
+    tt = np.mod(phi, 2 * np.pi) * (2 / np.pi)  # in [0,4)
+    pix = np.empty(theta.shape, dtype=np.int64)
+
+    eq = za <= 2.0 / 3.0
+    if np.any(eq):
+        temp1 = nside * (0.5 + tt[eq])
+        temp2 = nside * (z[eq] * 0.75)
+        jp = np.floor(temp1 - temp2).astype(np.int64)  # ascending edge line
+        jm = np.floor(temp1 + temp2).astype(np.int64)  # descending edge line
+        ir = nside + 1 + jp - jm  # ring counter from z=2/3, in {1, 2n+1}
+        kshift = 1 - (ir & 1)
+        ip = np.mod((jp + jm - nside + kshift + 1) >> 1, 4 * nside)
+        pix[eq] = 2 * nside * (nside - 1) + (ir - 1) * 4 * nside + ip
+    po = ~eq
+    if np.any(po):
+        tp = tt[po] - np.floor(tt[po])
+        tmp = nside * np.sqrt(3 * (1 - za[po]))
+        jp = np.floor(tp * tmp).astype(np.int64)
+        jm = np.floor((1.0 - tp) * tmp).astype(np.int64)
+        ir = jp + jm + 1  # ring number counted from the closest pole
+        ip = np.mod(np.floor(tt[po] * ir).astype(np.int64), 4 * ir)
+        north = z[po] > 0
+        pix[po] = np.where(
+            north, 2 * ir * (ir - 1) + ip, 12 * nside * nside - 2 * ir * (ir + 1) + ip
+        )
+    return pix
+
+
 def healpix_udf(order: int, nest: bool = True):
     """pandas_udf (ra_deg, dec_deg) -> healpix index at ``order``
-    (add_column_healpix, astro/astro.py:178-211). Arrow-batched numpy —
-    no per-row Python."""
+    (add_column_healpix, astro/astro.py:178-211; the reference's
+    ``nest`` parameter selects NESTED vs RING ordering). Arrow-batched
+    numpy — no per-row Python."""
     nside = 2**order
-    if not nest:
-        raise NotImplementedError("RING ordering not implemented; reference uses nest=True default")
+    kernel = _ang2pix_nest_np if nest else _ang2pix_ring_np
 
     @pandas_udf("long")
     def _hpx(ra: pd.Series, dec: pd.Series) -> pd.Series:
@@ -242,7 +278,7 @@ def healpix_udf(order: int, nest: bool = True):
         if ok.any():
             theta = np.radians(90.0 - dec_v[ok])
             phi = np.radians(ra_v[ok])
-            out[ok] = _ang2pix_nest_np(nside, theta, phi)
+            out[ok] = kernel(nside, theta, phi)
         # null/NaN coordinates -> null index, never a garbage pixel
         res = pd.Series(out, dtype="Int64")
         res[~ok] = pd.NA
@@ -251,8 +287,8 @@ def healpix_udf(order: int, nest: bool = True):
     return _hpx
 
 
-def add_column_healpix(df: DataFrame, order: int = 10, ra: str = "ra", dec: str = "dec", name: str = "healpix") -> DataFrame:
-    return df.withColumn(name, healpix_udf(order)(F.col(ra), F.col(dec)))
+def add_column_healpix(df: DataFrame, order: int = 10, ra: str = "ra", dec: str = "dec", name: str = "healpix", nest: bool = True) -> DataFrame:
+    return df.withColumn(name, healpix_udf(order, nest=nest)(F.col(ra), F.col(dec)))
 
 
 # ---------------------------------------------------------------------------

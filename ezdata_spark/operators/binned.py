@@ -148,16 +148,58 @@ def binned_agg(
     return agged
 
 
+def guess_bins(df: DataFrame, col: str, max_distinct: int = 1_000_000):
+    """Data-driven bin edges (guess_bins, xarray.py:23-31): dx = the
+    minimum spacing between sorted distinct values, edges =
+    ``arange(min - 0.5*dx, max + 0.6*dx, dx)`` so every value sits
+    mid-bin and the last value is inside the final bin.
+
+    Scale shape: ``distinct()`` is the data reducer (a shuffle of
+    distinct values, not rows); the adjacent-diff window then runs over
+    the DISTINCT frame only, which is capped at ``max_distinct`` — a
+    min-spacing grid over more distinct values than that would also
+    blow up the driver-side edge array (the reference has the same
+    failure mode: np.arange with a tiny dx). Only 3 scalars reach the
+    driver; the edge array is built locally from them."""
+    import numpy as np
+
+    d = df.select(F.col(col).cast("double").alias("v")).na.drop().distinct()
+    n = d.count()
+    if n < 2:
+        raise ValueError(f"guess_bins({col!r}): need >= 2 distinct values, got {n}")
+    if n > max_distinct:
+        raise ValueError(
+            f"guess_bins({col!r}): {n} distinct values would produce a >= {n}-bin grid; "
+            "pass explicit bins/range for near-continuous columns"
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")  # bounded: distinct values only (<= max_distinct)
+    row = (
+        d.withColumn("dx", F.col("v") - F.lag("v").over(w))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.min("dx").alias("dx"))
+        .collect()[0]
+    )
+    return np.arange(row.lo - 0.5 * row.dx, row.hi + 0.6 * row.dx, row.dx)
+
+
 def histogram(
     df: DataFrame,
     col: str,
-    nbins: int = 50,
+    nbins: int | None = 50,
     lo: float | None = None,
     hi: float | None = None,
     weight: str | None = None,
     densify: bool = True,
 ) -> DataFrame:
-    """1-D histogram (xr_histogram, xarray.py:38-96)."""
+    """1-D histogram (xr_histogram, xarray.py:38-96). ``nbins=None``
+    infers data-driven edges from the minimum value spacing
+    (guess_bins) — the reference's default for casual ``hist()``
+    calls on quantized columns."""
+    if nbins is None:
+        edges = guess_bins(df, col)
+        aggs = None if weight is None else {"wsum": F.sum(weight)}
+        return histogram_like(df, col, [float(e) for e in edges], aggs)
     if lo is None or hi is None:
         r = guess_range(df, [col])[col]
         lo = lo if lo is not None else r[0]

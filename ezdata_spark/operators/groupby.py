@@ -26,6 +26,7 @@ _AGG_MAP = {
     "var": F.var_samp,
     "variance": F.var_samp,
     "median": lambda c: F.percentile(c, F.lit(0.5)),
+    "mode": F.mode,  # datashader.py:132-133 reduction set
     "first": F.first,
     "last": F.last,
     "any": lambda c: F.max(c.cast("boolean")),

@@ -134,10 +134,18 @@ class Plotter:
         return df
 
     # -- 1-D ------------------------------------------------------------
-    def hist(self, expr: str, bins: int = 50, range: tuple | None = None, weights: str | None = None) -> HistResult:
+    def hist(self, expr: str, bins: int | None = 50, range: tuple | None = None, weights: str | None = None) -> HistResult:
         """Histogram (Plotter.hist, plotter.py:967-990): groupBy bin id
-        on-cluster; only `bins` numbers reach the driver."""
+        on-cluster; only `bins` numbers reach the driver. ``bins=None``
+        infers min-spacing edges from the data (guess_bins,
+        xarray.py:23-31) — every distinct value gets its own bin."""
         df = self._frame_with({"__x": expr})
+        if bins is None:
+            from .operators.binned import guess_bins
+
+            edges = guess_bins(df, "__x")
+            bins = len(edges) - 1
+            range = (float(edges[0]), float(edges[-1]))
         if range is None:
             r = guess_range(df, ["__x"])["__x"]
         else:
@@ -291,12 +299,14 @@ class Plotter:
     def groupby(self, key: str) -> "Group":
         """One Plotter per group (plotter.py:992-1023). Group keys are
         discovered with a distinct scan; each member is a filter view
-        (lazy — no materialization until a verb aggregates it)."""
+        (lazy — no materialization until a verb aggregates it). Verbs the
+        Group can fuse (hist) run ONE groupBy(key, bin) job over the base
+        frame instead of one job per group — see Group.hist."""
         keys = [r[0] for r in self.t.df.select(key).distinct().orderBy(key).collect()]
         members = [
             Plotter(EzTable(self.t.df.filter(F.col(key) == k)), label=f"{key}={k}") for k in keys
         ]
-        return Group(members, keys)
+        return Group(members, keys, base=self.t, key=key)
 
     def select(self, selections: list[str], labels: list[str] | None = None) -> "Group":
         """Selection-string groups (Plotter.select, plotter.py:650-699)."""
@@ -347,11 +357,83 @@ class Plotter:
 
 class Group:
     """A set of Plotters; verbs loop and return lists (plotter.py
-    Group/looper_method 390-470)."""
+    Group/looper_method 390-470).
 
-    def __init__(self, members: list[Plotter], keys: list):
+    When built by ``Plotter.groupby`` the base frame and key column are
+    kept, so fusible verbs aggregate ALL groups in one job (a k-group
+    verb otherwise scans the data k times). Selection-built groups
+    (arbitrary predicates) fall back to the member loop."""
+
+    def __init__(self, members: list[Plotter], keys: list, base: EzTable | None = None, key: str | None = None):
         self.members = members
         self.keys = keys
+        self._base = base
+        self._key = key
+
+    def hist(self, expr: str, bins: int = 50, range: tuple | None = None, weights: str | None = None) -> list[HistResult]:
+        """Per-group histograms in ONE groupBy(key, bin) pass (plus one
+        batched per-group min/max job when range is None), split
+        driver-side — replacing k independent member jobs. Results are
+        identical to the member loop (asserted in tests): per-group
+        ranges replicate guess_range, bin math replicates BinSpec."""
+        if self._base is None:
+            return [p.hist(expr, bins=bins, range=range, weights=weights) for p in self.members]
+        base = Plotter(self._base)
+        df = base._frame_with({"__x": expr})
+        key = self._key
+        if range is not None:
+            ranges = {k: (float(range[0]), float(range[1])) for k in self.keys}
+        else:
+            got = {
+                r[0]: (r[1], r[2])
+                for r in df.groupBy(key).agg(F.min("__x"), F.max("__x")).collect()
+            }
+            ranges = {}
+            for k in self.keys:
+                lo, hi = got.get(k, (None, None))
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"group {key}={k!r} has no non-null values to infer a range from; "
+                        "pass an explicit range="
+                    )
+                ranges[k] = (float(lo), float(hi))
+        # per-group bin grid rides a broadcast join (type-generic in the
+        # key); width clamps like BinSpec.width for constant columns
+        spark = df.sparkSession
+        kfield = df.schema[key]
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        schema = StructType([
+            kfield,
+            StructField("__lo", DoubleType()),
+            StructField("__hi", DoubleType()),
+            StructField("__w", DoubleType()),
+        ])
+        rdf = spark.createDataFrame(
+            [
+                (k, lo, hi, ((hi - lo) if hi > lo else 1.0) / bins)
+                for k, (lo, hi) in ranges.items()
+            ],
+            schema,
+        )
+        x = F.col("__x")
+        joined = df.join(F.broadcast(rdf), on=key).filter(
+            (x >= F.col("__lo")) & (x <= F.col("__hi")) & ~F.isnan(x.cast("double"))
+        )
+        bin_id = F.least(F.floor((x - F.col("__lo")) / F.col("__w")), F.lit(bins - 1)).cast("long")
+        agg = F.count(F.lit(1)) if weights is None else F.sum(base._col(weights))
+        rows = joined.groupBy(F.col(key).alias("__k"), bin_id.alias("__bin")).agg(
+            agg.alias("count")
+        ).collect()
+        per_key: dict = {k: np.zeros(bins) for k in self.keys}
+        for row in rows:
+            per_key[row["__k"]][int(row["__bin"])] = row["count"]
+        return [
+            HistResult(
+                np.linspace(ranges[k][0], ranges[k][1], bins + 1), per_key[k], f"{key}={k}"
+            )
+            for k in self.keys
+        ]
 
     def __len__(self):
         return len(self.members)

@@ -34,6 +34,51 @@ def test_histogram_densifies_empty_bins(spark):
     assert sum(r["count"] for r in rows) == 2
 
 
+def test_guess_bins_matches_reference_formula(spark):
+    """guess_bins (xarray.py:23-31): dx = min spacing of sorted unique
+    values, edges = arange(min - dx/2, max + 0.6 dx, dx); histogram with
+    nbins=None must reproduce np.histogram on those edges."""
+    vals = [0.0, 0.5, 1.0, 1.5, 3.0, 3.5, 7.0, 7.0, 0.5]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+
+    from ezdata_spark.operators.binned import guess_bins, histogram
+
+    x = np.asarray(vals)
+    xu = np.sort(np.unique(x))
+    dx = np.diff(xu).min()
+    ref_edges = np.arange(xu.min() - 0.5 * dx, xu.max() + 0.6 * dx, dx)
+    got_edges = guess_bins(df, "x")
+    np.testing.assert_allclose(got_edges, ref_edges)
+
+    expected, _ = np.histogram(x, bins=ref_edges)
+    got = {r["x__bin"]: r["count"] for r in histogram(df, "x", nbins=None).collect()}
+    assert [got[i] for i in range(len(ref_edges) - 1)] == expected.tolist()
+
+
+def test_guess_bins_rejects_degenerate_and_continuous(spark):
+    from ezdata_spark.operators.binned import guess_bins
+
+    one = spark.createDataFrame([(1.0,), (1.0,)], "x double")
+    with pytest.raises(ValueError):
+        guess_bins(one, "x")
+    many = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    with pytest.raises(ValueError):
+        guess_bins(many, "x", max_distinct=50)
+
+
+def test_plotter_hist_guess_bins(spark):
+    """Plotter.hist(bins=None) puts every distinct quantized value in
+    its own bin (the reference's casual-hist default)."""
+    from ezdata_spark.plotting import Plotter
+    from ezdata_spark.table import EzTable
+
+    df = spark.createDataFrame([(float(v),) for v in [1.0, 2.0, 2.0, 4.0]], "x double")
+    h = Plotter(EzTable(df)).hist("x", bins=None)
+    centers = (h.edges[:-1] + h.edges[1:]) / 2
+    got = {round(float(c), 6): int(n) for c, n in zip(centers, h.counts) if n}
+    assert got == {1.0: 1, 2.0: 2, 4.0: 1}
+
+
 def test_binned_statistic_matches_scipy_mean(spark):
     rng = np.random.RandomState(1)
     x = rng.uniform(0, 10, 500)
@@ -51,6 +96,33 @@ def test_binned_statistic_matches_scipy_mean(spark):
         mask = (x >= i * 2) & (x < (i + 1) * 2) | ((i == 4) & (x == 10.0))
         if mask.any():
             assert got[i] == pytest.approx(v[mask].mean(), rel=1e-9)
+
+
+def test_binned_statistic_mode(spark):
+    """Datashader `mode` reduction (datashader.py:132-133): per-bin most
+    frequent value, checked against a numpy bincount mode on frames with
+    unambiguous modes (ties are engine-defined both here and in scipy)."""
+    from ezdata_spark.operators.binned import BinSpec, binned_statistic
+
+    rows = []
+    # bin 0 (x in [0,2)): values dominated by 7; bin 1: by 3
+    rows += [(0.5, 7.0)] * 5 + [(1.0, 1.0)] * 2
+    rows += [(2.5, 3.0)] * 4 + [(3.0, 9.0)]
+    df = spark.createDataFrame(rows, "x double, v double")
+    got = {
+        r["x__bin"]: r["mode"]
+        for r in binned_statistic(df, [BinSpec("x", 0.0, 4.0, 2)], "v", "mode").collect()
+    }
+    assert got == {0: 7.0, 1: 3.0}
+
+
+def test_parse_agg_mode(spark):
+    from ezdata_spark.operators.groupby import parse_agg
+    from ezdata_spark.table import EzTable
+
+    df = spark.createDataFrame([(1, 5.0), (1, 5.0), (1, 2.0)], "g int, v double")
+    out = df.groupBy("g").agg(parse_agg(EzTable(df), "mode(v)").alias("m")).collect()
+    assert out[0].m == 5.0
 
 
 # ---------------------------------------------------------------------
@@ -156,6 +228,46 @@ def test_healpix_nested_prefix_property(spark, sf_dir):
     b = add_column_healpix(a, order=4, name="h4")
     bad = b.filter(F.expr("h4 div 4") != F.col("h3")).count()
     assert bad == 0
+
+
+def test_healpix_ring_consistency_with_nested(spark, sf_dir):
+    """RING and NESTED index the SAME cell partition of the sphere, just
+    in different orders: the multiset of per-cell counts must be equal
+    at order 3, pixel ids must cover [0, 12*nside^2), and at nside=1 the
+    two orderings coincide pixel-by-pixel (a known HEALPix identity).
+    Ring-structure invariant: the first 4 RING pixels are the north
+    polar cap's first ring, the last 4 the south cap's."""
+    from ezdata_spark.functions.astro import add_column_healpix
+
+    sky = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    order = 3
+    npix = 12 * (2**order) ** 2
+    nested = add_column_healpix(sky, order=order, name="hn")
+    both = add_column_healpix(nested, order=order, name="hr", nest=False)
+    rows = both.select("hn", "hr").collect()
+    assert all(0 <= r.hr < npix for r in rows)
+    from collections import Counter
+
+    cn = Counter(r.hn for r in rows)
+    cr = Counter(r.hr for r in rows)
+    assert sorted(cn.values()) == sorted(cr.values())
+    # the nested->ring cell relabeling must be a consistent bijection
+    mapping = {}
+    for r in rows:
+        assert mapping.setdefault(r.hn, r.hr) == r.hr
+    assert len(set(mapping.values())) == len(mapping)
+
+    # nside=1: RING == NESTED identically
+    o0 = add_column_healpix(sky, order=0, name="n0")
+    o0 = add_column_healpix(o0, order=0, name="r0", nest=False)
+    assert o0.filter(F.col("n0") != F.col("r0")).count() == 0
+
+    # poles: north pole in ring pixels 0..3, south pole in the last 4
+    poles = spark.createDataFrame([(0.0, 89.9999), (0.0, -89.9999)], "ra double, dec double")
+    pr = {r.dec: r.healpix for r in add_column_healpix(poles, order=order, nest=False).collect()}
+    assert pr[89.9999] < 4 and pr[-89.9999] >= npix - 4
 
 
 def test_sphdist_known_values(spark):

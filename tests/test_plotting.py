@@ -81,6 +81,34 @@ def test_groupby_group(customer):
     assert sum(h.counts.sum() for h in hists) == in_range
 
 
+def test_group_hist_fused_matches_member_loop(customer, spark):
+    """Group.hist must equal the per-member loop exactly (explicit AND
+    guessed ranges) while running O(1) jobs, not one per group."""
+    grp = Plotter(customer).groupby("c_mktsegment")
+    loop = [p.hist("c_acctbal", bins=8, range=(-1000.0, 10000.0)) for p in grp.members]
+
+    sc = spark.sparkContext
+    sc.setJobGroup("fused-hist", "fused-hist")
+    fused = grp.hist("c_acctbal", bins=8, range=(-1000.0, 10000.0))
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("fused-hist"))
+    sc.setJobGroup("", "")
+    # O(1) in the group count: broadcast materialization + AQE stages +
+    # final collect — NOT one job per group (the member loop runs >= 5)
+    assert n_jobs <= 3, f"fused Group.hist ran {n_jobs} jobs for {len(grp)} groups"
+
+    for got, ref in zip(fused, loop):
+        np.testing.assert_array_equal(got.counts, ref.counts)
+        np.testing.assert_allclose(got.edges, ref.edges)
+        assert got.label == ref.label
+
+    # guessed (per-group) ranges also match member-wise guess_range
+    loop_g = [p.hist("c_acctbal", bins=5) for p in grp.members]
+    fused_g = grp.hist("c_acctbal", bins=5)
+    for got, ref in zip(fused_g, loop_g):
+        np.testing.assert_array_equal(got.counts, ref.counts)
+        np.testing.assert_allclose(got.edges, ref.edges)
+
+
 def test_select_groups_and_add(customer):
     g1 = Plotter(customer).select(["c_acctbal > 5000"], labels=["rich"])
     g2 = Plotter(customer).select(["c_acctbal <= 5000"], labels=["rest"])

@@ -241,3 +241,22 @@ def test_ecsv_hash_prefixed_value(spark, tmp_path):
     back = read_ecsv(spark, path)
     assert back.df.count() == 2
     assert {r["tag"] for r in back.df.collect()} == {"#note", "plain"}
+
+
+def test_to_latex_sink(spark):
+    """LaTeX tabular sink (simpletable.py:792-844): header + escaped
+    underscores + one line per row, capped at n."""
+    from ezdata_spark.sources.binary_tables import to_latex
+
+    t = EzTable(
+        spark.createDataFrame([(1, "a_b"), (2, "c"), (3, "d")], "col_id int, name string")
+    )
+    tex = to_latex(t, n=2)
+    lines = tex.splitlines()
+    assert lines[0] == "\\begin{tabular}{cc}"
+    assert lines[1] == "col\\_id & name \\\\"
+    assert lines[2] == "\\hline"
+    assert "a\\_b" in lines[3]
+    assert lines[-1] == "\\end{tabular}"
+    # n=2 cap: header(3) + 2 rows + footer
+    assert len(lines) == 6
