@@ -5,7 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Materialization uses the noop sink (full column evaluation, no driver
 transfer) so timings reflect executor work, not collect().
-"""
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 5) in
+interleaved rounds; per-query MEDIANS are reported (sub-second queries
+showed +-15% run-to-run swings at reps=1, large enough to mask real
+regressions)."""
 
 from __future__ import annotations
 
@@ -65,14 +69,19 @@ def main() -> None:
     )
     warm.groupBy("k").agg(F.count(F.lit(1))).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    import statistics
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(reps):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     sf_raw = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_raw)
@@ -84,6 +93,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reps": reps,
     }
     print(json.dumps(out))
     spark.stop()

@@ -63,7 +63,7 @@ def cosine_topk(
     Output: (qid, vec_id, cosine) with rank <= k, ties broken by id for
     determinism.
     """
-    c = normalize(corpus, vec, "cv").select(id_col, "cv")
+    c = normalize(_fan_out(corpus), vec, "cv").select(id_col, "cv")
     q = normalize(queries, vec, "qv").select(qid_col, "qv")
     scored = c.join(F.broadcast(q)).withColumn("cosine", _dot(F.col("cv"), F.col("qv")))
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -74,9 +74,26 @@ def cosine_topk(
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition CPU-bound per-row stages up to cluster parallelism.
+
+    A small parquet file arrives as 1-2 partitions (bytes-based split),
+    which serializes the interpreted-HOF bucket/dot stages on a
+    many-core executor. At real scale (many files / row groups) the
+    input already has enough partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> list[list[float]]:
+    # 6 significant digits: hyperplane directions need no more precision
+    # (sign buckets are stable far from the plane), and short literals
+    # cut the driver-side parse/analysis cost of the inlined plane
+    # matrices ~3x (they are the bulk of the query's SQL text)
     rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).astype(float).tolist()
+    return [[float(f"{x:.6g}") for x in row] for row in rng.randn(n_planes, dim)]
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -147,7 +164,7 @@ def cosine_topk_lsh(
     # buckets from RAW vectors (scale-invariant; see _sign_bucket note);
     # cosine computed once per surviving candidate after the dedup
     # shuffle has materialized the arrays
-    c = corpus.select(id_col, F.col(vec).alias("cv"))
+    c = _fan_out(corpus).select(id_col, F.col(vec).alias("cv"))
     q = queries.select(qid_col, F.col(vec).alias("qv"))
 
     planes_list = [random_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
@@ -208,7 +225,7 @@ def ivf_index(
     # argmax dot(v, c), and the inlined normalize would otherwise be
     # re-evaluated once per centroid inside the HOF (no lambda CSE);
     # the normalized "v" itself is evaluated once (single array expr)
-    raw = df.select(id_col, F.col(vec).alias("rawv"))
+    raw = _fan_out(df).select(id_col, F.col(vec).alias("rawv"))
     indexed = raw.select(
         id_col,
         F.element_at(_nearest_cells("rawv", centroids, 1), 1).alias("cell"),
@@ -293,7 +310,7 @@ def pairwise_near_dup(
     planes_list = [random_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
     # buckets from RAW vectors (scale-invariant); all tables' bucket ids
     # in one projection over one scan (see _multi_buckets)
-    b = df.select(id_col, F.col(vec).alias("v")).select(
+    b = _fan_out(df).select(id_col, F.col(vec).alias("v")).select(
         id_col, "v", F.explode(_multi_buckets("v", planes_list)).alias("tb")
     ).select(id_col, "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     a_side = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "tbl", "bucket")
