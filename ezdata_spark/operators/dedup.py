@@ -18,7 +18,7 @@ stable across runs and partitionings.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -264,4 +264,55 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 10,
+) -> DataFrame:
+    """C4-style cross-document exact segment dedup: split each document's
+    token stream into fixed ``seg_words`` segments (C4 uses newline
+    "lines"; segmentation is the parameter), keep each distinct segment
+    ONLY at its first corpus occurrence (lowest doc id, then lowest
+    position), and rebuild the surviving text.
+
+    Scale shape: explode to (segment, doc, pos) rows, one window pass
+    partitioned by segment (shuffle keyed on segment text — well
+    distributed), then groupBy(doc) to reassemble. No pairwise
+    comparisons anywhere; cost is linear in total segments.
+
+    Returns (id_col, text): the deduplicated text ('' if every segment
+    of the document occurred earlier in the corpus).
+    """
+    toks = _tokens(F.col(text))
+    # the token array is materialized as a named column first, so the
+    # segmentation transform references it once (no inlined re-tokenize)
+    exploded = (
+        df.select(id_col, toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(ceil(size(__t) / {seg_words}.0)) - 1),"
+                    f" i -> array_join(slice(__t, i * {seg_words} + 1, {seg_words}), ' '))"
+                )
+            ).alias("pos", "seg"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy(F.col(id_col), F.col("pos"))
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias(text)
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text), F.lit("")).alias(text)
     )

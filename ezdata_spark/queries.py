@@ -1007,6 +1007,189 @@ def q45(spark, sf_dir):
     return exact_dedup(load(spark, sf_dir, "documents"), ["text"], "doc_id")
 
 
+@query(
+    "q39_repetition_stats",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+               FROM documents),
+    base AS (SELECT doc_id, len(ws) AS n_words,
+               CASE WHEN len(ws) > 0
+                    THEN ROUND(1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_word_frac,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+             FROM w),
+    ex AS (SELECT doc_id, unnest(bgs) AS bg FROM base),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM ex GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words, b.dup_word_frac,
+           COALESCE(ROUND(top_c / CAST(total AS DOUBLE), 6), 0.0) AS top_bigram_frac
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def q39(spark, sf_dir):
+    """Gopher-style repetition signals (dup-word fraction, top-bigram
+    fraction). The bigram count is explode + groupBy(doc, bigram) —
+    linear shuffle rows, never an O(words^2) per-row scan."""
+    from .operators.textstats import repetition_stats
+
+    out = repetition_stats(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "q46_gopher_flags",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+               FROM documents),
+    base AS (SELECT doc_id, len(ws) AS n_words,
+               CASE WHEN len(ws) > 0
+                    THEN list_sum(list_transform(ws, x -> len(x))) / CAST(len(ws) AS DOUBLE)
+                    ELSE 0.0 END AS mean_wl,
+               len(list_filter(ws, x -> list_contains(
+                   ['the','and','of','to','a','in','is','that','it','for'], x))) AS stop_hits,
+               CASE WHEN len(ws) > 0
+                    THEN 1.0 - len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)
+                    ELSE 0.0 END AS dupf,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+             FROM w),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM base) GROUP BY doc_id, bg),
+    top AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS total FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n_words >= 20 AND b.n_words <= 100000 AS words_ok,
+           b.mean_wl >= 3.0 AND b.mean_wl <= 10.0 AS word_len_ok,
+           b.stop_hits >= 2 AS stopwords_ok,
+           b.dupf <= 0.5 AS repetition_ok,
+           COALESCE(top_c / CAST(total AS DOUBLE), 0.0) <= 0.15 AS bigram_ok,
+           (b.n_words >= 20 AND b.n_words <= 100000)
+             AND (b.mean_wl >= 3.0 AND b.mean_wl <= 10.0)
+             AND b.stop_hits >= 2 AND b.dupf <= 0.5
+             AND COALESCE(top_c / CAST(total AS DOUBLE), 0.0) <= 0.15 AS kept
+    FROM base b LEFT JOIN top USING (doc_id)
+    """,
+)
+def q46(spark, sf_dir):
+    """Gopher-rule quality gate: per-doc boolean flags + composite kept
+    (public MassiveText-style heuristics, parameterized thresholds)."""
+    from .operators.textstats import gopher_flags
+
+    return gopher_flags(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q47_pii_scan",
+    oracle=r"""
+    WITH p AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' || doc_id
+                           || '@example.com or 555-123-4567 at 10.0.0.' || (doc_id % 256)
+                      ELSE text END AS text
+               FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS redacted
+    FROM p
+    """,
+)
+def q47(spark, sf_dir):
+    """PII scan + redaction (email / phone / IPv4 via RE2-compatible
+    regexes, codegen'd). PII is planted deterministically on both sides
+    (the synthetic corpus has none) so the counts are non-trivial."""
+    from .operators.textstats import pii_scan, redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com or 555-123-4567 at 10.0.0."), F.col("doc_id") % 256,
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = redact_pii(pii_scan(planted))
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
+
+
+@query(
+    "q48_stratified_sample",
+    oracle="""
+    SELECT source, CAST(CEIL(0.2 * COUNT(*)) AS BIGINT) AS n_sampled
+    FROM documents GROUP BY source
+    """,
+)
+def q48(spark, sf_dir):
+    """Exact stratified sampling for corpus mixing: rank-by-hash within
+    stratum keeps ceil(frac*n) rows per stratum, deterministically. The
+    oracle checks the exact per-stratum counts; membership determinism
+    is pytest-checked (the hash order is engine-specific)."""
+    from .operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, "source", 0.2, "doc_id")
+    return samp.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "q49_segment_dedup",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+               FROM documents),
+    segs AS (SELECT doc_id, t.i AS pos,
+                    array_to_string(ws[(t.i*10+1):(t.i*10+10)], ' ') AS seg
+             FROM w, UNNEST(range(0, CAST(CEIL(len(ws) / 10.0) AS BIGINT))) AS t(i)
+             WHERE len(ws) > 0),
+    kept AS (SELECT doc_id, pos, seg,
+                    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+             FROM segs),
+    rebuilt AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+                FROM kept WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q49(spark, sf_dir):
+    """C4-style cross-document segment dedup: each distinct 10-word
+    segment survives only at its first corpus occurrence; text rebuilt
+    from surviving segments. Linear in total segments (window over the
+    segment key), no pairwise comparisons."""
+    from .operators.dedup import segment_dedup
+
+    return segment_dedup(load(spark, sf_dir, "documents"), seg_words=10)
+
+
+@query("q84_sequence_packing")
+def q84(spark, sf_dir):
+    """Greedy sequence packing into fixed token budgets (training-row
+    assembly). Sequential by nature -> greedy WITHIN hash shards via one
+    applyInPandas pass; pack ids globally unique. Rows-only: the
+    shard-local greedy assignment is not SQL-expressible; invariants
+    (budget, completeness, determinism) are pytest-checked."""
+    from .operators.sampling import pack_sequences
+    from .operators.textstats import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    packed = pack_sequences(toks, max_len=256, n_shards=8)
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
 @query("q74_minhash_neardup")
 def q46(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs (shingle -> 64-slot signature ->

@@ -558,3 +558,104 @@ def test_histogram_like_empty_bin_fill_policy(spark):
     assert out[0] == (1, 10.0)
     assert out[1] == (0, None)  # count fills 0, mean stays null
     assert out[2] == (1, 20.0)
+
+
+# ---------------------------------------------------------------------
+# pipeline tier round 3: repetition / gopher gate / PII / sampling /
+# packing / segment dedup
+# ---------------------------------------------------------------------
+def test_repetition_stats_known_values(spark):
+    from ezdata_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # doc1: 6 words, 2 distinct -> dup 2/3; bigrams: ab,ba,ab,ba,ab -> top 3/5
+    assert rows[1].n_words == 6
+    assert rows[1].dup_word_frac == pytest.approx(2 / 3)
+    assert rows[1].top_bigram_frac == pytest.approx(3 / 5)
+    assert rows[2].dup_word_frac == 0.0 and rows[2].top_bigram_frac == pytest.approx(1 / 3)
+    assert rows[3].n_words == 1 and rows[3].top_bigram_frac == 0.0
+
+
+def test_pii_scan_and_redact(spark):
+    from ezdata_spark.operators.textstats import pii_scan, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.org and c@d.io, call 555-123-4567, host 10.0.0.1"),
+         (2, "clean text without identifiers")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(pii_scan(df)).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 1, 1)
+    assert out[1].redacted == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IPV4>"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+    assert out[2].redacted == out[2].text
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    from ezdata_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    samp = stratified_sample(docs, "source", 0.3, "doc_id", seed=1)
+    got = {r[0]: r[1] for r in samp.groupBy("source").count().collect()}
+    import math
+
+    assert got == {k: math.ceil(0.3 * v) for k, v in per.items()}
+    ids1 = {r.doc_id for r in samp.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in stratified_sample(docs, "source", 0.3, "doc_id", seed=1)
+        .select("doc_id").collect()
+    }
+    assert ids1 == ids2  # deterministic
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids1 <= all_ids
+    # different seed -> (almost surely) different membership, same counts
+    ids3 = {
+        r.doc_id
+        for r in stratified_sample(docs, "source", 0.3, "doc_id", seed=2)
+        .select("doc_id").collect()
+    }
+    assert len(ids3) == len(ids1) and ids3 != ids1
+    # approximate variant runs and stays a subset
+    approx = stratified_sample(docs, "source", 0.3, "doc_id", exact=False)
+    assert {r.doc_id for r in approx.select("doc_id").collect()} <= all_ids
+
+
+def test_pack_sequences_invariants(spark):
+    from ezdata_spark.operators.sampling import pack_sequences
+
+    rows = [(i, int(l)) for i, l in enumerate([100, 200, 50, 300, 120, 80, 999, 10, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, max_len=256, n_shards=2).collect()
+    assert len(packed) == len(rows)  # no doc lost or duplicated
+    by_pack: dict = {}
+    for r in packed:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, members in by_pack.items():
+        budget = sum(min(m.n_tokens, 256) for m in members)
+        assert budget <= 256, f"pack {pid} over budget: {budget}"
+        assert sorted(m.pack_pos for m in members) == list(range(len(members)))
+    # oversize doc (999 tokens) sits alone in its pack
+    big = [r for r in packed if r.doc_id == 6][0]
+    assert len(by_pack[big.pack_id]) == 1
+    # deterministic across runs
+    again = {(r.doc_id, r.pack_id, r.pack_pos) for r in
+             pack_sequences(df, max_len=256, n_shards=2).collect()}
+    assert again == {(r.doc_id, r.pack_id, r.pack_pos) for r in packed}
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    from ezdata_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"),   # segs [a..j], [k l]
+         (2, "a b c d e f g h i j x y"),   # first seg dup of doc1 -> dropped
+         (3, "k l")],                      # seg dup of doc1's tail -> empty
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.text for r in segment_dedup(df, seg_words=10).collect()}
+    assert rows == {1: "a b c d e f g h i j k l", 2: "x y", 3: ""}
