@@ -58,8 +58,14 @@ def main() -> None:
     def run(name: str, df, rows_in: int | None = None):
         rin = rows_in if rows_in is not None else n
         t0 = time.perf_counter()
-        cnt = df.count()
+        d = df() if callable(df) else df  # callables run build-time jobs
+        # noop sink: FULL column evaluation. A count() here would let the
+        # optimizer eliminate outer joins against unique-key aggregates
+        # (repetition_stats / segment_dedup would time only their cheap
+        # branch).
+        d.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        cnt = d.count()  # untimed, reporting only
         results[name] = {
             "sec": round(dt, 2),
             "rows_out": cnt,
@@ -112,6 +118,38 @@ def main() -> None:
     cat_n = max(sky_n // 100, 10_000)
     run("crossmatch_cone", crossmatch_cone(sky, cat, radius_deg=0.01),
         rows_in=sky_n + cat_n)
+
+    # round-3 additions: positional ids / global lag without a
+    # single-partition stage, and the training-pipeline tier
+    from ezdata_spark.operators.window import global_row_id, lag_column
+
+    # callables: these ops run a driver-visible job (per-partition
+    # counts) at build time, which must land inside the timer
+    run("row_id_global", lambda: global_row_id(fact, ["orderkey", "partkey", "quantity"], "rid"))
+    seq = spark.range(n).select(F.col("id"), (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("v"))
+    run("lag_global", lambda: lag_column(seq, "v", "id", t=1))
+
+    from ezdata_spark.operators.sampling import pack_sequences, stratified_sample
+
+    strat = fact.withColumn("src", F.pmod(F.xxhash64("orderkey"), F.lit(1000)))
+    run("stratified_sample", lambda: stratified_sample(strat, "src", 0.1, "partkey"))
+
+    doc_n = max(n // 10, 1_000_000)
+    words = "array(" + ",".join(f"'w{i}'" for i in range(50)) + ")"
+    docs = spark.range(doc_n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, 20),"
+            f" i -> element_at({words}, cast(pmod(xxhash64(id, i), 50) + 1 AS INT))), ' ')"
+        ).alias("text"),
+    )
+    from ezdata_spark.operators.dedup import segment_dedup
+    from ezdata_spark.operators.textstats import repetition_stats, token_count
+
+    run("repetition_stats", repetition_stats(docs), rows_in=doc_n)
+    run("segment_dedup", segment_dedup(docs, seg_words=10), rows_in=doc_n)
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    run("pack_sequences", pack_sequences(toks, max_len=512), rows_in=doc_n)
 
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",
