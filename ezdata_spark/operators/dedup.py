@@ -316,3 +316,65 @@ def segment_dedup(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text), F.lit("")).alias(text)
     )
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: the final step of a
+    dedup pipeline — pair lists become clusters, each keeping one
+    representative (the minimum id).
+
+    Algorithm: min-label propagation. Every node starts labeled with its
+    own id; each round every node takes the min label over itself and
+    its neighbors; converged when no label changes. Label count halves
+    at least geometrically with graph diameter — near-dup graphs are
+    short chains/cliques, so a handful of rounds suffice; ``max_iter``
+    bounds pathological chains.
+
+    Scale shape: each round is one shuffle join (edges x labels, both
+    keyed on node) + a groupBy min; lineage is cut every round with
+    localCheckpoint so plans do not grow. The convergence check is a
+    count aggregate per round.
+
+    Returns (node, cluster_id) with cluster_id = min id of the
+    component.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -21,25 +21,36 @@ _PACK_SHIFT = 40
 def stratified_sample(
     df: DataFrame,
     stratum: str,
-    fraction: float,
+    fraction: float | dict,
     id_col: str,
     seed: int = 42,
     exact: bool = True,
 ) -> DataFrame:
-    """Per-stratum sample. ``exact=True``: deterministic rank-by-hash —
-    within each stratum rows are ordered by xxhash64(id, seed) and the
-    ``ceil(fraction * n)`` smallest kept, so the sampled COUNT per
-    stratum is exact and the selection is stable across runs/cluster
-    layouts. One shuffle on the stratum key (both windows share it).
-    A very hot stratum serializes into one task — for skewed strata or
-    when +-sqrt(n) count jitter is fine, ``exact=False`` uses Spark's
-    ``sampleBy`` (Bernoulli per row, constant memory, no shuffle).
+    """Per-stratum sample. ``fraction`` is a single rate or a
+    {stratum_value: rate} dict (corpus-mixing weights; strata absent
+    from the dict are DROPPED). ``exact=True``: deterministic
+    rank-by-hash — within each stratum rows are ordered by
+    xxhash64(id, seed) and the ``ceil(fraction * n)`` smallest kept, so
+    the sampled COUNT per stratum is exact and the selection is stable
+    across runs/cluster layouts. One shuffle on the stratum key (both
+    windows share it). A very hot stratum serializes into one task —
+    for skewed strata or when +-sqrt(n) count jitter is fine,
+    ``exact=False`` uses Spark's ``sampleBy`` (Bernoulli per row,
+    constant memory, no shuffle).
     """
     if not exact:
-        fracs = {
-            r[0]: fraction for r in df.select(stratum).distinct().collect()
-        }
+        fracs = (
+            dict(fraction)
+            if isinstance(fraction, dict)
+            else {r[0]: fraction for r in df.select(stratum).distinct().collect()}
+        )
         return df.sampleBy(stratum, fracs, seed)
+    if isinstance(fraction, dict):
+        frac_col = F.create_map(
+            *[x for k, v in fraction.items() for x in (F.lit(k), F.lit(float(v)))]
+        )[F.col(stratum)]
+    else:
+        frac_col = F.lit(float(fraction))
     w = Window.partitionBy(stratum).orderBy(
         F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col)
     )
@@ -49,8 +60,21 @@ def stratified_sample(
         .withColumn("__n", F.count(F.lit(1)).over(cw))
     )
     return ranked.filter(
-        F.col("__rk") <= F.ceil(F.lit(fraction) * F.col("__n"))
+        frac_col.isNotNull() & (F.col("__rk") <= F.ceil(frac_col * F.col("__n")))
     ).drop("__rk", "__n")
+
+
+def mix_corpus(
+    df: DataFrame,
+    stratum: str,
+    weights: dict,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus mixing: per-source sampling rates (the data-mixing step of
+    a training pipeline). Thin alias over stratified_sample with a
+    weight dict; sources not named in ``weights`` are dropped."""
+    return stratified_sample(df, stratum, weights, id_col, seed=seed)
 
 
 def pack_sequences(

@@ -326,3 +326,48 @@ def pairwise_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out_vec: str = "q",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) in [-127, 127]. 4x smaller vectors for
+    ANN candidate stages (dot products on ints, exact rescore on the
+    float originals); reconstruction error <= scale/2 per dimension.
+
+    floor(x + 0.5) instead of round(): identical semantics in every
+    engine (round() half-way tie-breaking differs), so results are
+    oracle-checkable bit-for-bit. The scale is bound through a HOF
+    lambda variable so the max-abs aggregate runs ONCE per row —
+    CollapseProject would otherwise inline it into the quantize lambda
+    and re-evaluate it per element (no CSE inside HOF lambdas)."""
+    v = df.select(id_col, F.col(vec).alias("__v"))
+    quantized = F.expr(
+        "element_at(transform("
+        " array(greatest(aggregate(__v, 0D, (a, x) -> greatest(a, abs(x))) / 127.0, 1e-30d)),"
+        " s -> struct(s AS scale, transform(__v, x -> cast(floor(x / s + 0.5d) AS INT)) AS q)"
+        "), 1)"
+    )
+    return v.select(id_col, quantized.alias("__qz")).select(
+        id_col,
+        F.col("__qz.scale").alias(scale_col),
+        F.col("__qz.q").alias(out_vec),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    q_vec: str = "q",
+    scale_col: str = "q_scale",
+    out: str = "embedding",
+) -> DataFrame:
+    """Inverse of quantize_int8: x_i ~ q_i * scale (stored attribute, no
+    recomputation risk)."""
+    return df.withColumn(
+        out, F.zip_with(F.col(q_vec), F.array_repeat(F.col(scale_col), F.size(q_vec)), lambda a, s: a * s)
+    )

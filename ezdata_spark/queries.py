@@ -1171,6 +1171,77 @@ def q49(spark, sf_dir):
     return segment_dedup(load(spark, sf_dir, "documents"), seg_words=10)
 
 
+@query(
+    "q51_corpus_mix",
+    oracle="""
+    SELECT source,
+           CAST(CEIL(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25 ELSE NULL END
+                     * COUNT(*)) AS BIGINT) AS n_sampled
+    FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY source
+    """,
+)
+def q51(spark, sf_dir):
+    """Corpus mixing: per-source sampling weights (the data-mixing step
+    before training); sources without a weight drop out. Oracle checks
+    the exact per-source counts; membership determinism is
+    pytest-checked."""
+    from .operators.sampling import mix_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    mixed = mix_corpus(docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id")
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "q58_embedding_quantize",
+    oracle=r"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    s AS (SELECT vec_id, x,
+                 GREATEST(list_max(list_transform(x, e -> abs(e))) / 127.0, 1e-30) AS q_scale
+          FROM v)
+    SELECT vec_id, ROUND(q_scale, 9) AS q_scale,
+           CAST(list_sum(list_transform(x, e -> floor(e / q_scale + 0.5))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(x, e -> abs(floor(e / q_scale + 0.5)))) AS BIGINT) AS q_max
+    FROM s
+    """,
+)
+def q58(spark, sf_dir):
+    """Per-vector int8 quantization (4x smaller ANN candidate vectors).
+    floor(x/scale + 0.5) quantization is engine-identical (round()'s
+    half-tie policy is not), so q_sum/q_max check every element."""
+    from .operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("aggregate(q, 0L, (a, x) -> greatest(a, abs(x)))").alias("q_max"),
+    )
+
+
+@query("q85_neardup_clusters")
+def q85(spark, sf_dir):
+    """Near-dup pair lists -> connected-component clusters (min-label
+    propagation, one shuffle join per round, lineage cut per round).
+    Rows-only: the iterative fixpoint is not SQL-expressible; pytest
+    checks against a driver-side union-find on the same pairs."""
+    from .operators.dedup import neardup_clusters
+    from .operators.similarity import pairwise_near_dup
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = pairwise_near_dup(emb, threshold=0.35, n_planes=3, n_tables=12)
+    clusters = neardup_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 @query("q84_sequence_packing")
 def q84(spark, sf_dir):
     """Greedy sequence packing into fixed token budgets (training-row

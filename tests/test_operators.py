@@ -659,3 +659,75 @@ def test_segment_dedup_first_occurrence_wins(spark):
     )
     rows = {r.doc_id: r.text for r in segment_dedup(df, seg_words=10).collect()}
     assert rows == {1: "a b c d e f g h i j k l", 2: "x y", 3: ""}
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Distributed min-label propagation must agree with a driver-side
+    union-find on the same pair list (chains force several rounds)."""
+    import random
+
+    rng = random.Random(0)
+    edges = [(i, i + 1) for i in range(0, 40, 1) if i % 7 != 6]  # broken chains
+    edges += [(100 + rng.randrange(10), 100 + rng.randrange(10)) for _ in range(15)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    from ezdata_spark.operators.dedup import neardup_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.cluster_id for r in neardup_clusters(pairs).collect()}
+    assert got == expected
+
+
+def test_mix_corpus_weights_and_determinism(spark, sf_dir):
+    from ezdata_spark.operators.sampling import mix_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    w = {"src0": 1.0, "src1": 0.5}
+    mixed = mix_corpus(docs, "source", w, "doc_id")
+    import math
+
+    got = {r[0]: r[1] for r in mixed.groupBy("source").count().collect()}
+    assert got == {k: math.ceil(f * per[k]) for k, f in w.items()}
+    ids1 = {r.doc_id for r in mixed.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in mix_corpus(docs, "source", w, "doc_id").select("doc_id").collect()}
+    assert ids1 == ids2
+    # unweighted sources are dropped entirely
+    kept_sources = {r[0] for r in mixed.select("source").distinct().collect()}
+    assert kept_sources == set(w)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    from ezdata_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = quantize_int8(emb)
+    # int8 range respected
+    assert q.filter(F.expr("aggregate(q, 0, (m, x) -> greatest(m, abs(x))) > 127")).count() == 0
+    d = dequantize_int8(q)
+    joined = emb.select("vec_id", F.col("embedding").alias("orig")).join(d, "vec_id")
+    viol = joined.filter(
+        F.expr("aggregate(zip_with(orig, embedding, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))")
+        > F.col("q_scale") / 2 + 1e-12
+    ).count()
+    assert viol == 0

@@ -127,3 +127,49 @@ def test_stream_stream_join(spark, events_batch):
     )
     q.awaitTermination(120)
     assert spark.table("ez_ss_join").count() == batch_df.count()
+
+
+def test_pipeline_ops_compose_with_streams(spark, tmp_path):
+    """The stateless pipeline tier (quality features, lang id, PII scan/
+    redaction, token counts) is plain column expressions, so the SAME
+    operator code must run unchanged on a readStream frame."""
+    from ezdata_spark.operators.textstats import (
+        lang_id,
+        pii_scan,
+        quality_features,
+        redact_pii,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog sat on a mat for a while today"),
+         (2, "der hund ist nicht da und die katze auch nicht"),
+         (3, "write to a.b@x.org or dial 555-123-4567 now")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = redact_pii(pii_scan(lang_id(quality_features(stream))))
+    out = out.withColumn("n_tokens", token_count("text"))
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ez_pipe_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM ez_pipe_stream").collect()}
+    assert len(rows) == 3
+    assert rows[1].lang_pred == "en" and rows[2].lang_pred == "de"
+    assert rows[3].n_email == 1 and rows[3].n_phone == 1
+    assert "<EMAIL>" in rows[3].redacted and "<PHONE>" in rows[3].redacted
+    # batch and stream produce identical values for the same input
+    batch = {r.doc_id: r for r in redact_pii(pii_scan(lang_id(quality_features(docs)))).collect()}
+    for i in (1, 2, 3):
+        assert rows[i].quality_score == batch[i].quality_score
+        assert rows[i].redacted == batch[i].redacted
