@@ -24,10 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # name-sorted: oracle-checked queries carry low numbers (within
-    # q01-q72, with holes), rows-only ones high (q73+), so any prefix of
-    # the catalog is maximally oracle-verifiable; entries past the
-    # driver's 50-name window are guarded by tests/test_oracle_gate.py
+    # name-sorted and contiguous as of round 3: q01-q72 are ALL
+    # oracle-backed, q73+ are rows-only, so any prefix of the catalog is
+    # maximally oracle-verifiable; entries past the driver's 50-name
+    # window are guarded by tests/test_oracle_gate.py
     return dict(sorted(_catalog.QUERIES.items()))
 
 

@@ -1225,6 +1225,103 @@ def q58(spark, sf_dir):
     )
 
 
+@query(
+    "q59_vocabulary",
+    oracle=r"""
+    WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> '')) AS word
+               FROM documents),
+    c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word)
+    SELECT word, CAST(n AS BIGINT) AS n FROM c
+    ORDER BY n DESC, word LIMIT 100
+    """,
+)
+def q59(spark, sf_dir):
+    """Corpus vocabulary with counts (tokenizer-training feed): explode
+    tokens + hash aggregate + deterministic top-k. The shuffle carries
+    one row per distinct word (map-side partial combine)."""
+    from .operators.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(100)
+    )
+
+
+@query(
+    "q61_doc_length_buckets",
+    oracle=r"""
+    WITH t AS (SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+                                      x -> x <> '')) AS n_tok
+               FROM documents)
+    SELECT CAST(FLOOR(LOG2(GREATEST(n_tok, 1))) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def q61(spark, sf_dir):
+    """Power-of-two document-length histogram (batch shaping / packing
+    efficiency planning): pure column arithmetic + one aggregate."""
+    from .operators.textstats import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = token_count("text")
+    return (
+        docs.select(
+            F.floor(F.log2(F.greatest(n_tok, F.lit(1)))).cast("long").alias("bucket"),
+            n_tok.alias("n_tok"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
+@query(
+    "q62_ngram_counts",
+    oracle=r"""
+    WITH w AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                        i -> ws[i] || ' ' || ws[i+1])) AS bigram
+           FROM w)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 100
+    """,
+)
+def q62(spark, sf_dir):
+    """Corpus-level bigram counts, deterministic top-k (language-model /
+    quality-signal feed). Same explode + partial-combine shape as q59;
+    the zip_with bigram build references only a bound token column."""
+    from .operators.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select(tokens("text").alias("__t"))
+    bg = toked.select(
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.zip_with(
+                    F.slice("__t", 1, F.size("__t") - 1),
+                    F.slice("__t", 2, F.size("__t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(100)
+    )
+
+
 @query("q85_neardup_clusters")
 def q85(spark, sf_dir):
     """Near-dup pair lists -> connected-component clusters (min-label
