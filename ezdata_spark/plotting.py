@@ -160,6 +160,63 @@ class Plotter:
         edges = np.linspace(lo, hi, bins + 1)
         return HistResult(edges, counts, self.label or expr)
 
+    def hist_many(
+        self, exprs: list[str], bins: int = 50, ranges: dict | None = None
+    ) -> dict[str, HistResult]:
+        """Histograms of MANY columns in ONE scan: stack the columns into
+        (name, value) rows (k-way amplification of a narrow projection),
+        bin with per-column ranges riding a broadcast join, aggregate by
+        (name, bin). At scale this reads the table once instead of once
+        per column — the k-panel diagonal of a PairGrid is one job.
+        Ranges default to one shared min/max scan (guess_range)."""
+        df = self.t.df
+        named = {f"__c{i}": e for i, e in enumerate(exprs)}
+        for n, e in named.items():
+            df = df.withColumn(n, self._col(e))
+        if ranges is None:
+            r = guess_range(df, list(named))  # ONE batched min/max job
+            ranges = {e: r[n] for n, e in named.items()}
+        stacked = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(e).alias("name"), F.col(n).cast("double").alias("v"))
+                    for n, e in named.items()
+                ])
+            ).alias("s")
+        ).select("s.name", "s.v")
+        spark = df.sparkSession
+        from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+        rdf = spark.createDataFrame(
+            [
+                (e, float(lo), float(hi), ((hi - lo) if hi > lo else 1.0) / bins)
+                for e, (lo, hi) in ranges.items()
+            ],
+            StructType([
+                StructField("name", StringType()),
+                StructField("__lo", DoubleType()),
+                StructField("__hi", DoubleType()),
+                StructField("__w", DoubleType()),
+            ]),
+        )
+        v = F.col("v")
+        joined = stacked.join(F.broadcast(rdf), "name").filter(
+            (v >= F.col("__lo")) & (v <= F.col("__hi")) & ~F.isnan(v)
+        )
+        bin_id = F.least(F.floor((v - F.col("__lo")) / F.col("__w")), F.lit(bins - 1)).cast("long")
+        rows = (
+            joined.groupBy("name", bin_id.alias("__bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {e: np.zeros(bins) for e in exprs}
+        for r in rows:
+            counts[r["name"]][int(r["__bin"])] = r["n"]
+        return {
+            e: HistResult(np.linspace(ranges[e][0], ranges[e][1], bins + 1), counts[e], e)
+            for e in exprs
+        }
+
     # -- 2-D rasters -----------------------------------------------------
     def hist2d(
         self,
@@ -466,9 +523,8 @@ class PairGrid:
         self._ranges = guess_range(self.plotter.t.df, keys)
 
     def map_diag(self) -> dict[str, HistResult]:
-        return {
-            k: self.plotter.hist(k, bins=self.bins, range=self._ranges[k]) for k in self.keys
-        }
+        # one stacked scan for all diagonal panels, not one job per key
+        return self.plotter.hist_many(self.keys, bins=self.bins, ranges=self._ranges)
 
     def map_offdiag(self) -> dict[tuple[str, str], Hist2DResult]:
         out = {}

@@ -247,3 +247,34 @@ def test_hexbin_is_nearest_center(spark):
             key=lambda i: hexdist[i],
         )
         assert hexdist[own] <= hexdist.min() + 1e-9
+
+
+def test_hist_many_matches_per_column(lineitem, spark):
+    """hist_many (one stacked scan) must equal per-column Plotter.hist
+    for both shared explicit ranges and guessed ranges, in O(1) jobs."""
+    p = Plotter(lineitem)
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    refs = {c: p.hist(c, bins=6) for c in cols}
+
+    sc = spark.sparkContext
+    # O(1) in the column count: same jobs for 1 column as for 3 (AQE
+    # splits stages into jobs, so only the GROWTH is meaningful)
+    sc.setJobGroup("hist-many-1", "hist-many-1")
+    p.hist_many(cols[:1], bins=6)
+    j1 = len(sc.statusTracker().getJobIdsForGroup("hist-many-1"))
+    sc.setJobGroup("hist-many-3", "hist-many-3")
+    got = p.hist_many(cols, bins=6)
+    j3 = len(sc.statusTracker().getJobIdsForGroup("hist-many-3"))
+    sc.setJobGroup("", "")
+    assert j3 <= j1, f"hist_many jobs grew with columns: {j1} -> {j3}"
+    for c in cols:
+        np.testing.assert_array_equal(got[c].counts, refs[c].counts)
+        np.testing.assert_allclose(got[c].edges, refs[c].edges)
+
+
+def test_pairgrid_diag_uses_single_pass(lineitem):
+    g = PairGrid(lineitem, ["l_quantity", "l_discount"], bins=5)
+    diag = g.map_diag()
+    ref_q = Plotter(lineitem).hist("l_quantity", bins=5, range=g._ranges["l_quantity"])
+    np.testing.assert_array_equal(diag["l_quantity"].counts, ref_q.counts)
+    assert set(diag) == {"l_quantity", "l_discount"}

@@ -260,3 +260,57 @@ def test_to_latex_sink(spark):
     assert lines[-1] == "\\end{tabular}"
     # n=2 cap: header(3) + 2 rows + footer
     assert len(lines) == 6
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """JSONL ingest: explicit schema, corrupt-line quarantine, gzip
+    round-trip (the sharded-corpus layout)."""
+    import gzip
+    import json as jsonlib
+
+    from ezdata_spark.sources.jsonl import read_jsonl, split_corrupt, write_jsonl
+
+    raw = tmp_path / "docs.jsonl"
+    lines = [
+        jsonlib.dumps({"doc_id": 1, "text": "hello world", "score": 0.5}),
+        jsonlib.dumps({"doc_id": 2, "text": "zweite zeile", "score": 1.5}),
+        '{"doc_id": 3, "text": "broken',  # corrupt line
+    ]
+    raw.write_text("\n".join(lines) + "\n")
+
+    t = read_jsonl(spark, str(raw), schema="doc_id long, text string, score double")
+    good, bad = split_corrupt(t.df)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1 and "broken" in bad.collect()[0][0]
+
+    out = tmp_path / "out"
+    write_jsonl(good, str(out), compression="gzip")
+    import glob
+
+    files = glob.glob(f"{out}/*.json.gz")
+    assert files
+    with gzip.open(files[0], "rt") as fh:
+        assert jsonlib.loads(fh.readline())["text"] in {"hello world", "zweite zeile"}
+    back = read_jsonl(spark, str(out), schema="doc_id long, text string, score double")
+    g2, b2 = split_corrupt(back.df)
+    assert {r.doc_id for r in g2.collect()} == {1, 2} and b2.count() == 0
+
+
+def test_jsonl_schema_inference_needs_optin(spark, tmp_path):
+    from ezdata_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\n')
+    with pytest.raises(ValueError, match="sample_fraction"):
+        read_jsonl(spark, str(p))
+    t = read_jsonl(spark, str(p), sample_fraction=1.0)
+    assert {r.a for r in t.df.select("a").collect()} == {1, 2}
+
+
+def test_jsonl_corrupt_lines_scale_path(spark, tmp_path):
+    from ezdata_spark.sources.jsonl import corrupt_lines
+
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"a": 1}\n{broken\n{}\n')
+    bad = corrupt_lines(spark, str(p), "a long").collect()
+    assert len(bad) == 1 and "{broken" in bad[0][0]  # {} is valid, not flagged
