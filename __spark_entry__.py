@@ -24,10 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # name-sorted and contiguous as of round 3: q01-q72 are ALL
-    # oracle-backed, q73+ are rows-only, so any prefix of the catalog is
-    # maximally oracle-verifiable; entries past the driver's 50-name
-    # window are guarded by tests/test_oracle_gate.py
+    # name-sorted and contiguous: q01-q72 and q86-q90 are oracle-backed,
+    # q73-q85 and q91 are rows-only (non-SQL-expressible: Spark-specific
+    # hashes, KMeans, iterative fixpoints). Entries past the driver's
+    # 50-name window are guarded by tests/test_oracle_gate.py
     return dict(sorted(_catalog.QUERIES.items()))
 
 

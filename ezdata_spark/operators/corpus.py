@@ -1,0 +1,309 @@
+"""Corpus-level scoring and curation operators for LLM training-data
+pipelines: benchmark decontamination, TF-IDF / BM25 relevance, per-key
+caps, unigram-LM quality scoring, and embedding semantic dedup.
+
+These extend the reference's table verbs (SURVEY.md §7 phase 9 tier)
+with the curation steps a 100 TB pretraining pipeline runs between raw
+ingest and packing. Everything is built-in column expressions + hash
+aggregates / equi-joins — the shuffle carries distinct (doc, term) or
+(key) rows, never raw text twice, and no Python touches the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
+
+from .textstats import token_count, tokens
+
+__all__ = [
+    "word_ngrams",
+    "decontaminate",
+    "tf_idf_top_terms",
+    "bm25_scores",
+    "cap_per_key",
+    "unigram_logprob",
+    "semantic_dedup",
+]
+
+
+def word_ngrams(text, n: int) -> Column:
+    """Array of space-joined word ``n``-grams (lowercased, whitespace
+    tokenized); empty array when the doc has fewer than ``n`` tokens.
+    One pass over the token array — `slice` with a column start keeps
+    it a single projection, no explode until the caller asks."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - n + 1),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hash_ngrams: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with a held-out benchmark set (the standard n-gram
+    overlap test used before pretraining; n=8..13 in practice).
+
+    Returns ``docs`` + ``n_hit`` (distinct contaminated n-grams per doc)
+    + ``contaminated``. Scale shape: both sides reduce to DISTINCT
+    (id, ngram) pairs before the equi-join, so the shuffle carries
+    distinct n-grams, not positions; the benchmark side is a distinct
+    n-gram set (typically thousands of rows -> auto-broadcast). With
+    ``hash_ngrams=True`` the join key is xxhash64(ngram) — 8 bytes
+    instead of the string — for the 100 TB run (oracle queries keep
+    strings so DuckDB can replicate).
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_ngrams else (lambda c: c)
+    doc_grams = (
+        docs.select(F.col(id_col), F.explode(word_ngrams(text, n)).alias("ng"))
+        .select(id_col, key(F.col("ng")).alias("ng"))
+        .distinct()
+    )
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text, n)).alias("ng"))
+        .select(key(F.col("ng")).alias("ng"))
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(bench_grams, "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hit") > 0)
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smooth idf,
+    ``ln((N+1)/(df+1)) + 1`` as in scikit-learn's TfidfTransformer).
+
+    Returns (id, term, tf, tfidf, rank), rank 1..k, deterministic
+    tiebreak (score desc, term asc). Scale shape: one explode ->
+    (doc, term) hash aggregate with map-side partial combine; document
+    frequencies derive from that same aggregate (term cardinality
+    shuffle, auto-broadcast back); N is a 1-row aggregate folded in by
+    cross join, never a driver collect. The top-k window partitions by
+    doc — millions of small partitions, no global sort.
+    """
+    # persist the (doc, term) aggregate: both the scoring side and the
+    # document-frequency side read it, and without the cache Catalyst
+    # plans the token-explode scan twice (no cross-subtree CSE). A
+    # windowed count-over-term would avoid the cache but shuffles the
+    # full frame on term — skewed on stopwords — so groupBy + broadcast
+    # join on the term aggregate is the scale shape. Spill-safe level;
+    # LRU-evictable (no unpersist handle — the frame is the aggregated
+    # (doc, term) counts, far smaller than the corpus).
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+    # rank on the ROUNDED score so the ordering (hence rank) is stable
+    # across engines that may differ in the last ulp of ln()
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms
+    (``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, standard k1/b).
+
+    Returns (id, score) for docs matching at least one term. Scale
+    shape: term frequencies only materialize for the query's terms (the
+    explode is filtered by an isin on the literal term list before the
+    aggregate), avgdl/N are 1-row aggregates folded in via broadcast
+    cross join, and the per-doc sum is one hash aggregate.
+    """
+    terms = [t.lower() for t in query_terms]
+    # persisted: read by the avgdl scalar AND the per-doc join — one
+    # length scan instead of two (two longs per doc, trivially cached)
+    lens = docs.select(F.col(id_col), token_count(text).alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text)).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_term = (
+        tf.join(df_t, "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return per_term.groupBy(id_col).agg(F.round(F.sum("part"), 6).alias("score"))
+
+
+def cap_per_key(
+    df: DataFrame,
+    key: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key`` value (per-source /
+    per-domain caps, the standard anti-over-representation step in web
+    corpus curation).
+
+    Selection is a deterministic pseudo-random order — Knuth
+    multiplicative hash of the id (``(id * 2654435761) mod 2^32``) —
+    so the kept subset is stable across runs/engines yet uncorrelated
+    with insertion order. Scale shape: one shuffle on ``key``; each
+    key's partition is capped independently (window row_number, no
+    global sort). Skewed domains are exactly the rows this op removes,
+    and the heaviest key still fits one task at cap sizes in practice;
+    for pathological skew, pre-filter with a sampled count.
+    """
+    order = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    w = Window.partitionBy(key).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    add-one-smoothed unigram LM — the cheap perplexity proxy used as a
+    quality filter (high avg_nll = unusual token mix).
+
+    ``p(w) = (c_w + 1) / (T + V)`` with corpus totals T (tokens) and V
+    (vocabulary). Returns (id, n_tok, avg_nll). Scale shape: the LM is
+    the (word, count) aggregate — vocabulary-sized, auto-broadcast back
+    onto the per-doc term counts; corpus totals are a 1-row fold-in.
+    Docs with zero tokens are dropped (no defined mean).
+    """
+    # persisted: the LM, the corpus totals, and the scoring join all
+    # derive from this aggregate — without the cache the token-explode
+    # scan is planned three times (same rationale as tf_idf_top_terms)
+    term = (
+        docs.select(F.col(id_col), F.explode(tokens(text)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lm = term.groupBy("w").agg(F.sum("c").alias("cw"))
+    totals = lm.agg(
+        F.sum("cw").alias("t_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    return (
+        term.join(lm, "w")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            -F.log((F.col("cw") + 1) / (F.col("t_tokens") + F.col("vocab"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6).alias("avg_nll"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: KMeans-cluster the
+    embeddings (IVF coarse cells), compare pairs only WITHIN a cell,
+    and keep one representative (min id) per near-duplicate group.
+
+    Returns (id, cell, keep). Scale shape: candidate generation is an
+    equi-join on the cell id — cost is the sum of squared cell sizes,
+    ~n^2/n_cells for balanced cells, and n_cells grows with the corpus
+    (sqrt(n) rule) so per-cell work stays bounded; the grouping step is
+    the same min-label propagation as near-dup clustering. Cross-cell
+    near-dups are missed by construction — that is SemDeDup's stated
+    approximation (arXiv:2303.09540), controlled by n_cells.
+    """
+    from .dedup import neardup_clusters
+    from .similarity import ivf_index
+
+    indexed, _ = ivf_index(df, vec, id_col, n_cells=n_cells, seed=seed)
+    a = indexed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell")
+    b = indexed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = neardup_clusters(pairs)  # (node, cluster_id=min id of group)
+    return (
+        indexed.select(F.col(id_col), "cell")
+        .join(clusters.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn(
+            "keep",
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)),
+        )
+        .select(id_col, "cell", "keep")
+    )

@@ -2069,3 +2069,176 @@ def q72(spark, sf_dir):
 
     df = load(spark, sf_dir, "customer")
     return histogram_like(df, "c_acctbal", [-1000.0, 0.0, 100.0, 2500.0, 10000.0])
+
+
+# =====================================================================
+# documents/embeddings: corpus curation tier (decontamination, ranking,
+# caps, LM scoring, semantic dedup) — operators/corpus.py
+# =====================================================================
+
+@query(
+    "q86_decontaminate",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) - 1),
+                                       i -> array_to_string(ws[i:i+2], ' '))) AS ng
+          FROM w WHERE len(ws) >= 3),
+    gd AS (SELECT DISTINCT doc_id, ng FROM g),
+    bench AS (SELECT DISTINCT ng FROM gd WHERE doc_id % 97 = 0),
+    hits AS (SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM gd JOIN bench USING (ng)
+             WHERE gd.doc_id % 97 <> 0 GROUP BY gd.doc_id)
+    SELECT d.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q86(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with a held-out set (doc_id % 97 == 0 stands in for the
+    benchmark). Distinct (doc, ngram) on both sides before the
+    equi-join, so the shuffle never carries positions."""
+    from .operators.corpus import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3).select("doc_id", "n_hit", "contaminated")
+
+
+@query(
+    "q87_tfidf_topterms",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                      ROUND(tf.tf * (ln((n.n_docs + 1) / (dft.df + 1)) + 1.0),
+                            6) AS tfidf
+               FROM tf JOIN dft USING (term) CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, tf, tfidf,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+               FROM scored)
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q87(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (smooth idf). One explode ->
+    (doc, term) hash aggregate; doc frequencies reuse that aggregate;
+    top-k windows partition by doc (no global sort). Rank is computed
+    on the ROUNDED score so cross-engine ln() ulp drift cannot flip
+    the ordering."""
+    from .operators.corpus import tf_idf_top_terms
+
+    return tf_idf_top_terms(load(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "q88_bm25_search",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS term
+                 FROM documents),
+    lens AS (SELECT doc_id,
+                    len(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS dl
+             FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ('spark', 'table', 'hash')
+           GROUP BY doc_id, term),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    per AS (SELECT tf.doc_id,
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS part
+            FROM tf JOIN dft d USING (term) JOIN lens l USING (doc_id)
+            CROSS JOIN stats s)
+    SELECT doc_id, ROUND(SUM(part), 6) AS score FROM per GROUP BY doc_id
+    """,
+)
+def q88(spark, sf_dir):
+    """Okapi BM25 scores for a 3-term query over the corpus. Term
+    frequencies only materialize for the query's terms (isin filter
+    before the aggregate); corpus stats fold in via a broadcast
+    cross join."""
+    from .operators.corpus import bm25_scores
+
+    return bm25_scores(load(spark, sf_dir, "documents"), ["spark", "table", "hash"])
+
+
+@query(
+    "q89_source_caps",
+    oracle="""
+    WITH r AS (SELECT doc_id, source,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                      ) AS rn
+               FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 10
+    """,
+)
+def q89(spark, sf_dir):
+    """Per-source document caps (anti-over-representation): keep 10
+    docs per source, chosen by a deterministic Knuth-hash order so the
+    subset is stable across runs and engines."""
+    from .operators.corpus import cap_per_key
+
+    docs = load(spark, sf_dir, "documents")
+    return cap_per_key(docs, "source", cap=10).select("doc_id", "source")
+
+
+@query(
+    "q90_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS w
+                 FROM documents),
+    term AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+             FROM tok GROUP BY doc_id, w),
+    lm AS (SELECT w, SUM(c) AS cw FROM term GROUP BY w),
+    tot AS (SELECT SUM(cw) AS t_tokens, count(*) AS vocab FROM lm)
+    SELECT term.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
+           ROUND(SUM(c * (-ln((cw + 1) / (t_tokens + vocab)))) / SUM(c),
+                 6) AS avg_nll
+    FROM term JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY term.doc_id
+    """,
+)
+def q90(spark, sf_dir):
+    """Per-doc mean negative log-prob under the corpus's own add-one
+    unigram LM (cheap perplexity-proxy quality filter). The LM is the
+    vocabulary-sized (word, count) aggregate, broadcast back onto the
+    per-doc term counts."""
+    from .operators.corpus import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+@query("q91_semantic_dedup")
+def q91(spark, sf_dir):
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): KMeans cells,
+    within-cell cosine pairs, keep min id per near-dup group.
+    Rows-only: KMeans centroids are Spark-specific; pytest checks the
+    keep-set against a driver-side brute force within cells."""
+    from .operators.corpus import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup(emb, threshold=0.35, n_cells=8)

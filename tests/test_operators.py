@@ -731,3 +731,159 @@ def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
         > F.col("q_scale") / 2 + 1e-12
     ).count()
     assert viol == 0
+
+
+# ---------------------------------------------------------------------
+# corpus curation tier (operators/corpus.py): decontamination, TF-IDF,
+# BM25, per-key caps, unigram LM, semantic dedup
+# ---------------------------------------------------------------------
+def test_decontaminate_known_overlap(spark):
+    from ezdata_spark.operators.corpus import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox"
+            (2, "a totally different sentence here"),
+            (3, "quick brown fox quick brown fox"),  # same 3-gram twice -> 1 distinct hit
+            (4, "ab"),                           # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "lazy quick brown fox sleeps")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_hit, r.contaminated)
+           for r in decontaminate(train, bench, n=3).collect()}
+    assert got == {1: (1, True), 2: (0, False), 3: (1, True), 4: (0, False)}
+
+    hashed = {r.doc_id: (r.n_hit, r.contaminated)
+              for r in decontaminate(train, bench, n=3, hash_ngrams=True).collect()}
+    assert hashed == got  # hashing the join key must not change the result
+
+
+def test_tfidf_matches_manual(spark):
+    import math
+
+    from ezdata_spark.operators.corpus import tf_idf_top_terms
+
+    corpus = [(0, "a a b"), (1, "a c"), (2, "b b b d")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {(r.doc_id, r.term): (r.tf, r.tfidf, r.rank)
+           for r in tf_idf_top_terms(df, k=2).collect()}
+
+    n = 3
+    dfreq = {"a": 2, "b": 2, "c": 1, "d": 1}
+    for doc_id, text in corpus:
+        toks = text.split()
+        tf = {t: toks.count(t) for t in set(toks)}
+        scored = sorted(
+            (
+                (round(c * (math.log((n + 1) / (dfreq[t] + 1)) + 1.0), 6), t, c)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for rank, (s, t, c) in enumerate(scored, 1):
+            assert got[(doc_id, t)] == (c, pytest.approx(s, abs=1e-6), rank)
+
+
+def test_bm25_matches_manual(spark):
+    import math
+
+    from ezdata_spark.operators.corpus import bm25_scores
+
+    corpus = [(0, "x y x z"), (1, "x q q"), (2, "w w w w w w")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["x", "w"]).collect()}
+
+    n, k1, b = 3, 1.2, 0.75
+    lens = {0: 4, 1: 3, 2: 6}
+    avgdl = sum(lens.values()) / n
+    tf = {(0, "x"): 2, (1, "x"): 1, (2, "w"): 6}
+    dfreq = {"x": 2, "w": 1}
+    expected: dict = {}
+    for (d, t), f in tf.items():
+        idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        part = idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * lens[d] / avgdl))
+        expected[d] = expected.get(d, 0.0) + part
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d], abs=1e-6)
+
+
+def test_cap_per_key_cap_and_determinism(spark, sf_dir):
+    from ezdata_spark.operators.corpus import cap_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = cap_per_key(docs, "source", cap=3)
+    counts = {r.source: r.n for r in
+              capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n_full in full.items():
+        assert counts[src] == min(3, n_full)
+    # deterministic: same subset on a second evaluation
+    ids1 = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in cap_per_key(docs, "source", cap=3)
+                  .select("doc_id").collect())
+    assert ids1 == ids2
+
+
+def test_unigram_logprob_matches_manual(spark):
+    import math
+
+    from ezdata_spark.operators.corpus import unigram_logprob
+
+    corpus = [(0, "a a b"), (1, "b c")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.avg_nll) for r in unigram_logprob(df).collect()}
+
+    cw = {"a": 2, "b": 2, "c": 1}
+    t_tokens, vocab = 5, 3
+    for doc_id, text in corpus:
+        toks = text.split()
+        nll = sum(-math.log((cw[t] + 1) / (t_tokens + vocab)) for t in toks) / len(toks)
+        assert got[doc_id][0] == len(toks)
+        assert got[doc_id][1] == pytest.approx(nll, abs=1e-6)
+
+
+def test_semantic_dedup_within_cell_brute_force(spark):
+    """The keep-set must equal a driver-side brute force: within each
+    KMeans cell, connected components over cosine>=t pairs keep only
+    the min id."""
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 8)
+    # plant exact duplicate groups: (30,0), (31,1), (32,1)
+    vecs = np.vstack([base, base[0:1], base[1:2], base[1:2]])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    from ezdata_spark.operators.corpus import semantic_dedup
+
+    got = {r.vec_id: (r.cell, r.keep) for r in
+           semantic_dedup(df, threshold=0.999, n_cells=4, seed=1).collect()}
+    assert len(got) == len(vecs)
+
+    # brute force using the SAME cell assignment the operator produced
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    parent = {i: i for i in range(len(vecs))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if got[i][0] == got[j][0] and float(norm[i] @ norm[j]) >= 0.999:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    expected_keep = {i: find(i) == i for i in range(len(vecs))}
+    assert {i: k for i, (_, k) in got.items()} == expected_keep
+    # exact duplicates share a nearest centroid, so drops must happen:
+    # 30 duplicates 0, and {31, 32} duplicate 1 -> exactly 3 dropped
+    assert sum(not k for k in expected_keep.values()) == 3

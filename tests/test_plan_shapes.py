@@ -21,11 +21,18 @@ SF_DIR = "/root/testdata/sf0.001"
 # - q27/q28 (histogram densify): the BNLJ is the bin-grid construction —
 #   a crossJoin of generated/distinct frames whose size is bins x
 #   categories, bounded by construction and independent of data rows.
+# - q87/q88/q90 (corpus scoring): crossJoin(broadcast(1-row aggregate))
+#   — corpus totals (N, avgdl, T/V) folded onto every row. The BNLJ's
+#   build side is exactly one row by construction (an ungrouped agg),
+#   so it is a broadcast scalar fold-in: O(n) stream, no shuffle.
 BNLJ_ALLOWED = {
     "q50_cosine_topk",
     "q52_embedding_neardup",
     "q27_histogram_2d_weighted",
     "q28_binned_statistic_cat",
+    "q87_tfidf_topterms",
+    "q88_bm25_search",
+    "q90_unigram_logprob",
 }
 
 
@@ -45,7 +52,34 @@ def test_plan_shape(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join in plan (non-equi or keyless join?)"
         )
-    if "Window" in plan:
-        assert "Exchange SinglePartition" not in plan, (
-            f"{name}: window over a single-partition exchange (global sort funnel)"
+    for parent in _single_partition_parents(plan):
+        # an ungrouped (scalar) aggregate's final reduce legitimately
+        # runs on one partition — its input is 1 row per upstream task.
+        # The anti-pattern is a Sort/Window funnel: ALL data rows
+        # through one task.
+        assert not parent.startswith(("Sort", "Window", "WindowGroupLimit")), (
+            f"{name}: single-partition exchange feeding {parent.split(' ')[0]} "
+            f"(global sort funnel)"
         )
+
+
+def _single_partition_parents(plan: str) -> list[str]:
+    """Operator name of the tree-parent of every `Exchange
+    SinglePartition` node (parent = nearest preceding line at lower
+    tree depth, per the ASCII plan art)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = max(line.find("+- "), line.find(":- "))
+        return m if m >= 0 else -1  # root
+
+    parents = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for j in range(i - 1, -1, -1):
+            if depth(lines[j]) < d:
+                parents.append(lines[j].strip().lstrip("+-:").strip())
+                break
+    return parents
