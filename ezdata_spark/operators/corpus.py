@@ -21,11 +21,15 @@ from .textstats import token_count, tokens
 __all__ = [
     "word_ngrams",
     "decontaminate",
+    "decontaminate_stateless",
     "tf_idf_top_terms",
     "bm25_scores",
     "cap_per_key",
     "unigram_logprob",
     "semantic_dedup",
+    "filter_funnel",
+    "split_by_hash",
+    "curate",
 ]
 
 
@@ -306,4 +310,129 @@ def semantic_dedup(
             F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col)),
         )
         .select(id_col, "cell", "keep")
+    )
+
+
+def filter_funnel(
+    df: DataFrame,
+    gates: list[tuple[str, Column]],
+) -> DataFrame:
+    """Retention report for a gate cascade: how many rows survive each
+    successive filter (the per-stage accounting every curation run
+    reports). Returns (stage, n_kept) with a leading 'total' row;
+    gate i's count applies gates 1..i cumulatively.
+
+    Scale shape: ONE pass — the cumulative AND flags are plain columns
+    (window-expression gates like "first copy of this text" are
+    evaluated in the select, so their shuffles happen once), then a
+    single ungrouped aggregate reduces to one row, unpivoted driver-free
+    via ``stack``.
+    """
+    flags = []
+    cum = None
+    for i, (_, cond) in enumerate(gates):
+        cum = cond if cum is None else (cum & cond)
+        flags.append(cum.cast("long").alias(f"__g{i}"))
+    flagged = df.select(*flags)
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(f"__g{i}").alias(f"__s{i}") for i in range(len(gates))
+    ]
+    row = flagged.agg(*aggs)
+    pairs = ["'total', __total"] + [
+        f"'{name}', __s{i}" for i, (name, _) in enumerate(gates)
+    ]
+    n = len(pairs)
+    return row.selectExpr(f"stack({n}, {', '.join(pairs)}) AS (stage, n_kept)")
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    out: str = "split",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: Knuth-hash the id into
+    ``n_buckets`` buckets and carve them by cumulative fraction. Same
+    id -> same split on every run and engine (pure integer arithmetic,
+    no RNG state), docs never leak across splits when the corpus grows
+    — the standard held-out-split contract.
+
+    ``fractions`` must sum to 1 (within 1e-9); each split gets
+    round(frac * n_buckets) buckets, the last absorbs rounding.
+    Scale shape: one projection, no shuffle.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)) % n_buckets
+    names = list(fractions)
+    edges = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        edges.append(int(round(acc * n_buckets)))
+    case = None
+    for name, edge in zip(names[:-1], edges):
+        cond = bucket < edge
+        case = F.when(cond, name) if case is None else case.when(cond, name)
+    case = F.lit(names[-1]) if case is None else case.otherwise(names[-1])
+    return df.withColumn(out, case)
+
+
+def curate(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+    max_chars: int = 10**9,
+    langs: list[str] | None = None,
+    lang_col: str = "lang",
+    cap: int | None = None,
+    cap_key: str = "source",
+) -> DataFrame:
+    """End-to-end curation composition: length gate -> language gate ->
+    exact-duplicate removal (first copy by lowest id wins) -> per-key
+    cap. The one-call path from raw corpus to training candidate set;
+    each stage is the same operator exposed individually, so the funnel
+    (`filter_funnel`) can report the identical cascade.
+
+    Scale shape: gates are pushed-down filters; dedup is one window
+    pass keyed on the text (shuffle on text hash, no pairwise
+    comparisons); the cap is one window pass keyed on ``cap_key``.
+    """
+    gated = df.filter(F.length(F.col(text)).between(min_chars, max_chars))
+    if langs is not None:
+        gated = gated.filter(F.col(lang_col).isin(langs))
+    w = Window.partitionBy(text)
+    first = (
+        gated.withColumn("__m", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__m"))
+        .drop("__m")
+    )
+    return first if cap is None else cap_per_key(first, cap_key, cap, id_col)
+
+
+def decontaminate_stateless(
+    docs: DataFrame,
+    bench_ngrams: list[str],
+    text: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Stateless decontamination for STREAMS and bounded benchmark sets:
+    the benchmark's n-gram set is folded into the plan as an array
+    literal, and each doc is flagged by `arrays_overlap` — no join, no
+    aggregation, so it runs unchanged under Structured Streaming append
+    mode (the batch `decontaminate` needs a per-doc aggregate that
+    streams only with watermarked state).
+
+    Use when the benchmark n-gram set is small enough to broadcast as a
+    literal (typical eval suites: 10^4-10^6 n-grams); beyond that, the
+    static-frame `decontaminate` with `hash_ngrams=True` is the batch
+    path.
+    """
+    bench = F.array(*[F.lit(g) for g in sorted(set(bench_ngrams))])
+    return docs.withColumn(
+        "contaminated", F.arrays_overlap(word_ngrams(text, n), bench)
     )

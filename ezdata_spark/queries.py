@@ -2242,3 +2242,94 @@ def q91(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     return semantic_dedup(emb, threshold=0.35, n_cells=8)
+
+
+@query(
+    "q92_filter_funnel",
+    oracle="""
+    WITH f AS (SELECT n_chars BETWEEN 60 AND 400 AS g1,
+                      lang IN ('en', 'de') AS g2,
+                      doc_id = MIN(doc_id) OVER (PARTITION BY text) AS g3
+               FROM documents),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                 CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS len_ok,
+                 CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS lang_ok,
+                 CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS first_copy
+          FROM f)
+    SELECT 'total' AS stage, total AS n_kept FROM s
+    UNION ALL SELECT 'len_ok', len_ok FROM s
+    UNION ALL SELECT 'lang_ok', lang_ok FROM s
+    UNION ALL SELECT 'first_copy', first_copy FROM s
+    """,
+)
+def q92(spark, sf_dir):
+    """Curation retention funnel: cumulative survivor counts through a
+    length gate, a language gate, and first-copy exact dedup — one pass,
+    one ungrouped aggregate, stack-unpivoted (no collect)."""
+    from pyspark.sql import Window
+
+    from .operators.corpus import filter_funnel
+
+    docs = load(spark, sf_dir, "documents")
+    first_copy = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("text"))
+    return filter_funnel(
+        docs,
+        [
+            ("len_ok", F.col("n_chars").between(60, 400)),
+            ("lang_ok", F.col("lang").isin(["en", "de"])),
+            ("first_copy", first_copy),
+        ],
+    )
+
+
+@query(
+    "q93_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9000 THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q93(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5): Knuth-hash bucket
+    carving — same id always lands in the same split, on any engine,
+    with no RNG state. One projection, no shuffle."""
+    from .operators.corpus import split_by_hash
+
+    docs = load(spark, sf_dir, "documents")
+    return split_by_hash(
+        docs, fractions={"train": 0.90, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+@query(
+    "q94_curate_pipeline",
+    oracle="""
+    WITH gated AS (SELECT * FROM documents
+                   WHERE len(text) BETWEEN 60 AND 400 AND lang IN ('en', 'de')),
+    first AS (SELECT * FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS m FROM gated)
+              WHERE doc_id = m),
+    capped AS (SELECT doc_id, source, lang,
+                      row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                      ) AS rn
+               FROM first)
+    SELECT doc_id, source, lang FROM capped WHERE rn <= 8
+    """,
+)
+def q94(spark, sf_dir):
+    """End-to-end curation: length gate -> language gate -> first-copy
+    exact dedup -> per-source cap, composed from the individual
+    operators (the one-call raw-corpus -> candidate-set path)."""
+    from .operators.corpus import curate
+
+    docs = load(spark, sf_dir, "documents")
+    out = curate(
+        docs, min_chars=60, max_chars=400, langs=["en", "de"], cap=8
+    )
+    return out.select("doc_id", "source", "lang")

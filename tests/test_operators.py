@@ -887,3 +887,86 @@ def test_semantic_dedup_within_cell_brute_force(spark):
     # exact duplicates share a nearest centroid, so drops must happen:
     # 30 duplicates 0, and {31, 32} duplicate 1 -> exactly 3 dropped
     assert sum(not k for k in expected_keep.values()) == 3
+
+
+def test_filter_funnel_counts(spark):
+    from ezdata_spark.operators.corpus import filter_funnel
+
+    df = spark.createDataFrame(
+        [(i, "x" * (10 if i % 2 else 100), "en" if i < 6 else "fr") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r.stage: r.n_kept for r in filter_funnel(
+        df,
+        [
+            ("long_enough", F.length("text") > 50),   # even ids: 0,2,4,6
+            ("lang_en", F.col("lang") == "en"),       # ids < 6 -> 0,2,4
+        ],
+    ).collect()}
+    assert got == {"total": 8, "long_enough": 4, "lang_en": 3}
+
+
+def test_split_by_hash_cover_disjoint_deterministic(spark, sf_dir):
+    from ezdata_spark.operators.corpus import split_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    split = split_by_hash(docs, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n          # total cover, no dropped rows
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)  # proportions roughly honored
+    # same id -> same split on re-evaluation
+    a = {r.doc_id: r.split for r in split.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in
+         split_by_hash(docs, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+         .select("doc_id", "split").collect()}
+    assert a == b
+
+    with pytest.raises(ValueError):
+        split_by_hash(docs, fractions={"train": 0.5, "val": 0.1})
+
+
+def test_curate_composition(spark):
+    from ezdata_spark.operators.corpus import curate
+
+    df = spark.createDataFrame(
+        [
+            (0, "keep me please today", "en", "s1"),
+            (1, "keep me please today", "en", "s1"),   # exact dup of 0 -> dropped
+            (2, "tiny", "en", "s1"),                    # too short
+            (3, "une phrase assez longue", "fr", "s1"), # wrong lang
+            (4, "another good document here", "en", "s1"),
+            (5, "yet another fine document", "en", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = sorted(r.doc_id for r in
+                 curate(df, min_chars=10, max_chars=100, langs=["en"], cap=5).collect())
+    assert got == [0, 4, 5]
+
+
+def test_decontaminate_stateless_matches_static(spark):
+    from ezdata_spark.operators.corpus import (
+        decontaminate,
+        decontaminate_stateless,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "a different sentence entirely")],
+        "doc_id long, text string",
+    )
+    bench_df = spark.createDataFrame(
+        [(9, "lazy quick brown fox naps")], "doc_id long, text string"
+    )
+    bench_grams = [
+        r.ng for r in bench_df.select(
+            F.explode(word_ngrams("text", 3)).alias("ng")).distinct().collect()
+    ]
+    static = {r.doc_id: r.contaminated for r in
+              decontaminate(docs, bench_df, n=3).collect()}
+    stateless = {r.doc_id: r.contaminated for r in
+                 decontaminate_stateless(docs, bench_grams, n=3).collect()}
+    assert stateless == static == {1: True, 2: False}

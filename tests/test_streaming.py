@@ -173,3 +173,46 @@ def test_pipeline_ops_compose_with_streams(spark, tmp_path):
     for i in (1, 2, 3):
         assert rows[i].quality_score == batch[i].quality_score
         assert rows[i].redacted == batch[i].redacted
+
+
+def test_decontaminate_stateless_on_stream(spark, tmp_path):
+    """Stateless decontamination (arrays_overlap vs a literal benchmark
+    n-gram set) must run under Structured Streaming append mode with
+    values identical to batch — no state, no watermark needed."""
+    import pandas as pd
+
+    from ezdata_spark.operators.corpus import decontaminate_stateless
+
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "omega psi chi phi",
+                "beta gamma delta epsilon",
+            ],
+        }
+    ).to_parquet(src)
+    batch_df = spark.read.parquet(src)
+    bench = ["alpha beta gamma", "beta gamma delta"]
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .format("parquet")
+        .load(str(tmp_path) + "/*.parquet")
+    )
+    flagged = decontaminate_stateless(stream, bench, n=3)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id: r.contaminated
+           for r in spark.sql("select * from decontam_stream").collect()}
+    expected = {r.doc_id: r.contaminated
+                for r in decontaminate_stateless(batch_df, bench, n=3).collect()}
+    assert got == expected == {1: True, 2: False, 3: True}
