@@ -39,6 +39,10 @@ HEADLINE = [
     "q53_raster_mean",       # datashader-style 2-D raster reduction
     "q63_profile",           # densified binned profile
     "q64_salted_join",       # skew-spread equi-join
+    "q86_decontaminate",     # n-gram overlap vs benchmark set
+    "q87_tfidf_topterms",    # explode + dual agg + per-doc top-k
+    "q90_unigram_logprob",   # corpus LM broadcast onto per-doc counts
+    "q94_curate_pipeline",   # gates -> text-window dedup -> capped
 ]
 
 
@@ -80,6 +84,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            # queries that persist() intermediates would otherwise hand
+            # later reps a warm cache (CacheManager matches canonical
+            # plans), timing cache hits instead of compute
+            spark.catalog.clearCache()
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     sf_raw = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

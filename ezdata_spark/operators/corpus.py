@@ -30,20 +30,25 @@ __all__ = [
     "filter_funnel",
     "split_by_hash",
     "curate",
+    "incremental_new",
 ]
 
 
 def word_ngrams(text, n: int) -> Column:
     """Array of space-joined word ``n``-grams (lowercased, whitespace
     tokenized); empty array when the doc has fewer than ``n`` tokens.
-    One pass over the token array — `slice` with a column start keeps
-    it a single projection, no explode until the caller asks."""
+
+    Built as a zip_with fold over ``n`` shifted slices (the q62 bigram
+    shape generalized): n-1 elementwise concat passes. The obvious
+    per-position ``transform(sequence(...), i -> array_join(slice(t, i,
+    n)))`` is 5x slower under the interpreted HOF evaluator — one
+    O(n)-allocating slice + join per output gram vs a flat concat."""
     t = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - n + 1),
-        lambda i: F.array_join(F.slice(t, i, n), " "),
-    )
-    return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    m = F.size(t) - n + 1
+    acc = F.slice(t, 1, m)
+    for i in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(t, i, m), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(F.size(t) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(
@@ -435,4 +440,38 @@ def decontaminate_stateless(
     bench = F.array(*[F.lit(g) for g in sorted(set(bench_ngrams))])
     return docs.withColumn(
         "contaminated", F.arrays_overlap(word_ngrams(text, n), bench)
+    )
+
+
+def incremental_new(
+    batch: DataFrame,
+    history: DataFrame,
+    on: str = "text",
+    id_col: str = "doc_id",
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Snapshot-delta dedup: rows of ``batch`` whose ``on`` value was
+    never seen in ``history`` — the daily-crawl ingestion step (only
+    genuinely new documents enter the pipeline; re-crawled pages drop).
+    Within the batch itself, the lowest-id copy of each value is kept.
+
+    Scale shape: LEFT ANTI join, keyed on xxhash64(``on``) when
+    ``hash_keys`` (8-byte shuffle keys instead of document text; the
+    history side reduces to its DISTINCT key set first, so the shuffle
+    carries one row per distinct historical document, and the anti join
+    never materializes matches). With ``hash_keys=False`` the raw value
+    is the key (engine-neutral, oracle-checkable).
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_keys else (lambda c: c)
+    seen = history.select(key(F.col(on)).alias("__k")).distinct()
+    w = Window.partitionBy(on)
+    fresh = (
+        batch.withColumn("__m", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__m"))
+        .drop("__m")
+    )
+    return (
+        fresh.withColumn("__k", key(F.col(on)))
+        .join(seen, "__k", "left_anti")
+        .drop("__k")
     )

@@ -2333,3 +2333,29 @@ def q94(spark, sf_dir):
         docs, min_chars=60, max_chars=400, langs=["en", "de"], cap=8
     )
     return out.select("doc_id", "source", "lang")
+
+
+@query(
+    "q95_incremental_new",
+    oracle="""
+    WITH hist AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+    first AS (SELECT * FROM (
+                SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS m FROM batch)
+              WHERE doc_id = m)
+    SELECT doc_id, source FROM first
+    WHERE text NOT IN (SELECT text FROM hist)
+    """,
+)
+def q95(spark, sf_dir):
+    """Snapshot-delta dedup: docs in the new batch (doc_id % 3 != 0)
+    whose text never appeared in the history partition (doc_id % 3 == 0)
+    — left-anti join against the history's distinct key set, first-copy
+    wins within the batch. String keys here for the oracle; production
+    uses hash_keys=True (8-byte shuffle)."""
+    from .operators.corpus import incremental_new
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_new(batch, hist, hash_keys=False).select("doc_id", "source")

@@ -66,6 +66,7 @@ def main() -> None:
         d.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         cnt = d.count()  # untimed, reporting only
+        spark.catalog.clearCache()  # drop persisted intermediates between ops
         results[name] = {
             "sec": round(dt, 2),
             "rows_out": cnt,
@@ -150,6 +151,33 @@ def main() -> None:
     run("segment_dedup", segment_dedup(docs, seg_words=10), rows_in=doc_n)
     toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
     run("pack_sequences", pack_sequences(toks, max_len=512), rows_in=doc_n)
+
+    # corpus curation tier (operators/corpus.py): decontamination with
+    # hashed join keys (the 100 TB form), LM scoring (persisted term
+    # aggregate), caps/split/curate window + projection shapes
+    from ezdata_spark.operators.corpus import (
+        cap_per_key,
+        curate,
+        decontaminate,
+        split_by_hash,
+        unigram_logprob,
+    )
+
+    bench_docs = docs.filter(F.col("doc_id") % 1000 == 0)
+    run("decontaminate", decontaminate(docs, bench_docs, n=5, hash_ngrams=True),
+        rows_in=doc_n)
+    run("unigram_logprob", unigram_logprob(docs), rows_in=doc_n)
+    srcdocs = docs.select(
+        "doc_id",
+        "text",
+        F.pmod(F.xxhash64("doc_id"), F.lit(1000)).cast("string").alias("source"),
+        F.lit("en").alias("lang"),
+    )
+    run("cap_per_key", cap_per_key(srcdocs, "source", cap=200), rows_in=doc_n)
+    run("split_by_hash", split_by_hash(docs), rows_in=doc_n)
+    run("curate",
+        curate(srcdocs, min_chars=10, max_chars=10**6, langs=["en"], cap=500),
+        rows_in=doc_n)
 
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",

@@ -970,3 +970,23 @@ def test_decontaminate_stateless_matches_static(spark):
     stateless = {r.doc_id: r.contaminated for r in
                  decontaminate_stateless(docs, bench_grams, n=3).collect()}
     assert stateless == static == {1: True, 2: False}
+
+
+def test_incremental_new_delta_dedup(spark):
+    from ezdata_spark.operators.corpus import incremental_new
+
+    hist = spark.createDataFrame(
+        [(100, "seen before"), (101, "also old news")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "seen before"),        # in history -> dropped
+            (2, "brand new content"),
+            (3, "brand new content"),  # dup within batch -> lowest id kept
+            (4, "another fresh doc"),
+        ],
+        "doc_id long, text string",
+    )
+    for hk in (True, False):
+        got = sorted(r.doc_id for r in incremental_new(batch, hist, hash_keys=hk).collect())
+        assert got == [2, 4], f"hash_keys={hk}"
