@@ -79,3 +79,41 @@ def read_parquet(spark: SparkSession, path: str) -> EzTable:
                 if m.get("description"):
                     desc[c] = m["description"]
     return EzTable(df, header=header, units=units, desc=desc, aliases=aliases)
+
+
+def write_sharded(
+    df,
+    path: str,
+    partition_by: list[str],
+    id_col: str = "doc_id",
+    files_per_partition: int = 8,
+    records_per_file: int | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Corpus sink with controlled sharding: hive-partition directories
+    by ``partition_by`` (split/source/...), at most ``files_per_partition``
+    data files per directory, optionally capped at ``records_per_file``
+    rows each — the knobs that prevent both the small-files problem
+    (every task writing a sliver into every partition dir) and
+    unsplittable giant files.
+
+    Scale shape: one repartition keyed on (partition cols + an id-hash
+    salt in [0, files_per_partition)) — each output file is exactly one
+    task's slice of one partition value, so file count is
+    n_partition_values x files_per_partition regardless of input
+    parallelism, and ``maxRecordsPerFile`` further splits only when a
+    shard genuinely overflows. ``sort_by`` orders rows WITHIN each file
+    (sortWithinPartitions — no global sort) for reproducible shards and
+    better column compression.
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_partition))
+    out = df.repartition(*[F.col(c) for c in partition_by], salt)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode).partitionBy(*partition_by)
+    if records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", records_per_file)
+    writer.parquet(path)

@@ -89,3 +89,74 @@ def test_where_partition(spark, rows, lo, hi):
     n_in = t.where(cond).df.count()
     n_out = t.where(f"~({cond})").df.count()
     assert n_in + n_out == len(rows)
+
+
+# ---------------------------------------------------------------------
+# corpus curation ops vs plain-Python references
+# ---------------------------------------------------------------------
+WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=12
+)
+
+
+@given(docs=st.lists(WORDS, min_size=1, max_size=6), n=st.integers(2, 4))
+@SETTINGS
+def test_word_ngrams_matches_python(spark, docs, n):
+    from ezdata_spark.operators.corpus import word_ngrams
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.ng)
+        for r in df.select("doc_id", word_ngrams("text", n).alias("ng")).collect()
+    }
+    for i, ws in enumerate(docs):
+        expected = [
+            " ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)
+        ] if len(ws) >= n else []
+        assert got[i] == expected
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=20, unique=True),
+    keys=st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=20, max_size=20),
+    cap=st.integers(1, 5),
+)
+@SETTINGS
+def test_cap_per_key_properties(spark, ids, keys, cap):
+    from ezdata_spark.operators.corpus import cap_per_key
+
+    rows = [(i, k) for i, k in zip(ids, keys)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_key(df, "source", cap).collect()
+    # kept rows are a subset; per-key counts == min(cap, full count)
+    assert {(r.doc_id, r.source) for r in out} <= set(rows)
+    full: dict = {}
+    for _, k in rows:
+        full[k] = full.get(k, 0) + 1
+    got: dict = {}
+    for r in out:
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got == {k: min(cap, v) for k, v in full.items()}
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=25, unique=True))
+@SETTINGS
+def test_split_by_hash_matches_python(spark, ids):
+    """The split is the documented pure function of the id — verify
+    against a direct Python evaluation of the same arithmetic."""
+    from ezdata_spark.operators.corpus import split_by_hash
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.doc_id: r.split for r in split_by_hash(df, fractions=fr).collect()}
+
+    def py_split(i):
+        b = (i * 2654435761) % 4294967296 % 10000
+        if b < 8000:
+            return "train"
+        if b < 9000:
+            return "val"
+        return "test"
+
+    assert got == {i: py_split(i) for i in ids}

@@ -314,3 +314,34 @@ def test_jsonl_corrupt_lines_scale_path(spark, tmp_path):
     p.write_text('{"a": 1}\n{broken\n{}\n')
     bad = corrupt_lines(spark, str(p), "a long").collect()
     assert len(bad) == 1 and "{broken" in bad[0][0]  # {} is valid, not flagged
+
+
+def test_write_sharded_file_counts_and_roundtrip(spark, tmp_path):
+    """Sharded corpus sink: hive dirs per split, bounded files per dir,
+    lossless read-back."""
+    import glob
+
+    from ezdata_spark.operators.corpus import split_by_hash
+    from ezdata_spark.sources.parquet_meta import write_sharded
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    tagged = split_by_hash(docs, fractions={"train": 0.8, "val": 0.2})
+    out = str(tmp_path / "corpus")
+    write_sharded(
+        tagged, out, partition_by=["split"], files_per_partition=4,
+        sort_by=["doc_id"],
+    )
+
+    for split in ("train", "val"):
+        files = glob.glob(f"{out}/split={split}/*.parquet")
+        assert 1 <= len(files) <= 4, (split, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # lossless: every (doc_id, text, split) survives
+    orig = {(r.doc_id, r.text, r.split) for r in tagged.collect()}
+    got = {(r.doc_id, r.text, r.split) for r in back.collect()}
+    assert got == orig
