@@ -333,6 +333,12 @@ def filter_funnel(
     single ungrouped aggregate reduces to one row, unpivoted driver-free
     via ``stack``.
     """
+    import re
+
+    for name, _ in gates:
+        # stage names are spliced into the stack() SQL as literals
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"gate name must be an identifier: {name!r}")
     flags = []
     cum = None
     for i, (_, cond) in enumerate(gates):
@@ -368,6 +374,8 @@ def split_by_hash(
     Scale shape: one projection, no shuffle.
     """
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not fractions or any(v < 0 for v in fractions.values()):
+        raise ValueError(f"fractions must be non-negative and non-empty: {fractions}")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")

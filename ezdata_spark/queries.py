@@ -2359,3 +2359,20 @@ def q95(spark, sf_dir):
     hist = docs.filter(F.col("doc_id") % 3 == 0)
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     return incremental_new(batch, hist, hash_keys=False).select("doc_id", "source")
+
+
+@query("q96_bpe_vocab")
+def q96(spark, sf_dir):
+    """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:
+    one corpus pass builds the weighted word vocabulary; each of the 20
+    merge rounds is vocabulary-sized (pair-count aggregate + 1-row
+    collect + merge fold). Rows-only: the iterative argmax loop is not
+    SQL-expressible; pytest pins merges + segmentation to a pure-Python
+    reference."""
+    from .operators.bpe import learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(docs, n_merges=20)
+    return vocab.select(
+        "word", "count", F.array_join("symbols", " ").alias("segmented")
+    )

@@ -990,3 +990,76 @@ def test_incremental_new_delta_dedup(spark):
     for hk in (True, False):
         got = sorted(r.doc_id for r in incremental_new(batch, hist, hash_keys=hk).collect())
         assert got == [2, 4], f"hash_keys={hk}"
+
+
+# ---------------------------------------------------------------------
+# distributed BPE merge learning vs a pure-Python reference
+# ---------------------------------------------------------------------
+def _py_bpe(word_counts: dict, n_merges: int):
+    """Reference BPE (Sennrich alg.) with the same deterministic
+    tiebreak: max count, then (a, b) lexicographic."""
+    vocab = {w: [*w, "</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, prev = [], None
+            for s in syms:
+                if prev is None:
+                    prev = s
+                elif prev == a and s == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    from ezdata_spark.operators.bpe import learn_bpe
+
+    corpus = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest newest low",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                               "doc_id long, text string")
+    word_counts: dict = {}
+    for t in corpus:
+        for w in t.split():
+            word_counts[w] = word_counts.get(w, 0) + 1
+
+    exp_merges, exp_vocab = _py_bpe(word_counts, 12)
+    got_merges, got_vocab_df = learn_bpe(df, n_merges=12)
+    assert got_merges == exp_merges
+    got_vocab = {r.word: list(r.symbols) for r in got_vocab_df.collect()}
+    assert got_vocab == exp_vocab
+
+
+def test_segment_words_applies_learned_merges(spark):
+    from ezdata_spark.operators.bpe import learn_bpe, segment_words
+
+    df = spark.createDataFrame(
+        [(0, "banana bandana banana band")], "doc_id long, text string"
+    )
+    merges, _ = learn_bpe(df, n_merges=6)
+    new = spark.createDataFrame([("banana",), ("bananas",), ("b",)], "word string")
+    segs = {r.word: list(r.symbols) for r in segment_words(new, merges).collect()}
+    # segmentation is lossless: symbols re-concatenate to word + </w>
+    for w, syms in segs.items():
+        assert "".join(syms) == w + "</w>"
+    # a word from the training corpus compresses below char count + 1
+    assert len(segs["banana"]) < len("banana") + 1
