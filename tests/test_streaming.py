@@ -216,3 +216,61 @@ def test_decontaminate_stateless_on_stream(spark, tmp_path):
     expected = {r.doc_id: r.contaminated
                 for r in decontaminate_stateless(batch_df, bench, n=3).collect()}
     assert got == expected == {1: True, 2: False, 3: True}
+
+
+def test_jsonl_stream_to_curated_parquet(spark, tmp_path):
+    """End-to-end streaming ingest: JSONL corpus files -> stateless
+    curation tier (quality gate + lang-id + PII redaction +
+    decontamination) -> partitioned parquet sink, all under availableNow
+    triggers — the shape of a continuously-ingesting corpus pipeline.
+    Values must equal the batch run of the same composition."""
+    import json as _json
+
+    from ezdata_spark.operators.corpus import decontaminate_stateless, split_by_hash
+    from ezdata_spark.operators.textstats import lang_id, quality_features, redact_pii
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "der schnelle braune fuchs und der faule hund"},
+        {"doc_id": 3, "text": "contact me at bob@example.com for the data"},
+        {"doc_id": 4, "text": "le renard brun et rapide est la"},
+    ]
+    with open(src / "part0.jsonl", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string"
+    bench = ["quick brown fox"]
+
+    def tier(df):
+        out = redact_pii(lang_id(quality_features(df)))
+        out = decontaminate_stateless(out, bench, n=3)
+        return split_by_hash(out).select(
+            "doc_id", "lang_pred", "quality_score", "redacted",
+            "contaminated", "split",
+        )
+
+    out_dir = str(tmp_path / "out")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        tier(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .partitionBy("split")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = tier(spark.read.schema(schema).json(str(src)))
+    got = {r.doc_id: (r.lang_pred, r.quality_score, r.redacted, r.contaminated, r.split)
+           for r in spark.read.parquet(out_dir).collect()}
+    exp = {r.doc_id: (r.lang_pred, r.quality_score, r.redacted, r.contaminated, r.split)
+           for r in batch.collect()}
+    assert got == exp
+    assert len(got) == 4
+    assert got[1][3] is True and got[2][3] is False  # decontamination flag
+    assert "bob@example.com" not in got[3][2]        # PII redacted
