@@ -112,14 +112,15 @@ def read_fits(
 ) -> DataFrame:
     """FITS binary-table scan (simpletable.py:1523-1538).
 
-    Requires astropy on driver + executors.
+    Uses astropy when present (compressed/scaled/variable-array HDUs);
+    otherwise falls back to the pure-numpy BINTABLE reader in
+    fits_native.py, which covers the reference's numeric/string/vector
+    column surface with no extra dependency.
     """
     if not _have("astropy"):
-        raise NotImplementedError(
-            "read_fits requires astropy, which is not installed in this "
-            "environment; the chunked ingest plumbing (ingest_chunked) is "
-            "tested with a synthetic decoder instead"
-        )
+        from .fits_native import scan_fits
+
+        return scan_fits(spark, files, hdu=hdu, chunk_rows=chunk_rows).df
     from astropy.io import fits  # noqa: F401
 
     def count_rows(path: str) -> int:

@@ -124,13 +124,17 @@ def test_ingest_chunked_plumbing(spark):
 
 
 def test_hdf5_fits_import_gated(spark):
-    for fn, kw in ((read_hdf5, {"dataset": "d"}), (read_fits, {})):
-        try:
-            fn(spark, ["f"], schema="x long", **kw)
-        except NotImplementedError:
-            pass  # library absent in this container: gate must be clean
-        except ValueError:
-            pass  # library present; schema contract kicks in next
+    try:
+        read_hdf5(spark, ["f"], dataset="d", schema="x long")
+    except NotImplementedError:
+        pass  # h5py absent in this container: gate must be clean
+    except ValueError:
+        pass  # h5py present; schema contract kicks in next
+    # read_fits never gates: without astropy it uses the native scanner
+    try:
+        read_fits(spark, ["f"])
+    except (FileNotFoundError, ValueError):
+        pass
 
 
 def test_from_records(spark):
@@ -345,3 +349,98 @@ def test_write_sharded_file_counts_and_roundtrip(spark, tmp_path):
     orig = {(r.doc_id, r.text, r.split) for r in tagged.collect()}
     got = {(r.doc_id, r.text, r.split) for r in back.collect()}
     assert got == orig
+
+
+# --------------------------------------------------------------- FITS native
+def _fits_fixture_table(spark):
+    from pyspark.sql import functions as F
+
+    return EzTable(
+        spark.range(0, 57)
+        .select(
+            F.col("id").cast("long").alias("row_id"),
+            F.col("id").cast("int").alias("i32"),
+            (F.col("id") % 7).cast("short").alias("i16"),
+            (F.col("id") * 1.5).cast("double").alias("x"),
+            (F.col("id") * 0.25).cast("float").alias("y"),
+            (F.col("id") % 2 == 0).alias("flag"),
+            F.concat(F.lit("name_"), F.col("id")).alias("label"),
+            F.array((F.col("id") * 2.0), (F.col("id") * 3.0)).alias("vec"),
+        ),
+        units={"x": "mag", "y": "deg"},
+    )
+
+
+def test_fits_native_roundtrip(spark, tmp_path):
+    """Pure-numpy FITS sink -> distributed scan round-trip with exact
+    values, schema, vector columns, and TUNIT unit metadata
+    (simpletable.py:1523-1538 read, 1756-1772 write — astropy-free)."""
+    from ezdata_spark.sources.fits_native import scan_fits, write_fits
+
+    t = _fits_fixture_table(spark)
+    path = str(tmp_path / "t.fits")
+    write_fits(t, path)
+
+    back = scan_fits(spark, path)
+    assert back.units == {"x": "mag", "y": "deg"}
+    a = t.df.orderBy("row_id").collect()
+    b = back.df.orderBy("row_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert dict(back.df.dtypes) == dict(t.df.dtypes)
+
+
+def test_fits_native_chunked_multifile(spark, tmp_path):
+    """Multi-file scan with chunk_rows small enough to force several
+    (file, row-range) tasks — the 100 TB ingest shape."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.sources.fits_native import fits_table_meta, scan_fits, write_fits
+
+    paths = []
+    for k in range(3):
+        df = spark.range(k * 100, k * 100 + 100).select(
+            F.col("id").alias("row_id"), (F.col("id") * 2.0).alias("x")
+        )
+        p = str(tmp_path / f"part{k}.fits")
+        write_fits(EzTable(df), p)
+        paths.append(p)
+
+    meta = fits_table_meta(paths[0])
+    assert meta["nrows"] == 100 and meta["row_bytes"] == 16
+
+    back = scan_fits(spark, paths, chunk_rows=37)  # 3 files x 3 chunks
+    assert back.df.count() == 300
+    got = back.df.agg(F.sum("row_id"), F.sum("x")).collect()[0]
+    assert got[0] == sum(range(300)) and got[1] == 2.0 * sum(range(300))
+
+
+def test_fits_header_is_standard(tmp_path, spark):
+    """Header blocks are 2880-byte aligned, 80-char cards, with the
+    mandatory BINTABLE keyword sequence."""
+    from ezdata_spark.sources.fits_native import BLOCK, write_fits
+
+    path = str(tmp_path / "h.fits")
+    write_fits(_fits_fixture_table(spark), path)
+    raw = open(path, "rb").read()
+    assert len(raw) % BLOCK == 0
+    assert raw[:6] == b"SIMPLE"
+    assert raw[BLOCK : BLOCK + 8] == b"XTENSION"
+    cards = [raw[BLOCK + i : BLOCK + i + 80].decode() for i in range(0, BLOCK, 80)]
+    keys = [c[:8].strip() for c in cards]
+    assert keys[:8] == ["XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "PCOUNT",
+                        "GCOUNT", "TFIELDS"]
+    assert "TUNIT4" in keys  # x -> mag
+
+
+def test_read_fits_falls_back_to_native(spark, tmp_path):
+    """binary_tables.read_fits no longer raises without astropy — it
+    delegates to the native scanner."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.sources.binary_tables import read_fits
+    from ezdata_spark.sources.fits_native import write_fits
+
+    p = str(tmp_path / "fb.fits")
+    write_fits(EzTable(spark.range(5).select(F.col("id").alias("a"))), p)
+    df = read_fits(spark, [p])
+    assert df.count() == 5 and df.columns == ["a"]
