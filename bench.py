@@ -77,19 +77,31 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # One broken query must never zero out the whole round's perf
+    # signal: record its error, keep timing the rest.
+    errors: dict[str, str] = {}
     for _ in range(reps):
         for name in HEADLINE:
+            if name in errors:
+                continue
             fn = QUERIES[name]
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - survive any query failure
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                samples[name] = []
+                continue
             samples[name].append(time.perf_counter() - t0)
             # queries that persist() intermediates would otherwise hand
             # later reps a warm cache (CacheManager matches canonical
             # plans), timing cache hits instead of compute
             spark.catalog.clearCache()
 
-    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items() if ts
+    }
     sf_raw = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_raw)
@@ -103,6 +115,8 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 

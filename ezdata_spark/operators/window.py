@@ -115,7 +115,11 @@ def sessionize(
     the session split within a tie group is partition-order dependent)."""
     tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
     w = Window.partitionBy(user).orderBy(ts, *tb)
-    us = F.unix_micros(F.col(ts))
+    # defensive cast: unix_micros requires TIMESTAMP; TIMESTAMP_NTZ input
+    # (e.g. parquet MICROS isAdjustedToUTC=0) reinterprets losslessly
+    # under the pinned-UTC session TZ. Cast-to-same-type is a Catalyst
+    # no-op, so TIMESTAMP input pays nothing.
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
     prev = F.lag(us).over(w)
     new_sess = F.when(
         prev.isNull() | (us - prev > int(round(gap_seconds * 1_000_000))), 1

@@ -41,11 +41,21 @@ def query(name: str, oracle: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    # events.ts is TIMESTAMP(NANOS) parquet -> read as long nanos
-    # (nanosAsLong, set in tune_existing) and converted losslessly via
-    # integer division (the fixture's nanos are micro-aligned)
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The events fixture's ts encoding has varied across regenerations:
+    # TIMESTAMP(NANOS) (read as long nanos via nanosAsLong, set in
+    # tune_existing), TIMESTAMP(MICROS, isAdjustedToUTC=0) (read as
+    # TIMESTAMP_NTZ), or plain TIMESTAMP. Normalize all three to
+    # session-TZ TIMESTAMP so every downstream event-time consumer
+    # (unix_micros, watermarks, session_window) sees one type. The
+    # session TZ is pinned UTC (session.py), so NTZ->TIMESTAMP is a
+    # lossless reinterpretation and nanos are micro-aligned by fixture
+    # construction.
+    if table == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

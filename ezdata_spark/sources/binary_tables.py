@@ -120,7 +120,21 @@ def read_fits(
     if not _have("astropy"):
         from .fits_native import scan_fits
 
-        return scan_fits(spark, files, hdu=hdu, chunk_rows=chunk_rows).df
+        df = scan_fits(spark, files, hdu=hdu, chunk_rows=chunk_rows).df
+        if schema is not None:
+            # the native reader derives the schema from the FITS header;
+            # a caller-supplied schema is validated, not silently ignored
+            want = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+            got = df.schema
+            if [(f.name, f.dataType) for f in want.fields] != [
+                (f.name, f.dataType) for f in got.fields
+            ]:
+                raise ValueError(
+                    "read_fits: requested schema does not match the file's "
+                    f"BINTABLE header: requested {want.simpleString()}, "
+                    f"file has {got.simpleString()}"
+                )
+        return df
     from astropy.io import fits  # noqa: F401
 
     def count_rows(path: str) -> int:

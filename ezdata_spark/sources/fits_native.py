@@ -59,7 +59,14 @@ _NP_TFORM = {
 
 # ---------------------------------------------------------------- header I/O
 def _card(key: str, value: Any, comment: str = "") -> bytes:
-    """Format one fixed-format 80-byte header card."""
+    """Format one fixed-format 80-byte header card.
+
+    Raises if the keyword or value cannot fit — silent truncation would
+    corrupt the header (a clipped TFORM/NAXIS1 changes the data layout).
+    Only the optional comment is trimmed to fit, which the standard
+    permits."""
+    if len(key) > 8:
+        raise ValueError(f"FITS keyword {key!r} exceeds 8 characters")
     if value is None:
         text = f"{key:<8}"
     elif isinstance(value, bool):
@@ -71,9 +78,14 @@ def _card(key: str, value: Any, comment: str = "") -> bytes:
     else:
         s = str(value).replace("'", "''")
         text = f"{key:<8}= '{s:<8}'"
+    if len(text) > CARD:
+        raise ValueError(
+            f"FITS header card for {key!r} overflows 80 bytes "
+            f"({len(text)}): value {value!r} is too long"
+        )
     if comment:
-        text += f" / {comment}"
-    return text[:CARD].ljust(CARD).encode("ascii")
+        text = (text + f" / {comment}")[:CARD]
+    return text.ljust(CARD).encode("ascii")
 
 
 def _parse_value(raw: str) -> Any:
@@ -163,6 +175,11 @@ def fits_table_meta(path: str, hdu: int = 1) -> dict:
         for i in range(1, ncols + 1)
         if f"TUNIT{i}" in h
     }
+    nulls = {
+        str(h.get(f"TTYPE{i}", f"col{i}")).strip(): int(h[f"TNULL{i}"])
+        for i in range(1, ncols + 1)
+        if f"TNULL{i}" in h
+    }
     return {
         "header": h,
         "data_start": data_start,
@@ -170,6 +187,7 @@ def fits_table_meta(path: str, hdu: int = 1) -> dict:
         "row_bytes": int(h["NAXIS1"]),
         "columns": columns,
         "units": units,
+        "nulls": nulls,
     }
 
 
@@ -225,7 +243,8 @@ def _decode_chunk(path: str, hdu: int, start: int, stop: int) -> pd.DataFrame:
             data[name] = np.char.decode(col, "ascii")
             data[name] = np.char.rstrip(data[name])
         elif code == "L":
-            data[name] = col == b"T"
+            bools = col == b"T"
+            data[name] = list(bools) if repeat > 1 else bools
         elif code == "B":
             # FITS B is unsigned 8-bit; widen so Arrow maps to ShortType
             data[name] = list(col.astype("i2")) if repeat > 1 else col.astype("i2")
@@ -233,7 +252,16 @@ def _decode_chunk(path: str, hdu: int, start: int, stop: int) -> pd.DataFrame:
             native = col.astype(col.dtype.newbyteorder("="))
             data[name] = list(native)
         else:
-            data[name] = col.astype(col.dtype.newbyteorder("="))
+            native = col.astype(col.dtype.newbyteorder("="))
+            tnull = meta["nulls"].get(name)
+            if tnull is not None and native.dtype.kind == "i":
+                # TNULLn sentinel -> real nulls via pandas nullable ints
+                # (Arrow carries the mask into a nullable Spark column)
+                data[name] = pd.Series(native).astype(f"Int{native.dtype.itemsize * 8}").mask(
+                    native == tnull
+                )
+            else:
+                data[name] = native
     return pd.DataFrame(data)
 
 
@@ -291,6 +319,7 @@ def write_fits(t, path: str, units: dict | None = None) -> None:
     pdf = df.toPandas()
 
     fields, cols, tforms = [], [], []
+    nulls: dict[str, int] = {}
     for f in df.schema.fields:
         name = f.name
         if isinstance(f.dataType, T.StringType):
@@ -299,9 +328,20 @@ def write_fits(t, path: str, units: dict | None = None) -> None:
             fields.append((name, f"S{width}"))
             tforms.append(f"{width}A")
             cols.append(np.array([v.encode("ascii", "replace") for v in vals], dtype=f"S{width}"))
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(f.dataType.elementType, T.BooleanType):
+            # FITS logical ('L') stores ASCII 'T'/'F' bytes, scalar or
+            # vector alike — raw 0/1 bytes are not valid logicals
+            arrs = [np.asarray(v if v is not None else [], dtype=bool) for v in pdf[name]]
+            width = max([len(a) for a in arrs] or [1]) or 1
+            mat = np.full((len(arrs), width), b"F", dtype="S1")
+            for i, a in enumerate(arrs):
+                mat[i, : len(a)] = np.where(a, b"T", b"F")
+            fields.append((name, "S1", (width,)))
+            tforms.append(f"{width}L")
+            cols.append(mat)
         elif isinstance(f.dataType, T.ArrayType) and type(f.dataType.elementType) in _SPARK_NP:
             el = _SPARK_NP[type(f.dataType.elementType)]
-            arrs = [np.asarray(v, dtype=el) for v in pdf[name]]
+            arrs = [np.asarray(v if v is not None else [], dtype=el) for v in pdf[name]]
             width = max([len(a) for a in arrs] or [1]) or 1
             mat = np.zeros((len(arrs), width), dtype=f">{el}")
             for i, a in enumerate(arrs):
@@ -318,9 +358,17 @@ def write_fits(t, path: str, units: dict | None = None) -> None:
                     np.where(pdf[name].fillna(False).to_numpy(bool), b"T", b"F").astype("S1")
                 )
             else:
+                ser = pdf[name]
+                if el.startswith("i") and ser.isna().any():
+                    # integer null: declare the dtype-min sentinel via
+                    # TNULLn (the FITS null convention) instead of letting
+                    # a NaN float cast corrupt values silently
+                    tnull = int(np.iinfo(el).min)
+                    nulls[name] = tnull
+                    ser = ser.fillna(tnull)
                 fields.append((name, f">{el}"))
                 tforms.append(_NP_TFORM[el])
-                cols.append(pdf[name].to_numpy(el))
+                cols.append(ser.to_numpy(el))
         else:
             raise ValueError(f"write_fits: unsupported Spark type {f.dataType} for {name!r}")
 
@@ -353,6 +401,8 @@ def write_fits(t, path: str, units: dict | None = None) -> None:
         tbl_cards.append(_card(f"TFORM{i}", tform))
         if name in units:
             tbl_cards.append(_card(f"TUNIT{i}", str(units[name])))
+        if name in nulls:
+            tbl_cards.append(_card(f"TNULL{i}", nulls[name]))
     tbl_cards.append(_card("END", None))
     table_hdr = b"".join(tbl_cards)
     table_hdr += b" " * (-len(table_hdr) % BLOCK)

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .windows import as_event_time
+
 RUNNING_SCHEMA = "event_type string, n bigint, total double, ema double"
 _STATE_SCHEMA = "n bigint, total double, ema double"
 
@@ -33,6 +35,7 @@ def session_agg(df: DataFrame, ts: str = "ts", gap: str = "30 minutes") -> DataF
     replacement for hand-rolled sessionization; on a stream add
     ``withWatermark`` so state for closed sessions is evicted.
     """
+    df = as_event_time(df, ts)
     return (
         df.groupBy(F.session_window(ts, gap).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -109,6 +112,7 @@ def stream_dedup(
     The streaming form of ``operators/dedup.py::exact_dedup`` for
     continuously-arriving corpora.
     """
+    stream = as_event_time(stream, ts)
     return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
 
 
@@ -146,9 +150,9 @@ def stream_stream_join(
     watermark + tolerance — the scalable shape for joining two live
     feeds (e.g. impressions x clicks).
     """
-    lw = left.withWatermark(ts, watermark)
+    lw = as_event_time(left, ts).withWatermark(ts, watermark)
     rw = (
-        right.withWatermark(ts, watermark)
+        as_event_time(right, ts).withWatermark(ts, watermark)
         .withColumnRenamed(ts, f"{ts}_r")
         .withColumnRenamed(on, f"{on}_r")
     )

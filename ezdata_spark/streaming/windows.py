@@ -18,6 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def as_event_time(df: DataFrame, ts: str) -> DataFrame:
+    """Normalize an event-time column to session-TZ TIMESTAMP.
+
+    ``withWatermark`` / streaming ``session_window`` raise
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE for TIMESTAMP_NTZ input (e.g.
+    parquet TIMESTAMP(MICROS, isAdjustedToUTC=0)). The session TZ is
+    pinned UTC, so the cast is a lossless reinterpretation; when the
+    column is already TIMESTAMP the cast is a Catalyst no-op. Every
+    event-time helper here owns this normalization so callers never
+    depend on the fixture's parquet logical-type details.
+    """
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        return df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df
+
+
 def tumbling_agg(df: DataFrame, ts: str = "ts", duration: str = "1 hour") -> DataFrame:
     return (
         df.groupBy(F.window(ts, duration).alias("w"), F.col("event_type"))
@@ -48,7 +64,7 @@ def stream_tumbling_agg(
     watermark) are finalized and evicted, so state size is O(active
     windows), not O(stream length).
     """
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = as_event_time(spark.readStream.schema(schema).parquet(path), ts)
     return (
         stream.withWatermark(ts, watermark)
         .groupBy(F.window(ts, duration).alias("w"), F.col("event_type"))

@@ -149,6 +149,18 @@ class EzTable:
     def comment(self, colname: str) -> str | None:
         return self._desc.get(colname)
 
+    @property
+    def units(self) -> dict[str, str]:
+        """Per-column units (copy). Public accessor consumed by sinks
+        (write_fits emits these as TUNITn cards) and user code; mutate
+        via ``set_unit``."""
+        return dict(self._units)
+
+    @property
+    def descriptions(self) -> dict[str, str]:
+        """Per-column descriptions (copy); mutate via ``set_comment``."""
+        return dict(self._desc)
+
     # ------------------------------------------------------------------
     # expression engine (simpletable.py:2710-2747)
     # ------------------------------------------------------------------

@@ -444,3 +444,79 @@ def test_read_fits_falls_back_to_native(spark, tmp_path):
     write_fits(EzTable(spark.range(5).select(F.col("id").alias("a"))), p)
     df = read_fits(spark, [p])
     assert df.count() == 5 and df.columns == ["a"]
+
+
+def test_fits_bool_array_roundtrip(spark, tmp_path):
+    """array<boolean> columns encode as vector 'L' with 'T'/'F' bytes
+    (FITS Standard logical encoding), not raw 0/1, and read back exactly."""
+    from ezdata_spark.sources.fits_native import scan_fits, write_fits
+
+    df = spark.range(0, 9).select(
+        F.col("id").alias("row_id"),
+        F.array(F.col("id") % 2 == 0, F.col("id") % 3 == 0, F.lit(True)).alias("flags"),
+    )
+    path = str(tmp_path / "b.fits")
+    write_fits(EzTable(df), path)
+    raw = open(path, "rb").read()
+    assert b"'3L" in raw  # vector logical TFORM
+    back = scan_fits(spark, path)
+    a = [(r.row_id, list(r.flags)) for r in df.orderBy("row_id").collect()]
+    b = [(r.row_id, list(r.flags)) for r in back.df.orderBy("row_id").collect()]
+    assert a == b
+    assert dict(back.df.dtypes)["flags"] == "array<boolean>"
+
+
+def test_fits_int_null_roundtrip(spark, tmp_path):
+    """Integer nulls write a TNULLn sentinel and read back as real nulls
+    — never silent INT_MIN corruption via the NaN float path."""
+    from ezdata_spark.sources.fits_native import scan_fits, write_fits
+
+    df = spark.range(0, 10).select(
+        F.col("id").cast("int").alias("row_id"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") * 10)
+        .cast("long")
+        .alias("v"),
+        F.when(F.col("id") % 4 == 0, None)
+        .otherwise(F.col("id"))
+        .cast("int")
+        .alias("w"),
+    )
+    path = str(tmp_path / "n.fits")
+    write_fits(EzTable(df), path)
+    assert b"TNULL" in open(path, "rb").read()
+    back = scan_fits(spark, path)
+    a = {(r.row_id, r.v, r.w) for r in df.collect()}
+    b = {(r.row_id, r.v, r.w) for r in back.df.collect()}
+    assert a == b
+    nulls_back = back.df.filter(F.col("v").isNull()).count()
+    assert nulls_back == 4  # ids 0,3,6,9
+
+
+def test_fits_card_overflow_raises(spark):
+    """Oversized header values raise instead of silently truncating."""
+    from ezdata_spark.sources.fits_native import _card
+
+    with pytest.raises(ValueError, match="overflows 80"):
+        _card("TUNIT1", "x" * 100)
+    with pytest.raises(ValueError, match="8 characters"):
+        _card("TOOLONGKEYWORD", 1)
+    # comments may be trimmed (standard-permitted), never the value
+    assert len(_card("TTYPE1", "ok", "c" * 200)) == 80
+
+
+def test_read_fits_native_schema_validation(spark, tmp_path):
+    """A caller-supplied schema on the native fallback path is validated
+    against the BINTABLE header instead of being silently ignored."""
+    from ezdata_spark.sources.binary_tables import read_fits
+    from ezdata_spark.sources.fits_native import write_fits
+
+    df = spark.range(0, 5).select(
+        F.col("id").alias("row_id"), (F.col("id") * 1.0).alias("x")
+    )
+    p = str(tmp_path / "s.fits")
+    write_fits(EzTable(df), p)
+    ok = read_fits(spark, [p], schema="row_id bigint, x double")
+    assert ok.count() == 5
+    with pytest.raises(ValueError, match="does not match"):
+        read_fits(spark, [p], schema="row_id int, x double")
