@@ -79,14 +79,28 @@ def read_hdf5(
 ) -> DataFrame:
     """HDF5 table scan (simpletable.py:1539-1550 / dask/hdf5.py:199-283).
 
-    Requires h5py on driver + executors.
+    Uses h5py when present (chunked/compressed/new-style files);
+    otherwise falls back to the pure-numpy old-style reader in
+    hdf5_native.py (v0 superblock, contiguous layout — the libhdf5
+    'earliest' default), which covers the reference's table surface with
+    no extra dependency.
     """
     if not _have("h5py"):
-        raise NotImplementedError(
-            "read_hdf5 requires h5py, which is not installed in this "
-            "environment; the chunked ingest plumbing (ingest_chunked) is "
-            "tested with a synthetic decoder instead"
-        )
+        from .hdf5_native import scan_hdf5
+
+        df = scan_hdf5(spark, files, dataset, chunk_rows=chunk_rows).df
+        if schema is not None:
+            want = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+            got = df.schema
+            if [(f.name, f.dataType) for f in want.fields] != [
+                (f.name, f.dataType) for f in got.fields
+            ]:
+                raise ValueError(
+                    "read_hdf5: requested schema does not match the file's "
+                    f"dataset: requested {want.simpleString()}, "
+                    f"file has {got.simpleString()}"
+                )
+        return df
     import h5py  # noqa: F401
 
     def count_rows(path: str) -> int:
@@ -155,13 +169,15 @@ def read_fits(
 
 
 def read_votable(spark: SparkSession, path: str):
-    """VOTable scan (simpletable.py:1551-1565): driver-side astropy
-    parse -> createDataFrame (VOTables are small interchange files)."""
+    """VOTable scan (simpletable.py:1551-1565): driver-side parse ->
+    createDataFrame (VOTables are small interchange files).
+
+    Uses astropy when present (BINARY/BINARY2 streams, exotic types);
+    otherwise the stdlib-XML TABLEDATA reader in votable_native.py."""
     if not _have("astropy"):
-        raise NotImplementedError(
-            "read_votable requires astropy, which is not installed in "
-            "this environment"
-        )
+        from .votable_native import read_votable_native
+
+        return read_votable_native(spark, path)
     from astropy.table import Table
 
     from ..table import EzTable

@@ -101,6 +101,26 @@ def main() -> None:
     w = Window.partitionBy("orderkey").orderBy(F.col("price").desc())
     run("topk_per_group", fact.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 2))
 
+    # event-time tier (round-5 addition): gap sessionization (two window
+    # passes over one (user, ts) shuffle) and the windowed-agg shapes the
+    # streaming path shares with batch
+    from ezdata_spark.operators.window import sessionize
+    from ezdata_spark.streaming.stateful import session_agg
+    from ezdata_spark.streaming.windows import tumbling_agg
+
+    events = spark.range(n).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.pmod(F.xxhash64("id"), F.lit(30 * 86_400_000_000))
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5)).cast("string").alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(8)), F.lit(1000)) / 10.0).alias("value"),
+    )
+    run("sessionize", sessionize(events, "ts", "user_id", tiebreak="value"))
+    run("tumbling_agg", tumbling_agg(events))
+    run("session_window_agg", session_agg(events, gap="5 minutes"))
+
     from ezdata_spark.functions.astro import crossmatch_cone
 
     # sky density tuned so expected candidate pairs stay O(sky_n):
