@@ -2386,3 +2386,69 @@ def q96(spark, sf_dir):
     return vocab.select(
         "word", "count", F.array_join("symbols", " ").alias("segmented")
     )
+
+
+# =====================================================================
+# §2.1 native format round-trips as hash-verified queries (round 5)
+# =====================================================================
+
+@query(
+    "q97_fits_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q97(spark, sf_dir):
+    """Native FITS sink -> distributed native scan on a real table
+    (sources/fits_native.py; reference I/O simpletable.py:1523-1538,
+    1756-1772). The query IS the I/O path: the oracle reads the parquet
+    directly, so any BINTABLE encode/decode bug flips the value hash."""
+    import os
+    import tempfile
+
+    from .sources.fits_native import scan_fits, write_fits
+    from .table import EzTable
+
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    p = os.path.join(tempfile.mkdtemp(prefix="ez_fits_rt_"), "nation.fits")
+    write_fits(EzTable(nation), p)
+    return scan_fits(spark, p).df
+
+
+@query(
+    "q98_hdf5_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q98(spark, sf_dir):
+    """Native HDF5 sink -> distributed native scan (sources/
+    hdf5_native.py; reference I/O simpletable.py:1539-1550, 1756-1772).
+    Same contract as q97: parquet oracle vs through-the-format Spark."""
+    import os
+    import tempfile
+
+    from .sources.hdf5_native import scan_hdf5, write_hdf5
+    from .table import EzTable
+
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    p = os.path.join(tempfile.mkdtemp(prefix="ez_h5_rt_"), "region.h5")
+    write_hdf5(EzTable(region), p)
+    return scan_hdf5(spark, p, "data").df
+
+
+@query(
+    "q99_votable_roundtrip",
+    oracle="SELECT n_nationkey, n_name FROM nation",
+)
+def q99(spark, sf_dir):
+    """Native VOTable TABLEDATA sink -> stdlib-XML reader (sources/
+    votable_native.py; reference I/O simpletable.py:1551-1565)."""
+    import os
+    import tempfile
+
+    from .sources.votable_native import read_votable_native, write_votable
+    from .table import EzTable
+
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = os.path.join(tempfile.mkdtemp(prefix="ez_vot_rt_"), "nation.vot")
+    write_votable(EzTable(nation), p)
+    return read_votable_native(spark, p).df

@@ -28,21 +28,32 @@ RUNNING_SCHEMA = "event_type string, n bigint, total double, ema double"
 _STATE_SCHEMA = "n bigint, total double, ema double"
 
 
-def session_agg(df: DataFrame, ts: str = "ts", gap: str = "30 minutes") -> DataFrame:
+def session_agg(
+    df: DataFrame,
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    keys: list[str] | tuple[str, ...] = ("event_type",),
+) -> DataFrame:
     """Gap-based session windows (batch or stream: same expression).
 
     Sessions close after ``gap`` of inactivity per key — the built-in
     replacement for hand-rolled sessionization; on a stream add
     ``withWatermark`` so state for closed sessions is evicted.
+
+    Scale note: the session merge shuffles and sorts by ``keys``, so the
+    keys' cardinality bounds parallelism. Group by a high-cardinality
+    key (user/session owner), not a low-cardinality category — 5
+    distinct keys means 5 busy tasks regardless of cluster size.
     """
     df = as_event_time(df, ts)
+    keys = list(keys)
     return (
-        df.groupBy(F.session_window(ts, gap).alias("w"), F.col("event_type"))
+        df.groupBy(F.session_window(ts, gap).alias("w"), *[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
-            "event_type",
+            *keys,
             "n_events",
             "sum_value",
         )

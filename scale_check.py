@@ -119,7 +119,9 @@ def main() -> None:
     )
     run("sessionize", sessionize(events, "ts", "user_id", tiebreak="value"))
     run("tumbling_agg", tumbling_agg(events))
-    run("session_window_agg", session_agg(events, gap="5 minutes"))
+    # session merge parallelism = grouping-key cardinality: group by the
+    # 100k-user key (the realistic per-owner shape), not a 5-value category
+    run("session_window_agg", session_agg(events, gap="3 hours", keys=["user_id"]))
 
     from ezdata_spark.functions.astro import crossmatch_cone
 
