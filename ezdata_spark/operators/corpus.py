@@ -247,7 +247,9 @@ def unigram_logprob(
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    lm = term.groupBy("w").agg(F.sum("c").alias("cw"))
+    # persisted too: both the scoring join and the corpus totals read the
+    # LM — uncached, the vocab shuffle over `term` is planned twice
+    lm = term.groupBy("w").agg(F.sum("c").alias("cw")).persist(StorageLevel.MEMORY_AND_DISK)
     totals = lm.agg(
         F.sum("cw").alias("t_tokens"), F.count(F.lit(1)).alias("vocab")
     )
