@@ -9,10 +9,13 @@ large-scale training-pipeline pattern:
 - decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` stages: Arrow batches in, bounded memory, one Python
   worker per core — the only sane shape for 100 TB of media;
-- the actual codecs (PIL / libav) are NOT installed in this container,
-  so the decode kernel is a clearly-marked deterministic STUB
-  (xxhash-seeded synthetic pixels); the Spark-side plumbing — schemas,
-  batch iteration, partitioning, output contracts — is real and tested.
+- decode is REAL for spec-simple containers that need no codec library:
+  24-bit BMP pixels and 16-bit PCM WAV samples decode pure-numpy
+  (functions/media_codecs.py, round-trip tested). Formats that need
+  PIL/libav (JPEG/PNG/MP3/video) fall back to a clearly-marked
+  deterministic STUB (hash-seeded synthetic pixels) so the pipeline
+  shape stays testable; the Spark-side plumbing — schemas, batch
+  iteration, partitioning, output contracts — is identical either way.
 """
 
 from __future__ import annotations
@@ -64,6 +67,13 @@ def _stub_decode(data: bytes, width: int, height: int, channels: int) -> np.ndar
 
 
 def decode_pixels(data: bytes, meta) -> np.ndarray:
+    """Real decode where a pure-numpy codec exists (BMP; see
+    functions/media_codecs.py), PIL when installed, deterministic stub
+    otherwise (JPEG/PNG without PIL)."""
+    if data and data[:2] == b"BM":
+        from ..functions.media_codecs import decode_bmp
+
+        return decode_bmp(bytes(data))
     if _have_pil():
         import io
 
@@ -159,27 +169,38 @@ AUDIO_FEATURE_SCHEMA = (
 def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio decode + per-clip features via mapInPandas.
 
-    The decode kernel is the same STUB (deterministic synthetic waveform
-    seeded by content hash — libav/soundfile are not in this container);
-    the feature math (RMS / peak / zero-crossing rate) and the Spark
-    plumbing are real: binary in, Arrow batches, bounded memory.
+    RIFF/WAVE payloads decode for real (pure-numpy 16-bit PCM reader,
+    functions/media_codecs.py); other containers (MP3/FLAC — libav/
+    soundfile not in this container) fall back to the deterministic
+    STUB waveform. The feature math (RMS / peak / zero-crossing rate)
+    and the Spark plumbing are the same either way: binary in, Arrow
+    batches, bounded memory.
     """
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codecs import decode_wav
+
         for b in batches:
             out = []
             for _, row in b.iterrows():
                 data = row["data"] or b""
-                seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
-                rng = np.random.RandomState(seed % (2**32))
-                n = int(rng.randint(sample_rate // 4, sample_rate * 2))
-                wave = rng.standard_normal(n).astype("float32") * 0.1
+                if data[:4] == b"RIFF":
+                    wave, rate = decode_wav(bytes(data))
+                    if wave.ndim > 1:
+                        wave = wave.mean(axis=1)  # downmix for clip stats
+                    n = len(wave)
+                else:
+                    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
+                    rng = np.random.RandomState(seed % (2**32))
+                    n = int(rng.randint(sample_rate // 4, sample_rate * 2))
+                    wave = rng.standard_normal(n).astype("float32") * 0.1
+                    rate = sample_rate
                 out.append(
                     {
                         "media_id": row["media_id"],
-                        "sample_rate": sample_rate,
+                        "sample_rate": rate,
                         "n_samples": n,
-                        "duration_s": n / sample_rate,
+                        "duration_s": n / rate,
                         "rms": float(np.sqrt(np.mean(wave**2))),
                         "peak": float(np.abs(wave).max()),
                         "zero_crossings": int(np.sum(np.diff(np.signbit(wave)))),

@@ -2452,3 +2452,63 @@ def q99(spark, sf_dir):
     p = os.path.join(tempfile.mkdtemp(prefix="ez_vot_rt_"), "nation.vot")
     write_votable(EzTable(nation), p)
     return read_votable_native(spark, p).df
+
+
+@query("q100_media_real_decode")
+def q100(spark, sf_dir):
+    """Multimodal features over GENUINE file bytes: each document id
+    fabricates a real 24-bit BMP and a real 16-bit PCM WAV executor-side
+    (functions/media_codecs.py encoders), and the feature extractors
+    decode them back with the pure-numpy codecs — the de-stubbed decode
+    path of operators/multimodal.py. Rows-only: binary payloads are not
+    SQL-expressible; determinism is pinned by per-id RandomState and the
+    codec round-trip tests (tests/test_media_codecs.py)."""
+    import pandas as pd
+
+    from .functions.media_codecs import encode_bmp, encode_wav
+    from .operators.multimodal import IMAGE_SCHEMA, audio_features, image_features
+
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    ).limit(200)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                rng = np.random.RandomState(int(mid) % (2**31))
+                w, h = int(rng.randint(4, 20)), int(rng.randint(4, 20))
+                px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "data": encode_bmp(px),
+                        "meta": {"format": "bmp", "width": w, "height": h, "channels": 3},
+                    }
+                )
+                wav = rng.uniform(-0.9, 0.9, int(rng.randint(100, 1000))).astype("float32")
+                rows.append(
+                    {
+                        "media_id": int(mid) + 1_000_000,
+                        "data": encode_wav(wav, 16000),
+                        "meta": {"format": "wav", "width": 0, "height": 0, "channels": 1},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(gen, IMAGE_SCHEMA)
+    imgs = image_features(media.filter(F.col("meta.format") == "bmp")).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.round("mean_luma", 4).alias("feat1"),
+        F.round("aspect", 4).alias("feat2"),
+    )
+    auds = audio_features(media.filter(F.col("meta.format") == "wav")).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.round("rms", 4).alias("feat1"),
+        F.round("duration_s", 4).alias("feat2"),
+    )
+    return imgs.unionByName(auds)

@@ -240,8 +240,13 @@ def _decode_chunk(path: str, hdu: int, start: int, stop: int) -> pd.DataFrame:
         repeat, code = _split_tform(tform)
         col = raw[name]
         if code == "A":
-            data[name] = np.char.decode(col, "ascii")
-            data[name] = np.char.rstrip(data[name])
+            # np.char.decode of an EMPTY S-array degrades to a non-string
+            # dtype and rstrip then throws — 0-row chunks are legal
+            # (empty tables still produce one (file, 0, 0) task)
+            if len(col) == 0:
+                data[name] = np.array([], dtype=object)
+            else:
+                data[name] = np.char.rstrip(np.char.decode(col, "ascii"))
         elif code == "L":
             bools = col == b"T"
             data[name] = list(bools) if repeat > 1 else bools
