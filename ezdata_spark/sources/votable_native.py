@@ -180,14 +180,17 @@ def write_votable(t, path: str) -> None:
     import numpy as np
 
     lines.append("<DATA><TABLEDATA>")
-    for _, row in pdf.iterrows():
+    # per-column iteration: pdf.iterrows() would coerce each row to one
+    # unified dtype (ints become floats next to a float column)
+    col_vals = {name: pdf[name].tolist() for name, _ in specs}
+    for i in range(len(pdf)):
         cells = []
         for name, dt in specs:
-            v = row[name]
+            v = col_vals[name][i]
             if isinstance(v, np.ndarray):
                 v = v.tolist()
             elif not isinstance(v, (list, tuple)):
-                if pd.isna(v):
+                if v is not None and pd.isna(v):
                     v = None
                 elif isinstance(v, np.generic):
                     v = v.item()

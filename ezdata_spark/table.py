@@ -53,6 +53,89 @@ class EzTable:
     def read_parquet(cls, spark: SparkSession, path: str, **meta) -> "EzTable":
         return cls(spark.read.parquet(path), **meta)
 
+    @classmethod
+    def read(cls, spark: SparkSession, path: str, **kw) -> "EzTable":
+        """Extension-dispatched reader — the ``SimpleTable(fname)``
+        convention (simpletable.py:1474-1565): .csv/.tsv/.ecsv/.fits/
+        .hd5|.h5|.hdf5 (``dataset=`` kw, default 'data')/.vot/.jsonl/
+        .parquet all route to the matching source module."""
+        low = path.lower()
+        if low.endswith((".parquet", ".pq")):
+            from .sources.parquet_meta import read_parquet
+
+            return read_parquet(spark, path)
+        if low.endswith(".ecsv"):
+            from .sources.ecsv import read_ecsv
+
+            return read_ecsv(spark, path)
+        if low.endswith((".csv", ".txt")):
+            from .sources.csv_meta import read_csv
+
+            return read_csv(spark, path, **kw)
+        if low.endswith((".tsv", ".dat")):
+            from .sources.csv_meta import read_tsv
+
+            return read_tsv(spark, path)
+        if low.endswith((".fits", ".fit")):
+            from .sources.fits_native import scan_fits
+
+            return scan_fits(spark, path, **kw)
+        if low.endswith((".hd5", ".h5", ".hdf5")):
+            from .sources.hdf5_native import scan_hdf5
+
+            return scan_hdf5(spark, path, kw.pop("dataset", "data"), **kw)
+        if low.endswith((".vot", ".xml")):
+            from .sources.binary_tables import read_votable
+
+            return read_votable(spark, path)
+        if low.endswith((".jsonl", ".jsonl.gz", ".ndjson")):
+            from .sources.jsonl import read_jsonl
+
+            return read_jsonl(spark, path, **kw)
+        raise ValueError(f"EzTable.read: unrecognized table extension for {path!r}")
+
+    def write(self, path: str, **kw) -> None:
+        """Extension-dispatched sink — the ``t.write(fname)`` convention
+        (simpletable.py:1720-1772): Parquet is the scale sink; csv/ecsv
+        write header sidecars; fits/hd5/vot are single-file driver-side
+        exports like the reference's."""
+        low = path.lower()
+        if low.endswith((".parquet", ".pq")):
+            from .sources.parquet_meta import write_parquet
+
+            write_parquet(self, path, **kw)
+        elif low.endswith(".ecsv"):
+            from .sources.ecsv import write_ecsv
+
+            write_ecsv(self, path, **kw)
+        elif low.endswith((".csv", ".txt")):
+            from .sources.csv_meta import write_csv
+
+            write_csv(self, path, **kw)
+        elif low.endswith((".fits", ".fit")):
+            from .sources.fits_native import write_fits
+
+            write_fits(self, path, **kw)
+        elif low.endswith((".hd5", ".h5", ".hdf5")):
+            from .sources.hdf5_native import write_hdf5
+
+            write_hdf5(self, path, **kw)
+        elif low.endswith((".vot", ".xml")):
+            from .sources.votable_native import write_votable
+
+            write_votable(self, path)
+        elif low.endswith((".jsonl", ".jsonl.gz", ".ndjson")):
+            from .sources.jsonl import write_jsonl
+
+            write_jsonl(self, path, **kw)
+        elif low.endswith(".tex"):
+            from .sources.binary_tables import to_latex
+
+            with open(path, "w") as fh:
+                fh.write(to_latex(self, **kw))
+        else:
+            raise ValueError(f"EzTable.write: unrecognized table extension for {path!r}")
+
     @property
     def spark(self) -> SparkSession:
         return self.df.sparkSession

@@ -287,3 +287,38 @@ def test_expr_arity_errors(spark):
     for bad in ("square()", "logical_and(x)", "clip(x)"):
         with _pytest.raises(ExprError):
             translate(bad, ["x"])
+
+
+def test_extension_dispatch_read_write(spark, tmp_path):
+    """SimpleTable(fname)/t.write(fname) parity (simpletable.py:
+    1474-1565, 1720-1772): one call, format picked by extension."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.table import EzTable
+
+    t = EzTable(
+        spark.range(0, 12).select(
+            F.col("id").alias("a"), (F.col("id") * 1.5).alias("x")
+        ),
+        units={"x": "mag"},
+    )
+    for name in ("t.parquet", "t.ecsv", "t.csv", "t.fits", "t.h5", "t.vot", "t.jsonl"):
+        p = str(tmp_path / name)
+        t.write(p, single_file=True) if name.endswith(".csv") else t.write(p)
+        # jsonl keeps its scale discipline: schema or bounded sample required
+        kw = {"schema": "a long, x double"} if name.endswith(".jsonl") else {}
+        back = EzTable.read(spark, p, **kw)
+        assert back.df.count() == 12, name
+        # jsonl adds its _corrupt_record quarantine column by design
+        assert {"a", "x"}.issubset(set(back.df.columns)), name
+        got = sorted(r.a for r in back.df.collect())
+        assert got == list(range(12)), name
+    # units survive the metadata-carrying formats
+    for name in ("t.parquet", "t.ecsv", "t.fits", "t.vot"):
+        back = EzTable.read(spark, str(tmp_path / name))
+        assert back.unit("x") == "mag", name
+    # latex is write-only
+    t.write(str(tmp_path / "t.tex"), n=5)
+    assert open(tmp_path / "t.tex").read().startswith("\\begin{tabular}")
+    with pytest.raises(ValueError, match="unrecognized"):
+        EzTable.read(spark, "x.unknownext")
