@@ -310,22 +310,15 @@ _SPARK_NP = {
 }
 
 
-def write_fits(t, path: str, units: dict | None = None) -> None:
-    """Write a table as a single FITS file with one BINTABLE HDU
-    (simpletable.py:1756-1772 parity). Driver-side collect — the
-    reference's write path is also single-file; use Parquet for scale.
-
-    ``t`` is an EzTable or DataFrame; units defaults to the EzTable's
-    unit metadata so FITS round-trips carry units both ways.
-    """
-    df: DataFrame = getattr(t, "df", t)
-    if units is None:
-        units = dict(getattr(t, "units", {}) or {})
-    pdf = df.toPandas()
-
+def encode_fits(pdf, schema: T.StructType, units: dict | None = None) -> bytes:
+    """Encode a pandas frame (typed by its Spark ``schema``) as a
+    complete FITS byte blob (primary HDU + one BINTABLE). The encode
+    core shared by the single-file sink (driver-side) and the sharded
+    sink (executor-side, one call per partition)."""
+    units = dict(units or {})
     fields, cols, tforms = [], [], []
     nulls: dict[str, int] = {}
-    for f in df.schema.fields:
+    for f in schema.fields:
         name = f.name
         if isinstance(f.dataType, T.StringType):
             vals = pdf[name].fillna("").astype(str).to_numpy()
@@ -414,10 +407,62 @@ def write_fits(t, path: str, units: dict | None = None) -> None:
 
     payload = rec.tobytes()
     payload += b"\x00" * (-len(payload) % BLOCK)
+    return primary + table_hdr + payload
 
+
+def write_fits(t, path: str, units: dict | None = None) -> None:
+    """Write a table as a single FITS file with one BINTABLE HDU
+    (simpletable.py:1756-1772 parity). Driver-side collect like the
+    reference's write path; ``write_fits_sharded`` is the distributed
+    form, Parquet the native scale sink.
+
+    ``t`` is an EzTable or DataFrame; units defaults to the EzTable's
+    unit metadata so FITS round-trips carry units both ways.
+    """
+    df: DataFrame = getattr(t, "df", t)
+    if units is None:
+        units = dict(getattr(t, "units", {}) or {})
+    blob = encode_fits(df.toPandas(), df.schema, units)
     tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(primary)
-        f.write(table_hdr)
-        f.write(payload)
+        f.write(blob)
     os.replace(tmp, path)
+
+
+def write_fits_sharded(t, dir_path: str, units: dict | None = None) -> list[dict]:
+    """Distributed FITS export: every partition writes its own BINTABLE
+    file executor-side (mapInPandas — Arrow batches, bounded memory, no
+    driver collect), so a large table exports with full cluster
+    parallelism into a directory that ``scan_fits`` reads back as one
+    multi-file archive. Size the shards with ``df.repartition(n)``
+    before calling. Returns the manifest [(file, rows, n_bytes)].
+
+    Per-file headers are self-describing (string/vector widths derive
+    from each shard's data), which the multi-file scan honors — chunk
+    decode re-reads each file's own header.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    df: DataFrame = getattr(t, "df", t)
+    if units is None:
+        units = dict(getattr(t, "units", {}) or {})
+    os.makedirs(dir_path, exist_ok=True)
+    schema = df.schema
+
+    def _write(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(dir_path, f"part-{pid:05d}.fits")
+        blob = encode_fits(pdf, schema, units)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        yield pd.DataFrame([{"file": path, "rows": len(pdf), "n_bytes": len(blob)}])
+
+    manifest = df.mapInPandas(_write, "file string, rows long, n_bytes long")
+    return [r.asDict() for r in manifest.collect()]

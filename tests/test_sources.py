@@ -671,3 +671,34 @@ def test_votable_native_binary_stream_errors(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="TABLEDATA"):
         read_votable_native(spark, str(p))
+
+
+def test_fits_sharded_sink_roundtrip(spark, tmp_path):
+    """Distributed FITS export: each partition writes its own file
+    executor-side (no driver collect); scan_fits reads the directory
+    back as a multi-file archive with exact values."""
+    import glob
+
+    from ezdata_spark.sources.fits_native import scan_fits, write_fits_sharded
+
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("row_id"),
+            (F.col("id") * 0.5).alias("x"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        )
+        .repartition(7)
+    )
+    d = str(tmp_path / "shards")
+    manifest = write_fits_sharded(EzTable(df, units={"x": "mag"}), d)
+    files = sorted(glob.glob(f"{d}/part-*.fits"))
+    assert len(files) == 7 == len(manifest)
+    assert sum(m["rows"] for m in manifest) == 1000
+
+    back = scan_fits(spark, files)
+    assert back.units == {"x": "mag"}
+    got = back.df.agg(F.sum("row_id"), F.sum("x"), F.count(F.lit(1))).collect()[0]
+    assert got[0] == sum(range(1000)) and got[1] == 0.5 * sum(range(1000)) and got[2] == 1000
+    s_vals = {r.s for r in back.df.collect()}
+    assert s_vals == {f"s{i}" for i in range(1000)}
