@@ -453,23 +453,13 @@ _SPARK_NP_H5 = {
 }
 
 
-def write_hdf5(t, path: str, dataset: str = "data") -> None:
-    """Write a table as a single old-style HDF5 file with one compound
-    contiguous dataset at ``/<dataset>`` (simpletable.py:1756-1772
-    parity). Driver-side collect like ``write_fits``; Parquet is the
-    scale sink.
-
-    Layout is the libhdf5 'earliest' format: v0 superblock, symbol-table
-    root group, v1 object headers — readable by h5py and by
-    ``scan_hdf5``. Boolean columns are stored as u1 0/1 (HDF5 has no
-    portable bool); integer nulls are rejected (no HDF5 sentinel
-    convention), float nulls become NaN.
-    """
-    df: DataFrame = getattr(t, "df", t)
-    pdf = df.toPandas()
-
+def _pdf_to_rec(pdf, schema: T.StructType) -> np.ndarray:
+    """Convert a pandas frame (typed by its Spark schema) to the packed
+    numpy record array the HDF5 encoder stores. Boolean columns become
+    u1 0/1 (HDF5 has no portable bool); integer nulls are rejected (no
+    HDF5 sentinel convention), float nulls become NaN."""
     fields, cols = [], []
-    for f in df.schema.fields:
+    for f in schema.fields:
         name = f.name
         if isinstance(f.dataType, T.StringType):
             vals = pdf[name].fillna("").astype(str).to_numpy()
@@ -503,7 +493,13 @@ def write_hdf5(t, path: str, dataset: str = "data") -> None:
     rec = np.zeros(len(pdf), dtype=np.dtype(fields))
     for (name, *_), col in zip(fields, cols):
         rec[name] = col
+    return rec
 
+
+def encode_hdf5(rec: np.ndarray, dataset: str = "data") -> bytes:
+    """Lay out one complete old-style HDF5 file (v0 superblock,
+    symbol-table root group, one compound contiguous dataset) around a
+    packed record array. Shared by the single-file and sharded sinks."""
     # ---- lay out the file: superblock, root group, dataset, data
     name_b = dataset.encode("utf-8")
     heap_names = b"\x00" * 8 + _pad8(name_b + b"\x00")  # offset 0 = "" (btree -inf key)
@@ -572,8 +568,56 @@ def write_hdf5(t, path: str, dataset: str = "data") -> None:
         (snod_addr, snod), (ds_oh_addr, ds_oh), (data_addr, payload),
     ):
         out[addr : addr + len(blob)] = blob
+    return bytes(out)
 
+
+def write_hdf5(t, path: str, dataset: str = "data") -> None:
+    """Write a table as a single old-style HDF5 file with one compound
+    contiguous dataset at ``/<dataset>`` (simpletable.py:1756-1772
+    parity). Driver-side collect like ``write_fits``;
+    ``write_hdf5_sharded`` is the distributed form, Parquet the native
+    scale sink.
+
+    Layout is the libhdf5 'earliest' format: v0 superblock, symbol-table
+    root group, v1 object headers — readable by h5py and by
+    ``scan_hdf5``. Boolean columns are stored as u1 0/1 (HDF5 has no
+    portable bool); integer nulls are rejected (no HDF5 sentinel
+    convention), float nulls become NaN.
+    """
+    df: DataFrame = getattr(t, "df", t)
+    blob = encode_hdf5(_pdf_to_rec(df.toPandas(), df.schema), dataset)
     tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(bytes(out))
+        f.write(blob)
     os.replace(tmp, path)
+
+
+def write_hdf5_sharded(t, dir_path: str, dataset: str = "data") -> list[dict]:
+    """Distributed HDF5 export: every partition writes its own
+    self-describing file executor-side (mapInPandas — no driver
+    collect); ``scan_hdf5`` reads the directory's files back as one
+    multi-file archive. Size the shards with ``df.repartition(n)``
+    before calling. Returns the manifest [(file, rows, n_bytes)]."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    df: DataFrame = getattr(t, "df", t)
+    os.makedirs(dir_path, exist_ok=True)
+    schema = df.schema
+
+    def _write(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(dir_path, f"part-{pid:05d}.h5")
+        blob = encode_hdf5(_pdf_to_rec(pdf, schema), dataset)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        yield pd.DataFrame([{"file": path, "rows": len(pdf), "n_bytes": len(blob)}])
+
+    manifest = df.mapInPandas(_write, "file string, rows long, n_bytes long")
+    return [r.asDict() for r in manifest.collect()]

@@ -702,3 +702,30 @@ def test_fits_sharded_sink_roundtrip(spark, tmp_path):
     assert got[0] == sum(range(1000)) and got[1] == 0.5 * sum(range(1000)) and got[2] == 1000
     s_vals = {r.s for r in back.df.collect()}
     assert s_vals == {f"s{i}" for i in range(1000)}
+
+
+def test_hdf5_sharded_sink_roundtrip(spark, tmp_path):
+    """Distributed HDF5 export mirror of the FITS sharded sink."""
+    import glob
+
+    from ezdata_spark.sources.hdf5_native import scan_hdf5, write_hdf5_sharded
+
+    df = (
+        spark.range(0, 900)
+        .select(
+            F.col("id").alias("row_id"),
+            (F.col("id") * 0.25).alias("x"),
+            F.concat(F.lit("h"), F.col("id")).alias("s"),
+        )
+        .repartition(5)
+    )
+    d = str(tmp_path / "h5shards")
+    manifest = write_hdf5_sharded(EzTable(df), d)
+    files = sorted(glob.glob(f"{d}/part-*.h5"))
+    assert len(files) == 5 == len(manifest)
+    assert sum(m["rows"] for m in manifest) == 900
+
+    back = scan_hdf5(spark, files, "data")
+    got = back.df.agg(F.sum("row_id"), F.sum("x"), F.count(F.lit(1))).collect()[0]
+    assert got[0] == sum(range(900)) and got[1] == 0.25 * sum(range(900)) and got[2] == 900
+    assert {r.s for r in back.df.collect()} == {f"h{i}" for i in range(900)}
