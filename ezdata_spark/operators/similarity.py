@@ -371,3 +371,147 @@ def dequantize_int8(
     return df.withColumn(
         out, F.zip_with(F.col(q_vec), F.array_repeat(F.col(scale_col), F.size(q_vec)), lambda a, s: a * s)
     )
+
+
+# --------------------------------------------------------------------- PQ
+def pq_train(
+    df: DataFrame,
+    vec: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split
+    the L2-normalized vector into ``m`` subspaces and fit ``k`` KMeans
+    centroids per subspace on a driver-bounded sample.
+
+    Returns codebooks[m][k][dim/m]. Scale shape: training reads a
+    sample (m small KMeans fits); everything downstream folds the
+    codebooks into plans as literals — m*k*(dim/m) = k*dim floats, KBs.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = normalize(df, vec, "v").select("v")
+    if sample_fraction is not None:
+        n = n.sample(sample_fraction, seed=seed)
+    dim = len(n.first()["v"])
+    if dim % m:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = n.select(
+            array_to_vector(F.slice("v", j * dsub + 1, dsub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, featuresCol="features").fit(sub)
+        books.append([np.asarray(c).tolist() for c in model.clusterCenters()])
+    return books
+
+
+def _pq_codes_sql(vec_name: str, codebooks: list[list[list[float]]]) -> str:
+    """SQL for the m-element code array: per subspace, the 0-based index
+    of the L2-nearest centroid. One expression per subspace (codebooks
+    folded in as literal matrices), combined with array() — a single
+    parse, no per-centroid py4j traffic."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    parts = []
+    for j in range(m):
+        sub = f"slice({vec_name}, {j * dsub + 1}, {dsub})"
+        # bind the subvector once (HOFs do not CSE the slice)
+        dists = (
+            f"element_at(transform(array({sub}), sv ->"
+            f" transform({_matrix_sql(codebooks[j])}, c ->"
+            f" aggregate(zip_with(sv, c, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x))"
+            f"), 1)"
+        )
+        parts.append(
+            f"element_at(transform(array({dists}), d ->"
+            f" int(array_position(d, array_min(d)) - 1)), 1)"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus: (id, codes array<int>, v normalized). One scan,
+    all JVM higher-order functions; the code column is m bytes of
+    information per vector (vs 4*dim for the raw floats) — the column
+    you persist for a 100 TB ANN corpus.
+    """
+    n = normalize(_fan_out(df), vec, "v").select(id_col, "v")
+    return n.withColumn("codes", F.expr(_pq_codes_sql("v", codebooks)))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    rescore: bool = True,
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k: per query, build the m x k
+    lookup table of subspace dot products ONCE, score every code word
+    with m table lookups (not dim multiplies), keep the top
+    k*oversample, then exactly rescore those few with the true cosine.
+
+    Scale shape: queries (with their LUTs) broadcast; the corpus scan
+    reads only (id, codes) — the compressed column — and the exact
+    rescore joins back just k*oversample rows per query.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qn = normalize(_fan_out(queries), vec, "qv").select(qid_col, "qv")
+    # LUT[j][c] = dot(q_j, codebook[j][c]) — dot LUT approximates cosine
+    # on normalized vectors
+    lut_parts = []
+    for j in range(m):
+        sub = f"slice(qv, {j * dsub + 1}, {dsub})"
+        lut_parts.append(
+            f"element_at(transform(array({sub}), sq ->"
+            f" transform({_matrix_sql(codebooks[j])}, c ->"
+            f" aggregate(zip_with(sq, c, (a, b) -> a*b), 0D, (acc, x) -> acc + x))"
+            f"), 1)"
+        )
+    q = qn.withColumn("lut", F.expr("array(" + ",".join(lut_parts) + ")"))
+
+    # the ADC scan touches ONLY the compressed column — never the floats
+    scored = encoded.select(id_col, "codes").crossJoin(
+        F.broadcast(q.select(qid_col, "qv", "lut"))
+    ).withColumn(
+        "adc",
+        F.expr(
+            "aggregate(transform(codes, (c, j) ->"
+            " element_at(element_at(lut, j + 1), c + 1)),"
+            " 0D, (acc, x) -> acc + x)"
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("adc").desc(), F.col(id_col).asc())
+    cand = (
+        scored.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= k * (oversample if rescore else 1))
+    )
+    if not rescore:
+        return cand.select(qid_col, id_col, F.col("adc").alias("score"), F.col("arank").alias("rank"))
+    # exact rescore: join the few candidates back to the raw vectors —
+    # candidate side broadcast, so the corpus is never reshuffled
+    exact = encoded.select(id_col, "v").join(
+        F.broadcast(cand.select(qid_col, id_col, "qv")), id_col
+    ).withColumn("cosine", _dot(F.col("v"), F.col("qv")))
+    w2 = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )

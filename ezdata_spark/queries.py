@@ -2512,3 +2512,27 @@ def q100(spark, sf_dir):
         F.round("duration_s", 4).alias("feat2"),
     )
     return imgs.unionByName(auds)
+
+
+@query("q101_pq_ann")
+def q101(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al., IEEE TPAMI 2011;
+    operators/similarity.py::pq_train/pq_encode/pq_topk): codebooks
+    trained per subspace, corpus compressed to m=8 4-bit codes, ADC
+    scan over ONLY the code column (m table lookups per vector, never
+    dim multiplies), exact cosine rescore on the few candidates.
+    Rows-only: KMeans centroids are not SQL-expressible; recall vs
+    brute force is pinned by tests/test_operators.py::
+    test_pq_recall_vs_exact."""
+    from .operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    books = pq_train(emb, m=8, k=16)
+    enc = pq_encode(emb, books)
+    out = pq_topk(enc, books, qs, k=5, oversample=4)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")

@@ -1063,3 +1063,36 @@ def test_segment_words_applies_learned_merges(spark):
         assert "".join(syms) == w + "</w>"
     # a word from the training corpus compresses below char count + 1
     assert len(segs["banana"]) < len("banana") + 1
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """Product quantization: ADC top-k with exact rescore must recover
+    most of the true cosine top-10 on the embeddings fixture, and the
+    ADC-only path must place each query's own vector first."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+
+    from ezdata_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = pq_encode(emb, books).persist()
+    codes = enc.select("codes").first()["codes"]
+    assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, qs, k=10).collect()}
+    approx = {(r.qid, r.vec_id) for r in pq_topk(enc, books, qs, k=10, oversample=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"PQ recall too low: {recall}"
+
+    # ADC-only (no rescore): the query's own code word maximizes the LUT sum
+    adc = pq_topk(enc, books, qs, k=1, rescore=False).collect()
+    assert all(r.qid == r.vec_id for r in adc), [(r.qid, r.vec_id) for r in adc]
+    enc.unpersist()

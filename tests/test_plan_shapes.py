@@ -33,6 +33,11 @@ BNLJ_ALLOWED = {
     "q87_tfidf_topterms",
     "q88_bm25_search",
     "q90_unigram_logprob",
+    # PQ's ADC pass deliberately scores every code word against the
+    # broadcast query LUTs (the linear ADC scan of Jegou et al.) — the
+    # compression is the point: m table lookups per vector over the
+    # codes column only, with IVF cells as the pruning composition
+    "q101_pq_ann",
 }
 
 
