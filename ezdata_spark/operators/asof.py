@@ -1,0 +1,145 @@
+"""As-of (point-in-time) and range/interval joins.
+
+Extension operators Spark lacks natively (SURVEY.md §2.4 — the
+reference has only equi-joins). Both are expressed as compositions of
+built-in DataFrame ops, never nested-loop joins:
+
+- ``asof_join``: the union-and-window construction — tag both sides,
+  union, one window over (keys, ts) carries the most recent right
+  payload forward onto each left row. ONE shuffle on the join keys,
+  state O(1) per row; no range-condition join, no per-row probe. This
+  is the scalable shape for "attach the latest quote to every trade"
+  at any data size, and what engines with native ASOF JOIN (DuckDB,
+  QuestDB) do internally.
+- ``range_join``: interval containment via bucketize-and-equi-join —
+  each right interval explodes into the fixed-width buckets it covers,
+  the left value hashes into exactly one bucket, and the equi-join on
+  bucket id + exact refine replaces the O(n*m) theta join (the same
+  zone-bucket discipline as the cone cross-match, astro.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    how: str = "inner",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the nearest right row per ``by`` key:
+    the latest right with ``right.on <= left.on`` (backward, default)
+    or the earliest with ``right.on >= left.on`` (forward). Equal
+    timestamps match. ``tolerance`` (same units as ``on``, e.g. seconds
+    for numeric, or use a cast) bounds the allowed gap; ``how`` is
+    'inner' (drop unmatched, DuckDB ASOF JOIN semantics) or 'left'.
+
+    The matched right columns come back as ``<col><suffix>`` plus
+    ``<on><suffix>`` (the matched event time).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    keys = [by] if isinstance(by, str) else list(by)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != on
+    ]
+
+    payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols])
+    r = right.select(*keys, F.col(on), F.lit(0).alias("__side"), payload.alias("__p"))
+    l_cols = left.columns
+    l = left.select(
+        *l_cols, F.lit(1).alias("__side"), F.lit(None).cast(r.schema["__p"].dataType).alias("__p")
+    ).select(*keys, on, "__side", "__p", *[c for c in l_cols if c not in keys and c != on])
+    unioned = l.unionByName(r.select(*r.columns), allowMissingColumns=True)
+
+    # right rows (side 0) sort before left rows at equal ts, so an
+    # equal-timestamp right row is visible to the left row's frame
+    if direction == "backward":
+        w = Window.partitionBy(*keys).orderBy(F.col(on).asc(), F.col("__side").asc())
+    else:
+        w = Window.partitionBy(*keys).orderBy(F.col(on).desc(), F.col("__side").asc())
+    carried = F.last("__p", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        unioned.withColumn("__m", carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__p")
+    )
+    matched_on = F.col(f"__m.{on}")
+    if tolerance is not None:
+        gap = (
+            (F.col(on) - matched_on)
+            if direction == "backward"
+            else (matched_on - F.col(on))
+        )
+        out = out.withColumn(
+            "__m", F.when(gap <= tolerance, F.col("__m"))
+        )
+    sel = [F.col(c) for c in l_cols] + [
+        F.col(f"__m.{on}").alias(f"{on}{suffix}")
+    ] + [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    out = out.select(*sel)
+    if how == "inner":
+        out = out.filter(F.col(f"{on}{suffix}").isNotNull())
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join: pair every left row with every right
+    row whose ``[lo_col, hi_col]`` interval contains ``value_col``
+    (inclusive both ends).
+
+    Bucketize-and-refine: the right interval explodes into the
+    fixed-width buckets it covers, the left value lands in exactly one
+    bucket, and the bucket equi-join + exact BETWEEN refine yields each
+    qualifying pair exactly once. Pick ``bucket_width`` near the median
+    interval length: per-interval bucket count stays O(1) and per-bucket
+    candidates stay small. Column names must be disjoint across sides.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"range_join: overlapping column names {sorted(clash)}")
+    w = float(bucket_width)
+    lb = left.withColumn("__b", F.floor(F.col(value_col) / w).cast("long"))
+    rb = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, "__b", "inner").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+    )
+    if how == "inner":
+        return joined.drop("__b")
+    if how != "left":
+        raise ValueError("how must be 'inner' or 'left'")
+    matched = joined.drop("__b")
+    unmatched = left.join(
+        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+    )
+    for c in right.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    return matched.unionByName(unmatched)

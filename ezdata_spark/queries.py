@@ -2536,3 +2536,82 @@ def q101(spark, sf_dir):
     enc = pq_encode(emb, books)
     out = pq_topk(enc, books, qs, k=5, oversample=4)
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@query(
+    "q102_asof_join",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_id % 5 <> 0),
+    r0 AS (SELECT user_id, ts, value, event_id FROM events
+           WHERE event_id % 5 = 0),
+    r AS (SELECT user_id, ts, value, event_id FROM (
+            SELECT r0.*, ROW_NUMBER() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM r0) WHERE rn = 1)
+    SELECT l.event_id, l.user_id, l.value,
+           r.ts AS ref_ts, r.event_id AS ref_id, r.value AS ref_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q102(spark, sf_dir):
+    """Point-in-time (as-of) join (operators/asof.py): every event
+    attaches the latest reference event at-or-before its timestamp per
+    user — union + one window over (user, ts), ONE shuffle, no range
+    join. Hash-checked against DuckDB's native ASOF JOIN."""
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r0 = ev.filter(F.col("event_id") % 5 == 0).select(
+        "user_id", "ts", F.col("value").alias("ref_value"), F.col("event_id").alias("ref_id")
+    )
+    # one reference row per (user, ts): equal-ts duplicates would make
+    # the matched payload engine-dependent
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("ref_id").desc())
+    right = r0.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["ref_value", "ref_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts_r").alias("ref_ts"),
+        F.col("ref_id_r").alias("ref_id"),
+        F.col("ref_value_r").alias("ref_value"),
+    )
+
+
+@query(
+    "q103_range_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           n_nationkey AS band_id
+    FROM lineitem
+    JOIN (SELECT n_nationkey, n_nationkey * 4000.0 AS lo,
+                 n_nationkey * 4000.0 + 6000.0 AS hi
+          FROM nation) b
+    ON l_extendedprice >= lo AND l_extendedprice <= hi
+    """,
+)
+def q103(spark, sf_dir):
+    """Interval-containment join (operators/asof.py::range_join):
+    overlapping price bands matched by bucketize + equi-join + exact
+    refine — never a theta join (plan sweep enforces no BNLJ)."""
+    from .operators.asof import range_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    bands = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 4000.0).alias("lo"),
+        (F.col("n_nationkey") * 4000.0 + 6000.0).alias("hi"),
+    )
+    out = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=4000.0)
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice", "band_id")

@@ -1096,3 +1096,109 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     adc = pq_topk(enc, books, qs, k=1, rescore=False).collect()
     assert all(r.qid == r.vec_id for r in adc), [(r.qid, r.vec_id) for r in adc]
     enc.unpersist()
+
+
+# ---------------------------------------------------------------------
+# as-of / range joins (operators/asof.py)
+# ---------------------------------------------------------------------
+def test_asof_join_backward_forward_tolerance(spark):
+    from ezdata_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10.0, "t1"), (1, 20.0, "t2"), (1, 4.0, "t0"), (2, 15.0, "t3")],
+        "k long, ts double, tag string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5.0, 100.0), (1, 10.0, 110.0), (1, 18.0, 120.0), (2, 30.0, 200.0)],
+        "k long, ts double, px double",
+    )
+    back = {
+        (r.tag, r.ts_r, r.px_r)
+        for r in asof_join(trades, quotes, on="ts", by="k").collect()
+    }
+    # t1@10 matches the equal-ts quote@10; t0@4 has no earlier quote (inner drops)
+    assert back == {("t1", 10.0, 110.0), ("t2", 18.0, 120.0)}
+
+    left = {
+        (r.tag, r.ts_r, r.px_r)
+        for r in asof_join(trades, quotes, on="ts", by="k", how="left").collect()
+    }
+    assert ("t0", None, None) in left and ("t3", None, None) in left and len(left) == 4
+
+    fwd = {
+        (r.tag, r.ts_r, r.px_r)
+        for r in asof_join(trades, quotes, on="ts", by="k", direction="forward").collect()
+    }
+    # t0@4 -> quote@5; t2@20 has no later quote on k=1; t3@15 -> quote@30 (k=2)
+    assert fwd == {("t0", 5.0, 100.0), ("t1", 10.0, 110.0), ("t3", 30.0, 200.0)}
+
+    tol = {
+        (r.tag, r.ts_r)
+        for r in asof_join(trades, quotes, on="ts", by="k", tolerance=2.0).collect()
+    }
+    # t2@20 vs quote@18 = gap 2 (kept); t1@10 gap 0
+    assert tol == {("t1", 10.0), ("t2", 18.0)}
+
+
+def test_asof_join_matches_duckdb(spark):
+    """Cross-engine pin: the union-window construction must equal
+    DuckDB's native ASOF JOIN on a random frame."""
+    import duckdb
+    import numpy as np
+
+    from ezdata_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    trades = [(int(k), float(t)) for k, t in zip(rng.randint(0, 5, 200), rng.uniform(0, 100, 200))]
+    quotes_raw = [
+        (int(k), float(t), float(p))
+        for k, t, p in zip(rng.randint(0, 5, 80), rng.uniform(0, 100, 80), rng.uniform(1, 2, 80))
+    ]
+    # unique (k, ts) on the right: equal-ts duplicates make the matched
+    # payload engine-dependent
+    seen, quotes = set(), []
+    for k, t, p in quotes_raw:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            quotes.append((k, t, p))
+
+    tdf = spark.createDataFrame(trades, "k long, ts double")
+    qdf = spark.createDataFrame(quotes, "k long, ts double, px double")
+    got = {
+        (r.k, round(r.ts, 9), round(r.px_r, 9))
+        for r in asof_join(tdf, qdf, on="ts", by="k").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT, ts DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", trades)
+    con.execute("CREATE TABLE q(k BIGINT, ts DOUBLE, px DOUBLE)")
+    con.executemany("INSERT INTO q VALUES (?, ?, ?)", quotes)
+    want = {
+        (k, round(ts, 9), round(px, 9))
+        for k, ts, px in con.execute(
+            "SELECT t.k, t.ts, q.px FROM t ASOF JOIN q ON t.k = q.k AND t.ts >= q.ts"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_range_join_inner_and_left(spark):
+    from ezdata_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 999.0)], "pid long, v double")
+    bands = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 4.0, 30.0), (30, 100.0, 200.0)],
+        "bid long, lo double, hi double",
+    )
+    inner = {
+        (r.pid, r.bid) for r in range_join(pts, bands, "v", "lo", "hi", 8.0).collect()
+    }
+    assert inner == {(1, 10), (1, 20), (2, 20)}  # overlapping bands both match
+    left = {
+        (r.pid, r.bid)
+        for r in range_join(pts, bands, "v", "lo", "hi", 8.0, how="left").collect()
+    }
+    assert left == inner | {(3, None)}
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(pts, pts.withColumnRenamed("pid", "p2"), "v", "lo", "hi", 8.0)
