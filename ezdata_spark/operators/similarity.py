@@ -374,6 +374,29 @@ def dequantize_int8(
 
 
 # --------------------------------------------------------------------- PQ
+def _lloyd(X: np.ndarray, k: int, iters: int, seed: int) -> list[list[float]]:
+    """Plain Lloyd's k-means on a driver-side sample (numpy). PQ
+    codebooks are tiny (k x dsub) and trained on bounded samples, so a
+    local solver beats m separate distributed KMeans fits (whose per-fit
+    overhead dominates at this size). Deterministic under ``seed``;
+    empty clusters are reseeded from the farthest points."""
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, len(X))
+    cent = X[rng.choice(len(X), size=k_eff, replace=False)].astype(np.float64)
+    if k_eff < k:  # degenerate tiny sample: pad with duplicates
+        cent = np.vstack([cent, cent[rng.randint(0, k_eff, size=k - k_eff)]])
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:
+                cent[c] = X[d2.min(axis=1).argmax()]
+    return cent.tolist()
+
+
 def pq_train(
     df: DataFrame,
     vec: str = "embedding",
@@ -381,34 +404,33 @@ def pq_train(
     k: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    sample_rows: int = 100_000,
+    iters: int = 20,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jegou et al., "Product
     Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): split
-    the L2-normalized vector into ``m`` subspaces and fit ``k`` KMeans
-    centroids per subspace on a driver-bounded sample.
+    the L2-normalized vector into ``m`` subspaces and fit ``k`` Lloyd's
+    k-means centroids per subspace on a driver-bounded sample
+    (``sample_fraction`` for a random sample at scale, then capped at
+    ``sample_rows``).
 
     Returns codebooks[m][k][dim/m]. Scale shape: training reads a
-    sample (m small KMeans fits); everything downstream folds the
-    codebooks into plans as literals — m*k*(dim/m) = k*dim floats, KBs.
+    bounded sample once; everything downstream folds the codebooks into
+    plans as literals — m*k*(dim/m) = k*dim floats, KBs.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     n = normalize(df, vec, "v").select("v")
     if sample_fraction is not None:
         n = n.sample(sample_fraction, seed=seed)
-    dim = len(n.first()["v"])
+    X = np.asarray(n.limit(sample_rows).toPandas()["v"].tolist(), dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("pq_train: empty training sample")
+    dim = X.shape[1]
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     dsub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sub = n.select(
-            array_to_vector(F.slice("v", j * dsub + 1, dsub)).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + j, featuresCol="features").fit(sub)
-        books.append([np.asarray(c).tolist() for c in model.clusterCenters()])
-    return books
+    return [
+        _lloyd(X[:, j * dsub : (j + 1) * dsub], k, iters, seed + j) for j in range(m)
+    ]
 
 
 def _pq_codes_sql(vec_name: str, codebooks: list[list[list[float]]]) -> str:
