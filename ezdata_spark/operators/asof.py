@@ -143,3 +143,48 @@ def range_join(
     for c in right.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
     return matched.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-overlap join: pair rows whose [lo, hi] intervals
+    intersect (touching endpoints count).
+
+    Both sides explode into the fixed-width buckets their intervals
+    cover and equi-join on bucket id; a pair sharing several buckets
+    would duplicate, so each pair is emitted only from its CANONICAL
+    bucket — the one containing max(l_lo, r_lo) — which both sides
+    cover by construction. No dropDuplicates shuffle, each qualifying
+    pair exactly once. Column names must be disjoint across sides.
+    """
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"interval_overlap_join: overlapping column names {sorted(clash)}")
+    w = float(bucket_width)
+
+    def buckets(lo, hi):
+        return F.sequence(
+            F.floor(F.col(lo) / w).cast("long"), F.floor(F.col(hi) / w).cast("long")
+        )
+
+    lb = left.withColumn("__b", F.explode(buckets(l_lo, l_hi)))
+    rb = right.withColumn("__b", F.explode(buckets(r_lo, r_hi)))
+    return (
+        lb.join(rb, "__b", "inner")
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(r_lo) <= F.col(l_hi))
+            & (
+                F.col("__b")
+                == F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / w).cast("long")
+            )
+        )
+        .drop("__b")
+    )

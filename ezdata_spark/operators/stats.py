@@ -80,3 +80,35 @@ def stats_wide(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | None 
         for fn in fns:
             aggs.append(_stat_col(name, fn).alias(f"{name}__{fn}"))
     return df.agg(*aggs)
+
+
+def approx_stats(
+    df: DataFrame,
+    columns: Sequence[str],
+    group_by: Sequence[str] | None = None,
+    rsd: float = 0.05,
+    quantiles: Sequence[float] = (0.5,),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based statistics for 100 TB profiling: HyperLogLog++
+    distinct counts (``approx_count_distinct``, relative error ``rsd``)
+    and KLL-style approximate quantiles (``percentile_approx``,
+    1/``accuracy`` rank error) per column, optionally per group.
+
+    The exact versions (``count(distinct)``, ``percentile``) shuffle
+    every distinct value / sort every row; the sketches are fixed-size
+    mergeable state per partition — the only viable shape for interactive
+    profiling at corpus scale. Approximation error is pinned by
+    tests/test_operators.py::test_approx_stats_close_to_exact.
+    """
+    aggs = []
+    for c in columns:
+        aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct"))
+        for q in quantiles:
+            aggs.append(
+                F.percentile_approx(c, q, accuracy).alias(
+                    f"{c}_p{str(q).replace('0.', '').ljust(2, '0')}"
+                )
+            )
+    g = df.groupBy(*[F.col(c) for c in (group_by or [])])
+    return g.agg(*aggs)

@@ -2615,3 +2615,60 @@ def q103(spark, sf_dir):
     )
     out = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=4000.0)
     return out.select("l_orderkey", "l_linenumber", "l_extendedprice", "band_id")
+
+
+@query(
+    "q104_interval_overlap",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice AS alo,
+                      o_totalprice + 5000.0 AS ahi
+               FROM orders WHERE o_orderkey % 100 = 0),
+    b AS (SELECT n_nationkey AS band_id, n_nationkey * 20000.0 AS blo,
+                 n_nationkey * 20000.0 + 30000.0 AS bhi
+          FROM nation)
+    SELECT o_orderkey, band_id
+    FROM a JOIN b ON alo <= bhi AND blo <= ahi
+    """,
+)
+def q104(spark, sf_dir):
+    """Interval-overlap join (operators/asof.py::interval_overlap_join):
+    order price windows vs overlapping value bands — bucketized
+    equi-join with canonical-bucket dedup, each pair exactly once, no
+    theta join and no dropDuplicates shuffle."""
+    from .operators.asof import interval_overlap_join
+
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("alo"),
+            (F.col("o_totalprice") + 5000.0).alias("ahi"),
+        )
+    )
+    b = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 20000.0).alias("blo"),
+        (F.col("n_nationkey") * 20000.0 + 30000.0).alias("bhi"),
+    )
+    out = interval_overlap_join(a, b, "alo", "ahi", "blo", "bhi", bucket_width=20000.0)
+    return out.select("o_orderkey", "band_id")
+
+
+@query("q105_approx_profile")
+def q105(spark, sf_dir):
+    """Sketch-based per-group profile (operators/stats.py::approx_stats):
+    HyperLogLog++ distinct counts + KLL-style approximate quantiles —
+    fixed-size mergeable state per partition, the interactive-profiling
+    shape at 100 TB. Rows-only: sketch estimates are engine-specific;
+    closeness to exact is pinned by tests/test_operators.py::
+    test_approx_stats_close_to_exact."""
+    from .operators.stats import approx_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return approx_stats(
+        li,
+        ["l_orderkey", "l_extendedprice"],
+        group_by=["l_returnflag"],
+        quantiles=[0.5, 0.9],
+    ).orderBy("l_returnflag")

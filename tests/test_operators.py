@@ -1202,3 +1202,46 @@ def test_range_join_inner_and_left(spark):
     assert left == inner | {(3, None)}
     with pytest.raises(ValueError, match="overlapping"):
         range_join(pts, pts.withColumnRenamed("pid", "p2"), "v", "lo", "hi", 8.0)
+
+
+def test_interval_overlap_join(spark):
+    """Bucketized overlap join equals the brute-force theta join on a
+    random frame, with each pair exactly once (canonical-bucket dedup)."""
+    import numpy as np
+
+    from ezdata_spark.operators.asof import interval_overlap_join
+
+    rng = np.random.RandomState(3)
+    a = [(i, float(lo), float(lo + rng.uniform(0, 25))) for i, lo in enumerate(rng.uniform(0, 100, 60))]
+    b = [(j, float(lo), float(lo + rng.uniform(0, 25))) for j, lo in enumerate(rng.uniform(0, 100, 40))]
+    adf = spark.createDataFrame(a, "aid long, alo double, ahi double")
+    bdf = spark.createDataFrame(b, "bid long, blo double, bhi double")
+    got = [
+        (r.aid, r.bid)
+        for r in interval_overlap_join(adf, bdf, "alo", "ahi", "blo", "bhi", 10.0).collect()
+    ]
+    want = [
+        (i, j)
+        for i, alo, ahi in a
+        for j, blo, bhi in b
+        if alo <= bhi and blo <= ahi
+    ]
+    assert sorted(got) == sorted(want)  # exactly once each: no dupes
+
+
+def test_approx_stats_close_to_exact(spark, sf_dir):
+    """HLL distinct within rsd bounds and approx median within 2% of the
+    exact on the lineitem fixture."""
+    from ezdata_spark.operators.stats import approx_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = approx_stats(
+        li, ["l_orderkey", "l_extendedprice"], rsd=0.02, quantiles=[0.5]
+    ).collect()[0]
+    exact_distinct = li.select("l_orderkey").distinct().count()
+    exact_median = li.selectExpr("percentile(l_extendedprice, 0.5)").collect()[0][0]
+    assert abs(row["l_orderkey_approx_distinct"] - exact_distinct) <= 0.1 * exact_distinct
+    assert abs(row["l_extendedprice_p50"] - exact_median) <= 0.02 * exact_median
+
+    per_group = approx_stats(li, ["l_extendedprice"], group_by=["l_returnflag"])
+    assert per_group.count() == li.select("l_returnflag").distinct().count()
