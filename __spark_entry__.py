@@ -24,10 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # name-sorted and contiguous: q01-q72, q86-q90, q92-q95, q97-q99 are
-    # oracle-backed, q73-q85, q91, q96 are rows-only (non-SQL-expressible:
-    # Spark-specific hashes, KMeans, iterative fixpoints). Entries past the
-    # driver's 50-name window are guarded by tests/test_oracle_gate.py
+    # name-sorted and contiguous: q01-q72, q86-q90, q92-q95, q97-q99,
+    # q102-q104 are oracle-backed; q73-q85, q91, q96, q100, q101, q105 are
+    # rows-only (non-SQL-expressible: Spark-specific hashes, KMeans /
+    # codebooks, iterative fixpoints, media bytes, sketch estimates).
+    # Entries past the driver's 50-name window are guarded by
+    # tests/test_oracle_gate.py
     return dict(sorted(_catalog.QUERIES.items()))
 
 
