@@ -78,14 +78,16 @@ def asof_join(
     )
     matched_on = F.col(f"__m.{on}")
     if tolerance is not None:
-        gap = (
-            (F.col(on) - matched_on)
-            if direction == "backward"
-            else (matched_on - F.col(on))
-        )
-        out = out.withColumn(
-            "__m", F.when(gap <= tolerance, F.col("__m"))
-        )
+        # timestamp event time: tolerance is SECONDS (exact integer
+        # microsecond arithmetic); numeric event time: same units as `on`
+        if dict(out.dtypes).get(on) in ("timestamp", "timestamp_ntz"):
+            lhs = F.unix_micros(F.col(on).cast("timestamp"))
+            rhs = F.unix_micros(matched_on.cast("timestamp"))
+            tol = int(round(tolerance * 1_000_000))
+        else:
+            lhs, rhs, tol = F.col(on), matched_on, tolerance
+        gap = (lhs - rhs) if direction == "backward" else (rhs - lhs)
+        out = out.withColumn("__m", F.when(gap <= tol, F.col("__m")))
     sel = [F.col(c) for c in l_cols] + [
         F.col(f"__m.{on}").alias(f"{on}{suffix}")
     ] + [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]

@@ -123,6 +123,38 @@ def main() -> None:
     # 100k-user key (the realistic per-owner shape), not a 5-value category
     run("session_window_agg", session_agg(events, gap="3 hours", keys=["user_id"]))
 
+    # point-in-time + interval joins (round-5): asof is one (user, ts)
+    # window over the union; range join is bucket equi-join + refine
+    from ezdata_spark.operators.asof import asof_join, range_join
+
+    quotes = spark.range(n // 10).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(11)), F.lit(30 * 86_400_000_000))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(12)), F.lit(10_000)) / 100.0).alias("px"),
+    )
+    run(
+        "asof_join",
+        asof_join(
+            events.select("user_id", "ts", "value"), quotes, on="ts", by="user_id"
+        ),
+        rows_in=n + n // 10,
+    )
+    bands = spark.range(2_000).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 75.0).alias("hi"),
+    )
+    run(
+        "range_join",
+        range_join(
+            fact.select((F.col("price")).alias("pv"), "orderkey"),
+            bands, "pv", "lo", "hi", bucket_width=50.0,
+        ),
+    )
+
     from ezdata_spark.functions.astro import crossmatch_cone
 
     # sky density tuned so expected candidate pairs stay O(sky_n):

@@ -1245,3 +1245,24 @@ def test_approx_stats_close_to_exact(spark, sf_dir):
 
     per_group = approx_stats(li, ["l_extendedprice"], group_by=["l_returnflag"])
     assert per_group.count() == li.select("l_returnflag").distinct().count()
+
+
+def test_asof_join_timestamp_tolerance(spark):
+    """tolerance on a timestamp event-time column is interpreted in
+    seconds (exact integer-microsecond arithmetic)."""
+    from ezdata_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, "2026-01-01 00:10:00", "t1"), (1, "2026-01-01 02:00:00", "t2")],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", 1.0)], "k long, ts string, px double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.tag
+        for r in asof_join(
+            trades, quotes, on="ts", by="k", tolerance=3600.0
+        ).collect()
+    }
+    assert got == {"t1"}  # t2 is 2h past the quote: outside the 1h tolerance
