@@ -34,16 +34,20 @@ def asof_join(
     tolerance: float | None = None,
     how: str = "inner",
     suffix: str = "_r",
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row per ``by`` key:
     the latest right with ``right.on <= left.on`` (backward, default)
     or the earliest with ``right.on >= left.on`` (forward). Equal
-    timestamps match. ``tolerance`` (same units as ``on``, e.g. seconds
-    for numeric, or use a cast) bounds the allowed gap; ``how`` is
+    timestamps match. ``tolerance`` bounds the allowed gap (seconds for
+    timestamp event time, same units as ``on`` for numeric); ``how`` is
     'inner' (drop unmatched, DuckDB ASOF JOIN semantics) or 'left'.
 
     The matched right columns come back as ``<col><suffix>`` plus
-    ``<on><suffix>`` (the matched event time).
+    ``<on><suffix>`` (the matched event time). When several right rows
+    share the same (key, ``on``), pass ``right_tiebreak`` columns —
+    the row with the greatest tiebreak value wins deterministically
+    (otherwise the winner is partition-order dependent).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -54,7 +58,10 @@ def asof_join(
         c for c in right.columns if c not in keys and c != on
     ]
 
-    payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols])
+    # tiebreak columns ride in the payload even when not requested as
+    # output columns (the window needs them to order equal-ts rights)
+    payload_cols = list(dict.fromkeys(right_cols + (right_tiebreak or [])))
+    payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols])
     r = right.select(*keys, F.col(on), F.lit(0).alias("__side"), payload.alias("__p"))
     l_cols = left.columns
     l = left.select(
@@ -63,11 +70,14 @@ def asof_join(
     unioned = l.unionByName(r.select(*r.columns), allowMissingColumns=True)
 
     # right rows (side 0) sort before left rows at equal ts, so an
-    # equal-timestamp right row is visible to the left row's frame
+    # equal-timestamp right row is visible to the left row's frame.
+    # Tiebreak columns (null on left rows) order equal-(ts, side) right
+    # rows so last() picks the greatest deterministically.
+    tb = [F.col(f"__p.{c}").asc_nulls_first() for c in (right_tiebreak or [])]
     if direction == "backward":
-        w = Window.partitionBy(*keys).orderBy(F.col(on).asc(), F.col("__side").asc())
+        w = Window.partitionBy(*keys).orderBy(F.col(on).asc(), F.col("__side").asc(), *tb)
     else:
-        w = Window.partitionBy(*keys).orderBy(F.col(on).desc(), F.col("__side").asc())
+        w = Window.partitionBy(*keys).orderBy(F.col(on).desc(), F.col("__side").asc(), *tb)
     carried = F.last("__p", ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )

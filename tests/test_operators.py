@@ -1266,3 +1266,21 @@ def test_asof_join_timestamp_tolerance(spark):
         ).collect()
     }
     assert got == {"t1"}  # t2 is 2h past the quote: outside the 1h tolerance
+
+
+def test_asof_join_right_tiebreak_deterministic(spark):
+    """Equal-(key, ts) right rows: the greatest tiebreak value wins,
+    independent of partition order."""
+    from ezdata_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame([(1, 10.0, "t1")], "k long, ts double, tag string")
+    quotes = spark.createDataFrame(
+        [(1, 5.0, 7, 100.0), (1, 5.0, 9, 300.0), (1, 5.0, 8, 200.0)],
+        "k long, ts double, qid long, px double",
+    ).repartition(3)
+    for _ in range(3):
+        rows = asof_join(
+            trades, quotes, on="ts", by="k",
+            right_cols=["px"], right_tiebreak=["qid"],
+        ).collect()
+        assert len(rows) == 1 and rows[0].px_r == 300.0  # qid=9 wins
