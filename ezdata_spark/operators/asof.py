@@ -62,7 +62,16 @@ def asof_join(
     # output columns (the window needs them to order equal-ts rights)
     payload_cols = list(dict.fromkeys(right_cols + (right_tiebreak or [])))
     payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols])
-    r = right.select(*keys, F.col(on), F.lit(0).alias("__side"), payload.alias("__p"))
+    # SQL join-equality semantics: a NULL key never matches (DuckDB ASOF
+    # JOIN, which q102's oracle pins). Window.partitionBy would group
+    # NULL keys together, so drop null-key right rows; null-key left
+    # rows then naturally find no match.
+    null_key_free = right
+    for kcol in keys:
+        null_key_free = null_key_free.filter(F.col(kcol).isNotNull())
+    r = null_key_free.select(
+        *keys, F.col(on), F.lit(0).alias("__side"), payload.alias("__p")
+    )
     l_cols = left.columns
     l = left.select(
         *l_cols, F.lit(1).alias("__side"), F.lit(None).cast(r.schema["__p"].dataType).alias("__p")
@@ -149,8 +158,17 @@ def range_join(
     if how != "left":
         raise ValueError("how must be 'inner' or 'left'")
     matched = joined.drop("__b")
-    unmatched = left.join(
-        matched.select(*left.columns).distinct(), left.columns, "left_anti"
+    # null-SAFE anti join: plain column-equality would fail to exclude a
+    # matched row containing any NULL (NULL = NULL is NULL), duplicating
+    # it into the null-padded branch
+    m = matched.select(*left.columns).distinct().alias("__m")
+    lal = left.alias("__l")
+    cond = None
+    for c in left.columns:
+        eq = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    unmatched = lal.join(m, cond, "left_anti").select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns]
     )
     for c in right.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))

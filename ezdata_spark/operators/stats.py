@@ -105,9 +105,11 @@ def approx_stats(
     for c in columns:
         aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct"))
         for q in quantiles:
+            # integer-percent naming (p50, p90, p100): str-mangling made
+            # q=1.0 emit 'p1.0', an invalid (dotted) column name
             aggs.append(
                 F.percentile_approx(c, q, accuracy).alias(
-                    f"{c}_p{str(q).replace('0.', '').ljust(2, '0')}"
+                    f"{c}_p{int(round(q * 100))}"
                 )
             )
     g = df.groupBy(*[F.col(c) for c in (group_by or [])])

@@ -33,6 +33,20 @@ def _have(mod: str) -> bool:
         return False
 
 
+def _check_schema(schema, got, what: str) -> None:
+    """Validate a caller-supplied schema against the file-derived one
+    (the native readers derive schemas from file headers; a requested
+    schema is checked, never silently ignored)."""
+    want = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if [(f.name, f.dataType) for f in want.fields] != [
+        (f.name, f.dataType) for f in got.fields
+    ]:
+        raise ValueError(
+            f"{what}: requested schema does not match the file: "
+            f"requested {want.simpleString()}, file has {got.simpleString()}"
+        )
+
+
 def ingest_chunked(
     spark: SparkSession,
     files: list[str],
@@ -90,16 +104,7 @@ def read_hdf5(
 
         df = scan_hdf5(spark, files, dataset, chunk_rows=chunk_rows).df
         if schema is not None:
-            want = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
-            got = df.schema
-            if [(f.name, f.dataType) for f in want.fields] != [
-                (f.name, f.dataType) for f in got.fields
-            ]:
-                raise ValueError(
-                    "read_hdf5: requested schema does not match the file's "
-                    f"dataset: requested {want.simpleString()}, "
-                    f"file has {got.simpleString()}"
-                )
+            _check_schema(schema, df.schema, "read_hdf5")
         return df
     import h5py  # noqa: F401
 
@@ -136,18 +141,7 @@ def read_fits(
 
         df = scan_fits(spark, files, hdu=hdu, chunk_rows=chunk_rows).df
         if schema is not None:
-            # the native reader derives the schema from the FITS header;
-            # a caller-supplied schema is validated, not silently ignored
-            want = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
-            got = df.schema
-            if [(f.name, f.dataType) for f in want.fields] != [
-                (f.name, f.dataType) for f in got.fields
-            ]:
-                raise ValueError(
-                    "read_fits: requested schema does not match the file's "
-                    f"BINTABLE header: requested {want.simpleString()}, "
-                    f"file has {got.simpleString()}"
-                )
+            _check_schema(schema, df.schema, "read_fits")
         return df
     from astropy.io import fits  # noqa: F401
 

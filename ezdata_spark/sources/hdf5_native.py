@@ -53,9 +53,20 @@ class _H5:
     """Minimal read-only parser for one old-style HDF5 file."""
 
     def __init__(self, path: str):
+        import mmap
+
         self.path = path
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        # mmap, not read(): header parsing touches a few KB of pages no
+        # matter how large the file is — a 20 GB archive must not be
+        # slurped into every chunk task (or 32x concurrently on the
+        # driver during count_rows planning)
+        self._fh = open(path, "rb")
+        try:
+            self.buf: bytes | mmap.mmap = mmap.mmap(
+                self._fh.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except ValueError:  # zero-length file
+            self.buf = b""
         if self.buf[:8] != SIG:
             raise ValueError(f"{path}: not an HDF5 file (bad signature)")
         ver = self.buf[8]
@@ -114,7 +125,10 @@ class _H5:
         return _u(buf, heap_addr + 24, 8)
 
     def _name(self, heap_data: int, offset: int) -> str:
-        end = self.buf.index(b"\x00", heap_data + offset)
+        # mmap has find() but not index()
+        end = self.buf.find(b"\x00", heap_data + offset)
+        if end < 0:
+            raise ValueError(f"{self.path}: unterminated heap string")
         return self.buf[heap_data + offset : end].decode("utf-8")
 
     def _walk_btree(self, node_addr: int, heap_data: int, out: dict):

@@ -137,7 +137,14 @@ def _fmt_cell(v, dt: str) -> str:
 
 
 def _esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # quotes must be escaped too: _esc output lands inside double-quoted
+    # attribute values (FIELD name/unit)
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
 
 
 def write_votable(t, path: str) -> None:

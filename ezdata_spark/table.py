@@ -63,10 +63,14 @@ class EzTable:
         if low.endswith((".parquet", ".pq")):
             from .sources.parquet_meta import read_parquet
 
+            if kw:
+                raise TypeError(f"EzTable.read: read_parquet takes no options, got {sorted(kw)}")
             return read_parquet(spark, path)
         if low.endswith(".ecsv"):
             from .sources.ecsv import read_ecsv
 
+            if kw:
+                raise TypeError(f"EzTable.read: read_ecsv takes no options, got {sorted(kw)}")
             return read_ecsv(spark, path)
         if low.endswith((".csv", ".txt")):
             from .sources.csv_meta import read_csv
@@ -75,6 +79,8 @@ class EzTable:
         if low.endswith((".tsv", ".dat")):
             from .sources.csv_meta import read_tsv
 
+            if kw:
+                raise TypeError(f"EzTable.read: read_tsv takes no options, got {sorted(kw)}")
             return read_tsv(spark, path)
         if low.endswith((".fits", ".fit")):
             from .sources.fits_native import scan_fits
@@ -87,6 +93,8 @@ class EzTable:
         if low.endswith((".vot", ".xml")):
             from .sources.binary_tables import read_votable
 
+            if kw:
+                raise TypeError(f"EzTable.read: read_votable takes no options, got {sorted(kw)}")
             return read_votable(spark, path)
         if low.endswith((".jsonl", ".jsonl.gz", ".ndjson")):
             from .sources.jsonl import read_jsonl
@@ -123,6 +131,8 @@ class EzTable:
         elif low.endswith((".vot", ".xml")):
             from .sources.votable_native import write_votable
 
+            if kw:
+                raise TypeError(f"EzTable.write: write_votable takes no options, got {sorted(kw)}")
             write_votable(self, path)
         elif low.endswith((".jsonl", ".jsonl.gz", ".ndjson")):
             from .sources.jsonl import write_jsonl
