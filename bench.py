@@ -43,7 +43,7 @@ HEADLINE = [
     "q87_tfidf_topterms",    # explode + dual agg + per-doc top-k
     "q90_unigram_logprob",   # corpus LM broadcast onto per-doc counts
     "q94_curate_pipeline",   # gates -> text-window dedup -> capped
-    "q101_pq_ann",           # PQ codebooks + ADC scan + exact rescore
+    "z101_pq_ann",           # PQ codebooks + ADC scan + exact rescore
     "q102_asof_join",        # point-in-time join (union + window)
     "q103_range_join",       # interval containment (bucket + refine)
 ]

@@ -2454,7 +2454,7 @@ def q99(spark, sf_dir):
     return read_votable_native(spark, p).df
 
 
-@query("q100_media_real_decode")
+@query("z100_media_real_decode")
 def q100(spark, sf_dir):
     """Multimodal features over GENUINE file bytes: each document id
     fabricates a real 24-bit BMP and a real 16-bit PCM WAV executor-side
@@ -2514,7 +2514,7 @@ def q100(spark, sf_dir):
     return imgs.unionByName(auds)
 
 
-@query("q101_pq_ann")
+@query("z101_pq_ann")
 def q101(spark, sf_dir):
     """Product-quantization ANN (Jegou et al., IEEE TPAMI 2011;
     operators/similarity.py::pq_train/pq_encode/pq_topk): codebooks
@@ -2655,7 +2655,7 @@ def q104(spark, sf_dir):
     return out.select("o_orderkey", "band_id")
 
 
-@query("q105_approx_profile")
+@query("z105_approx_profile")
 def q105(spark, sf_dir):
     """Sketch-based per-group profile (operators/stats.py::approx_stats):
     HyperLogLog++ distinct counts + KLL-style approximate quantiles —

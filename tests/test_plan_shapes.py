@@ -37,7 +37,7 @@ BNLJ_ALLOWED = {
     # broadcast query LUTs (the linear ADC scan of Jegou et al.) — the
     # compression is the point: m table lookups per vector over the
     # codes column only, with IVF cells as the pruning composition
-    "q101_pq_ann",
+    "z101_pq_ann",
 }
 
 
