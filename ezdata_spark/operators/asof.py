@@ -62,11 +62,13 @@ def asof_join(
     # output columns (the window needs them to order equal-ts rights)
     payload_cols = list(dict.fromkeys(right_cols + (right_tiebreak or [])))
     payload = F.struct(F.col(on).alias(on), *[F.col(c).alias(c) for c in payload_cols])
-    # SQL join-equality semantics: a NULL key never matches (DuckDB ASOF
-    # JOIN, which q102's oracle pins). Window.partitionBy would group
-    # NULL keys together, so drop null-key right rows; null-key left
-    # rows then naturally find no match.
-    null_key_free = right
+    # SQL join-equality semantics: a NULL key or NULL event time never
+    # matches (DuckDB ASOF JOIN, which q102's oracle pins).
+    # Window.partitionBy would group NULL keys together, and a NULL-ts
+    # right row would ride the window order into some frame, so drop
+    # both from the right side; null-key left rows then naturally find
+    # no match, and null-ts left rows are masked below.
+    null_key_free = right.filter(F.col(on).isNotNull())
     for kcol in keys:
         null_key_free = null_key_free.filter(F.col(kcol).isNotNull())
     r = null_key_free.select(
@@ -95,6 +97,10 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .drop("__side", "__p")
     )
+    # a NULL left event time compares UNKNOWN to every right ts, so it
+    # never matches — but window null ordering (asc_nulls_first /
+    # desc_nulls_last) would hand it a frame; mask the carry instead
+    out = out.withColumn("__m", F.when(F.col(on).isNotNull(), F.col("__m")))
     matched_on = F.col(f"__m.{on}")
     if tolerance is not None:
         # timestamp event time: tolerance is SECONDS (exact integer

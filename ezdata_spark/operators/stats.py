@@ -101,16 +101,21 @@ def approx_stats(
     profiling at corpus scale. Approximation error is pinned by
     tests/test_operators.py::test_approx_stats_close_to_exact.
     """
+    def _qname(q: float) -> str:
+        # percent naming (p50, p90, p100) with a dot-free fractional tail
+        # (p50_1 for 0.501, p0_1 for 0.001) so distinct quantiles never
+        # collide into one column name
+        pct = q * 100
+        name = f"p{pct:.10g}".replace(".", "_").replace("-", "m")
+        return name
+
+    qnames = [_qname(q) for q in quantiles]
+    if len(set(qnames)) != len(qnames):
+        raise ValueError(f"approx_stats: duplicate quantile names {qnames}")
     aggs = []
     for c in columns:
         aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct"))
-        for q in quantiles:
-            # integer-percent naming (p50, p90, p100): str-mangling made
-            # q=1.0 emit 'p1.0', an invalid (dotted) column name
-            aggs.append(
-                F.percentile_approx(c, q, accuracy).alias(
-                    f"{c}_p{int(round(q * 100))}"
-                )
-            )
+        for q, qn in zip(quantiles, qnames):
+            aggs.append(F.percentile_approx(c, q, accuracy).alias(f"{c}_{qn}"))
     g = df.groupBy(*[F.col(c) for c in (group_by or [])])
     return g.agg(*aggs)

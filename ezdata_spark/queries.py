@@ -25,6 +25,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _rt_path(kind: str, filename: str) -> str:
+    """Deterministic scratch path for round-trip fixture files: bench
+    reps and the oracle gate re-run q97-q99 many times per session, so
+    a fresh mkdtemp per call would accumulate in /tmp. One dir per
+    (user, kind) — the sinks' atomic tmp-then-replace makes re-writes
+    safe to overwrite."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"ez_rt_{os.getuid()}", kind)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, filename)
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2401,16 +2415,13 @@ def q97(spark, sf_dir):
     (sources/fits_native.py; reference I/O simpletable.py:1523-1538,
     1756-1772). The query IS the I/O path: the oracle reads the parquet
     directly, so any BINTABLE encode/decode bug flips the value hash."""
-    import os
-    import tempfile
-
     from .sources.fits_native import scan_fits, write_fits
     from .table import EzTable
 
     nation = load(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    p = os.path.join(tempfile.mkdtemp(prefix="ez_fits_rt_"), "nation.fits")
+    p = _rt_path("fits", "nation.fits")
     write_fits(EzTable(nation), p)
     return scan_fits(spark, p).df
 
@@ -2423,14 +2434,11 @@ def q98(spark, sf_dir):
     """Native HDF5 sink -> distributed native scan (sources/
     hdf5_native.py; reference I/O simpletable.py:1539-1550, 1756-1772).
     Same contract as q97: parquet oracle vs through-the-format Spark."""
-    import os
-    import tempfile
-
     from .sources.hdf5_native import scan_hdf5, write_hdf5
     from .table import EzTable
 
     region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    p = os.path.join(tempfile.mkdtemp(prefix="ez_h5_rt_"), "region.h5")
+    p = _rt_path("h5", "region.h5")
     write_hdf5(EzTable(region), p)
     return scan_hdf5(spark, p, "data").df
 
@@ -2442,14 +2450,11 @@ def q98(spark, sf_dir):
 def q99(spark, sf_dir):
     """Native VOTable TABLEDATA sink -> stdlib-XML reader (sources/
     votable_native.py; reference I/O simpletable.py:1551-1565)."""
-    import os
-    import tempfile
-
     from .sources.votable_native import read_votable_native, write_votable
     from .table import EzTable
 
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    p = os.path.join(tempfile.mkdtemp(prefix="ez_vot_rt_"), "nation.vot")
+    p = _rt_path("vot", "nation.vot")
     write_votable(EzTable(nation), p)
     return read_votable_native(spark, p).df
 

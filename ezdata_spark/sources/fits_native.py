@@ -358,10 +358,26 @@ def encode_fits(pdf, schema: T.StructType, units: dict | None = None) -> bytes:
             else:
                 ser = pdf[name]
                 if el.startswith("i") and ser.isna().any():
-                    # integer null: declare the dtype-min sentinel via
-                    # TNULLn (the FITS null convention) instead of letting
-                    # a NaN float cast corrupt values silently
+                    vals = ser.dropna()
+                    if getattr(vals.dtype, "kind", "") == "f":
+                        # a float64 intermediate (plain toPandas) has
+                        # already rounded |v| >= 2^53 — refuse to write
+                        # silently-corrupt integers
+                        if (np.abs(vals.to_numpy("f8")) >= 2.0**53).any():
+                            raise ValueError(
+                                f"write_fits: integer column {name!r} with "
+                                "nulls passed through a float64 intermediate "
+                                "and holds |values| >= 2^53; collect with "
+                                "nullable Int dtypes (write_fits does)"
+                            )
+                    # integer null: declare a sentinel via TNULLn (the
+                    # FITS null convention); start at dtype-min and walk
+                    # past any legitimate occurrences so a real INT_MIN
+                    # value never reads back as null
                     tnull = int(np.iinfo(el).min)
+                    present = vals.to_numpy(el)
+                    while (present == tnull).any():
+                        tnull += 1
                     nulls[name] = tnull
                     ser = ser.fillna(tnull)
                 fields.append((name, f">{el}"))
@@ -410,6 +426,23 @@ def encode_fits(pdf, schema: T.StructType, units: dict | None = None) -> bytes:
     return primary + table_hdr + payload
 
 
+def _collect_pdf(df: DataFrame) -> "pd.DataFrame":
+    """Driver-side collect that keeps nullable integers EXACT: plain
+    ``toPandas()`` routes an int column containing any null through
+    float64, silently rounding |v| >= 2^53 before the TNULL repack can
+    see them. Arrow + pandas nullable Int dtypes carries the null mask
+    without a float detour."""
+    import pyarrow as pa
+
+    int_map = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+    }
+    return df.toArrow().to_pandas(types_mapper=int_map.get)
+
+
 def write_fits(t, path: str, units: dict | None = None) -> None:
     """Write a table as a single FITS file with one BINTABLE HDU
     (simpletable.py:1756-1772 parity). Driver-side collect like the
@@ -422,7 +455,7 @@ def write_fits(t, path: str, units: dict | None = None) -> None:
     df: DataFrame = getattr(t, "df", t)
     if units is None:
         units = dict(getattr(t, "units", {}) or {})
-    blob = encode_fits(df.toPandas(), df.schema, units)
+    blob = encode_fits(_collect_pdf(df), df.schema, units)
     tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(blob)

@@ -330,6 +330,11 @@ def read_h5_rows(path: str, dataset: str, start: int, stop: int) -> pd.DataFrame
 
 def _np_to_pandas_col(col: np.ndarray):
     if col.dtype.kind == "S":
+        if len(col) == 0:
+            # np.char.decode on an empty S-array degrades to float64,
+            # mistyping a 0-row chunk against the declared StringType
+            # schema (same guard as fits_native._decode_chunk)
+            return np.array([], dtype=object)
         return np.char.decode(col, "utf-8")
     native = col.astype(col.dtype.newbyteorder("=")) if col.dtype.byteorder == ">" else col
     if native.ndim > 1:  # subarray member -> array column

@@ -1143,6 +1143,39 @@ def test_asof_join_backward_forward_tolerance(spark):
     assert tol == {("t1", 10.0), ("t2", 18.0)}
 
 
+def test_asof_join_null_event_times_never_match(spark):
+    """SQL comparison semantics: a NULL event time on either side is
+    UNKNOWN vs every timestamp, so it never matches (DuckDB ASOF JOIN
+    drops such rows). Window null-ordering must not smuggle one in."""
+    from ezdata_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [(1, 10.0, "t1"), (1, None, "tnull"), (2, 7.0, "t2")],
+        "k long, ts double, tag string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5.0, 100.0), (1, None, 999.0), (2, None, 888.0)],
+        "k long, ts double, px double",
+    )
+    for direction in ("backward", "forward"):
+        inner = {
+            (r.tag, r.ts_r, r.px_r)
+            for r in asof_join(
+                trades, quotes, on="ts", by="k", direction=direction
+            ).collect()
+        }
+        # tnull (null left ts) never matches; t2's only candidate has a
+        # null ts -> no match; t1 matches only backward (quote@5 <= 10)
+        expected = {("t1", 5.0, 100.0)} if direction == "backward" else set()
+        assert inner == expected, (direction, inner)
+
+    left = {
+        (r.tag, r.ts_r, r.px_r)
+        for r in asof_join(trades, quotes, on="ts", by="k", how="left").collect()
+    }
+    assert left == {("t1", 5.0, 100.0), ("tnull", None, None), ("t2", None, None)}
+
+
 def test_asof_join_matches_duckdb(spark):
     """Cross-engine pin: the union-window construction must equal
     DuckDB's native ASOF JOIN on a random frame."""
@@ -1248,6 +1281,20 @@ def test_approx_stats_close_to_exact(spark, sf_dir):
 
     per_group = approx_stats(li, ["l_extendedprice"], group_by=["l_returnflag"])
     assert per_group.count() == li.select("l_returnflag").distinct().count()
+
+
+def test_approx_stats_quantile_names_unique(spark):
+    """Fractional quantiles keep distinct, dot-free column names —
+    int(round(q*100)) collided 0.5 and 0.501 into one _p50 column."""
+    from ezdata_spark.operators.stats import approx_stats
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("x"))
+    out = approx_stats(df, ["x"], quantiles=[0.5, 0.501, 0.001, 1.0])
+    names = [c for c in out.columns if c.startswith("x_p")]
+    assert names == ["x_p50", "x_p50_1", "x_p0_1", "x_p100"]
+    assert len(set(names)) == len(names)
+    with pytest.raises(ValueError, match="duplicate"):
+        approx_stats(df, ["x"], quantiles=[0.5, 0.5])
 
 
 def test_asof_join_timestamp_tolerance(spark):

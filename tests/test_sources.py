@@ -493,6 +493,25 @@ def test_fits_int_null_roundtrip(spark, tmp_path):
     assert nulls_back == 4  # ids 0,3,6,9
 
 
+def test_fits_int_null_big_values_and_intmin(spark, tmp_path):
+    """Two TNULL edge cases: (a) int64 values past 2^53 in a nulled
+    column survive exactly (the Arrow nullable-Int collect never visits
+    float64); (b) a legitimate INT_MIN value coexists with nulls — the
+    sentinel walks past it instead of reading back as null."""
+    from ezdata_spark.sources.fits_native import scan_fits, write_fits
+
+    intmin = -(2**63)
+    big = 2**53 + 7  # not representable in float64
+    df = spark.createDataFrame(
+        [(0, big), (1, None), (2, intmin), (3, big + 1)],
+        "row_id int, v long",
+    )
+    path = str(tmp_path / "big.fits")
+    write_fits(EzTable(df), path)
+    back = {(r.row_id, r.v) for r in scan_fits(spark, path).df.collect()}
+    assert back == {(0, big), (1, None), (2, intmin), (3, big + 1)}
+
+
 def test_fits_card_overflow_raises(spark):
     """Oversized header values raise instead of silently truncating."""
     from ezdata_spark.sources.fits_native import _card
@@ -568,6 +587,20 @@ def test_hdf5_native_chunked_multifile(spark, tmp_path):
     assert back.df.count() == 300
     got = back.df.agg(F.sum("row_id"), F.sum("x")).collect()[0]
     assert got[0] == sum(range(300)) and got[1] == 2.0 * sum(range(300))
+
+
+def test_hdf5_native_empty_table_with_strings(spark, tmp_path):
+    """A 0-row dataset with a string column keeps its declared schema:
+    np.char.decode on an empty S-array degrades to float64 without the
+    length guard, mistyping the empty chunk."""
+    from ezdata_spark.sources.hdf5_native import scan_hdf5, write_hdf5
+
+    df = spark.createDataFrame([], "row_id bigint, label string, x double")
+    p = str(tmp_path / "empty.h5")
+    write_hdf5(EzTable(df), p)
+    back = scan_hdf5(spark, p, "data")
+    assert back.df.count() == 0
+    assert dict(back.df.dtypes) == {"row_id": "bigint", "label": "string", "x": "double"}
 
 
 def test_hdf5_native_bool_and_int_null_policy(spark, tmp_path):
