@@ -1,15 +1,17 @@
-"""Pure-numpy codecs for spec-simple media containers: 24-bit BMP and
-16-bit PCM WAV.
+"""Pure-numpy codecs for media containers that need no codec library:
+24-bit BMP, 16-bit PCM WAV, and 8-bit PNG (stdlib zlib + the five
+scanline filters).
 
 The multimodal tier (operators/multimodal.py) keeps its decode kernel
-stubbed for formats that need real codec libraries (JPEG/PNG/MP3/video
-— PIL/libav are not in this container). BMP and WAV, however, are
-fully public fixed-layout formats (Windows BITMAPINFOHEADER; RIFF/WAVE
-PCM) that decode with nothing but struct/numpy — so for these two the
-decode path is REAL: bytes in, true pixels/samples out, verified by
-encode->decode round-trip tests.
+stubbed only for formats that genuinely need external codecs (JPEG/
+MP3/video — PIL/libav are not in this container). BMP, WAV, and PNG
+are fully public formats (Windows BITMAPINFOHEADER; RIFF/WAVE PCM;
+RFC 2083 / ISO 15948 with DEFLATE via stdlib zlib) that decode with
+struct/zlib/numpy — for these the decode path is REAL: bytes in, true
+pixels/samples out, verified by encode->decode round-trip tests and
+ground-truth pixel fixtures.
 
-Both encoders exist primarily so tests and fixtures can fabricate real
+The encoders exist primarily so tests and fixtures can fabricate real
 files deterministically; at scale the decoders run executor-side inside
 mapInPandas batches (bounded memory, no Python-per-row).
 """
@@ -17,6 +19,7 @@ mapInPandas batches (bounded memory, no Python-per-row).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -61,6 +64,155 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if flip:
         img = img[::-1]
     return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# --------------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    raw = tag + body
+    return struct.pack(">I", len(body)) + raw + struct.pack(">I", zlib.crc32(raw))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode an 8-bit image as a non-interlaced PNG: (H, W) gray,
+    (H, W, 2) gray+alpha, (H, W, 3) RGB, or (H, W, 4) RGBA.
+
+    ``filter_type`` applies one scanline filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) to every row — all five produce byte-identical
+    pixels after decode, which is exactly what the round-trip tests
+    exercise."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"encode_png expects (H, W[, 1|2|3|4]) uint8, got {px.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"invalid PNG filter type {filter_type}")
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = px.astype(np.int16)
+    prior = np.zeros((w, ch), dtype=np.int16)
+    lines = bytearray()
+    for y in range(h):
+        row = raw[y]
+        left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prior
+        elif filter_type == 3:
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            ul = np.vstack([np.zeros((1, ch), np.int16), prior[:-1]])
+            filt = np.empty_like(row)
+            for x in range(w):
+                for k in range(ch):
+                    filt[x, k] = row[x, k] - _paeth(
+                        int(left[x, k]), int(prior[x, k]), int(ul[x, k])
+                    )
+        lines += bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to a uint8 array: (H, W) for
+    grayscale, (H, W, C) otherwise; palette images expand to RGB.
+    Implements all five scanline filters (None/Sub/Up/Average/Paeth)
+    over stdlib-zlib DEFLATE; 16-bit, sub-byte depths, interlacing, and
+    palette transparency raise ``NotImplementedError``."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + size)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} fails CRC")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            raise NotImplementedError("PNG palette transparency (tRNS) unsupported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub: per-channel-lane prefix sum is exact mod 256
+            rec = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            rec = (line + prior) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                if ft == 3:
+                    rec[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    c = prior[x - ch] if x >= ch else 0
+                    rec[x] = (line[x] + _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"invalid PNG filter byte {ft}")
+        out[y] = rec
+        prior = rec.astype(np.int32)
+    img = out.reshape(h, w, ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("PNG palette image missing PLTE chunk")
+        img = palette[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
 
 
 # --------------------------------------------------------------------- WAV

@@ -2462,7 +2462,8 @@ def q99(spark, sf_dir):
 @query("z100_media_real_decode")
 def q100(spark, sf_dir):
     """Multimodal features over GENUINE file bytes: each document id
-    fabricates a real 24-bit BMP and a real 16-bit PCM WAV executor-side
+    fabricates a real 24-bit BMP, a real 8-bit PNG (rotating through all
+    five scanline filters), and a real 16-bit PCM WAV executor-side
     (functions/media_codecs.py encoders), and the feature extractors
     decode them back with the pure-numpy codecs — the de-stubbed decode
     path of operators/multimodal.py. Rows-only: binary payloads are not
@@ -2470,7 +2471,7 @@ def q100(spark, sf_dir):
     codec round-trip tests (tests/test_media_codecs.py)."""
     import pandas as pd
 
-    from .functions.media_codecs import encode_bmp, encode_wav
+    from .functions.media_codecs import encode_bmp, encode_png, encode_wav
     from .operators.multimodal import IMAGE_SCHEMA, audio_features, image_features
 
     ids = load(spark, sf_dir, "documents").select(
@@ -2493,6 +2494,14 @@ def q100(spark, sf_dir):
                         "meta": {"format": "bmp", "width": w, "height": h, "channels": 3},
                     }
                 )
+                px2 = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid) + 2_000_000,
+                        "data": encode_png(px2, filter_type=int(mid) % 5),
+                        "meta": {"format": "png", "width": w, "height": h, "channels": 3},
+                    }
+                )
                 wav = rng.uniform(-0.9, 0.9, int(rng.randint(100, 1000))).astype("float32")
                 rows.append(
                     {
@@ -2504,7 +2513,7 @@ def q100(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(gen, IMAGE_SCHEMA)
-    imgs = image_features(media.filter(F.col("meta.format") == "bmp")).select(
+    imgs = image_features(media.filter(F.col("meta.format").isin("bmp", "png"))).select(
         "media_id",
         F.lit("image").alias("kind"),
         F.round("mean_luma", 4).alias("feat1"),

@@ -174,3 +174,158 @@ def test_resize_real_bmp(spark):
         assert np.array_equal(
             np.frombuffer(r.thumb, dtype=np.uint8).reshape(thumb.shape), thumb
         )
+
+
+# --------------------------------------------------------------------- PNG
+def test_png_roundtrip_all_filters_all_colortypes():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) x every 8-bit
+    color layout decodes back to byte-identical pixels."""
+    from ezdata_spark.functions.media_codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(21)
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        want = px[:, :, 0] if ch == 1 else px
+        for ft in range(5):
+            back = decode_png(encode_png(px, filter_type=ft))
+            assert np.array_equal(back, want), (ch, ft)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    ch=st.sampled_from([1, 3, 4]),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, ft, seed):
+    from ezdata_spark.functions.media_codecs import decode_png, encode_png
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    want = px[:, :, 0] if ch == 1 else px
+    assert np.array_equal(decode_png(encode_png(px, filter_type=ft)), want)
+
+
+def test_png_ground_truth_bytes():
+    """Decode a PNG assembled by hand (independent of encode_png): 2x2
+    RGB, filter 0, known pixel bytes."""
+    import struct
+    import zlib
+
+    from ezdata_spark.functions.media_codecs import decode_png
+
+    # rows: (255,0,0)(0,255,0) / (0,0,255)(255,255,255), filter byte 0
+    raw = bytes([0, 255, 0, 0, 0, 255, 0]) + bytes([0, 0, 0, 255, 255, 255, 255])
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(blob), want)
+
+
+def test_png_palette_expands_to_rgb():
+    import struct
+    import zlib
+
+    from ezdata_spark.functions.media_codecs import decode_png
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    palette = bytes([10, 20, 30, 200, 100, 0])  # idx0, idx1
+    raw = bytes([0, 0, 1]) + bytes([0, 1, 0])  # 2x2 indices with filter 0
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[10, 20, 30], [200, 100, 0]], [[200, 100, 0], [10, 20, 30]]], dtype=np.uint8
+    )
+    assert np.array_equal(decode_png(blob), want)
+
+
+def test_png_error_paths():
+    import struct
+    import zlib
+
+    from ezdata_spark.functions.media_codecs import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    good = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    # corrupt one IDAT payload byte -> CRC failure
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png(deep)
+    laced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(laced)
+
+
+def test_image_features_real_png(spark):
+    """The distributed decode path over genuine PNG bytes: mean/std luma
+    from image_features equal the numpy ground truth per image."""
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import encode_png
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA, image_features
+
+    rng = np.random.RandomState(5)
+    rows, truth = [], {}
+    for i in range(6):
+        h, w = int(rng.randint(4, 12)), int(rng.randint(4, 12))
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ft = i % 5
+        rows.append(
+            {
+                "media_id": i,
+                "data": encode_png(px, filter_type=ft),
+                "meta": {"format": "png", "width": w, "height": h, "channels": 3},
+            }
+        )
+        luma = px.astype("float64").mean(axis=2)
+        truth[i] = (float(luma.mean()), float(luma.std()))
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+    got = {r.media_id: (r.mean_luma, r.std_luma) for r in image_features(media).collect()}
+    assert set(got) == set(truth)
+    for i in truth:
+        assert got[i][0] == pytest.approx(truth[i][0], abs=1e-9)
+        assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
