@@ -370,7 +370,78 @@ class EzTable:
     # filters (simpletable.py:2749-2770, 2815-2844)
     # ------------------------------------------------------------------
     def where(self, condition: str, exprvars: dict | None = None) -> "EzTable":
-        return self._clone(self.df.filter(F.expr(self._translate(condition, exprvars))))
+        """Filter by a numpy-dialect expression. Translatable conditions
+        compile to Spark SQL (Catalyst path: predicate pushdown, codegen).
+        Conditions using non-numpy Python (method calls, ternaries —
+        the reference's row-wise eval surface, dictdataframe.py:454-481)
+        degrade to an Arrow-batched pandas_udf that evaluates the
+        expression per row — correct but NOT a scale path (warned once).
+        """
+        try:
+            sql = self._translate(condition, exprvars)
+        except ExprError as err:
+            return self._clone(self._python_where(condition, exprvars, err))
+        return self._clone(self.df.filter(F.expr(sql)))
+
+    def _python_where(self, condition: str, exprvars: dict | None, err: Exception):
+        import ast as _ast
+        import builtins as _builtins
+        import math as _math
+        import warnings
+
+        import numpy as _np
+        import pandas as _pd
+
+        try:
+            tree = _ast.parse(condition, mode="eval")
+        except SyntaxError:
+            raise err  # not even Python — report the translator's error
+        consts = {"np": _np, "numpy": _np, "math": _math, **(exprvars or {})}
+        bound: dict[str, str] = {}  # expression name -> real column
+        for node in _ast.walk(tree):
+            if not isinstance(node, _ast.Name) or node.id in consts or node.id in bound:
+                continue
+            resolved = self.resolve_alias(node.id)
+            if resolved in self.df.columns:
+                bound[node.id] = resolved
+            elif not hasattr(_builtins, node.id):
+                raise ExprError(
+                    f"unknown name {node.id!r} in row-wise condition "
+                    f"(not a column, alias, exprvar, or builtin); "
+                    f"translator said: {err}"
+                )
+        warnings.warn(
+            f"where({condition!r}): expression is not translatable to Spark SQL "
+            f"({err}); falling back to row-wise Python eval in a pandas_udf — "
+            "correct, but no predicate pushdown/codegen (not a scale path)",
+            stacklevel=3,
+        )
+        code = compile(tree, "<ezdata-where>", "eval")
+        names = sorted(bound)
+        if not names:  # constant condition: evaluate once, driver-side
+            keep = bool(eval(code, {"__builtins__": _builtins}, dict(consts)))
+            return self.df.filter(F.lit(keep))
+
+        def _row_eval(*series):
+            out = []
+            for i in range(len(series[0])):
+                env = dict(consts)
+                for name, s in zip(names, series):
+                    v = s.iloc[i]
+                    # SQL NULL surfaces as NaN/NaT in Arrow batches;
+                    # present it as Python None so `x is None` works
+                    if v is not None and not isinstance(
+                        v, (_np.ndarray, list, tuple, dict, str, bytes)
+                    ) and _pd.isna(v):
+                        v = None
+                    env[name] = v
+                out.append(bool(eval(code, {"__builtins__": _builtins}, env)))
+            return _pd.Series(out, dtype=bool)
+
+        # positional form (no type hints): varargs hints don't survive
+        # PEP 563 stringification under PySpark's hint inference
+        udf = F.pandas_udf(_row_eval, "boolean")
+        return self.df.filter(udf(*[F.col(bound[n]) for n in names]))
 
     def selectWhere(self, fields, condition: str, exprvars: dict | None = None) -> "EzTable":
         """The flagship verb (simpletable.py:2815-2844): filter then

@@ -42,6 +42,36 @@ def test_where_and_selectwhere(t):
     assert sorted(r.k for r in out.df.collect()) == [3, 4, 5]
 
 
+def test_where_python_fallback(t):
+    """Untranslatable Python conditions (str methods, ternaries) degrade
+    to the row-wise pandas_udf filter — reference dictdataframe.py:
+    454-481 semantics — while translatable ones keep the Catalyst path
+    (no Python eval node in the plan)."""
+    with pytest.warns(UserWarning, match="not a scale path"):
+        out = t.where("cat.startswith('b') if w is not None else False")
+    assert sorted(r.k for r in out.df.collect()) == [5]
+
+    with pytest.warns(UserWarning):
+        out2 = t.where("len(cat.upper()) == 1 and (v > 25 or k == 1)")
+    assert sorted(r.k for r in out2.df.collect()) == [1, 3, 4, 5]
+
+    # exprvars and aliases bind in the fallback too
+    ta = t.set_alias("CATEGORY", "cat")
+    with pytest.warns(UserWarning):
+        out3 = ta.where("CATEGORY in allowed", exprvars={"allowed": {"a", "c"}})
+    assert sorted(r.k for r in out3.df.collect()) == [1, 3, 4]
+
+    # unknown names raise clearly instead of failing per-row
+    with pytest.raises(Exception, match="unknown name"):
+        t.where("nosuchcol.startswith('x')")
+
+    # the translatable path must NOT pick up a Python filter node
+    plan = t.where("(v > 15) & (cat == 'b')").df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    fb_plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in fb_plan  # and the fallback is genuinely the UDF path
+
+
 def test_evalexpr_with_exprvars(t):
     out = t.evalexpr("v * scale", exprvars={"scale": 2}, name="v2")
     assert [r.v2 for r in out.sort("k").df.collect()] == [20.0, 40.0, 60.0, 80.0, 100.0]
