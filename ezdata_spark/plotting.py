@@ -254,6 +254,42 @@ class Plotter:
         """Scatter at scale == raster (SURVEY.md §2.12: never collect)."""
         return self.hist2d(xexpr, yexpr, bins=bins, **kw)
 
+    def persist(self) -> "Plotter":
+        """Cache the source frame for an interactive viewport loop —
+        the reference's DSArtist holds the frame in RAM between zooms
+        (datashader.py:183-219); on Spark that's an explicit persist.
+        Pair with ``unpersist()`` when the exploration ends."""
+        self.t.df.persist()
+        return self
+
+    def unpersist(self) -> "Plotter":
+        self.t.df.unpersist()
+        return self
+
+    def viewport(
+        self,
+        xexpr: str,
+        yexpr: str,
+        x_range: tuple[float, float],
+        y_range: tuple[float, float],
+        bins: int | tuple[int, int] = 64,
+        reduction: Column | None = None,
+    ) -> Hist2DResult:
+        """Re-rasterize one zoom window at full bin resolution — the
+        interactive viewport re-aggregation loop of the reference's
+        ``DSArtist.make_image`` (datashader.py:183-219). Each call is
+        ONE filtered groupBy: the [x_range] x [y_range] predicate
+        pushes down to the scan (plan-asserted in tests) or, after
+        ``.persist()``, prunes the cached frame — never a driver-side
+        crop of collected points."""
+        return self.hist2d(
+            xexpr,
+            yexpr,
+            bins=bins,
+            range=(tuple(x_range), tuple(y_range)),
+            reduction=reduction,
+        )
+
     def hexbin(self, xexpr: str, yexpr: str, gridsize: int = 40) -> DataFrame:
         """Hexagonal binning: axial hex coordinates computed as column
         arithmetic; groupBy (q, r) on-cluster (hexbin plotter.py:809-)."""

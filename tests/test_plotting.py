@@ -44,6 +44,63 @@ def test_hist2d_grid(lineitem):
     assert g.counts.sum() == lineitem.df.count()
 
 
+def test_viewport_equals_full_raster_slice(lineitem):
+    """Zoom re-aggregation: a viewport whose bins align with a sub-grid
+    of the full raster reproduces exactly that slice (the reference's
+    make_image contract, datashader.py:183-219)."""
+    # edges placed OFF the discrete data values (quantities are ints,
+    # discounts multiples of 0.01): a histogram's last bin is closed, so
+    # a viewport edge that coincides with data absorbs it differently
+    # from an interior edge of the full raster
+    full = Plotter(lineitem).hist2d(
+        "l_quantity", "l_discount", bins=(10, 11), range=((0.5, 50.5), (-0.005, 0.105))
+    )
+    view = Plotter(lineitem).viewport(
+        "l_quantity", "l_discount", (10.5, 30.5), (0.035, 0.075), bins=(4, 4)
+    )
+    assert np.array_equal(view.counts, full.counts[2:6, 4:8])
+    assert view.counts.sum() > 0
+    assert view.x_edges[0] == 10.5 and view.x_edges[-1] == 30.5
+
+
+def test_viewport_filter_pushed_to_scan(lineitem, spark):
+    """The viewport's range predicate must reach the parquet scan as
+    PushedFilters — a zoom that reads the whole table is wrong."""
+    from ezdata_spark.operators.binned import BinSpec, binned_agg
+
+    df = lineitem.df.withColumn("__x", F.col("l_quantity")).withColumn(
+        "__y", F.col("l_discount")
+    )
+    specs = [BinSpec("__x", 10.0, 30.0, 4), BinSpec("__y", 0.04, 0.08, 4)]
+    out = binned_agg(df, specs, {"v": F.count(F.lit(1))}, densify=False, with_centers=False)
+    plan = (
+        out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") : plan.index("PushedFilters") + 400]
+    assert "GreaterThanOrEqual(l_quantity,10.0" in pushed
+    assert "LessThanOrEqual(l_discount,0.08" in pushed
+    # column pruning: only the two raster columns reach the scan
+    read = plan[plan.index("ReadSchema") : plan.index("ReadSchema") + 200]
+    assert "l_quantity" in read and "l_discount" in read and "l_orderkey" not in read
+
+
+def test_viewport_persist_loop(lineitem):
+    """persist()/unpersist() bracket an interactive zoom loop; results
+    are identical with the cache on."""
+    p = Plotter(lineitem).persist()
+    try:
+        a = p.viewport("l_quantity", "l_discount", (0.0, 25.0), (0.0, 0.05), bins=4)
+        b = p.viewport("l_quantity", "l_discount", (0.0, 25.0), (0.0, 0.05), bins=4)
+        assert np.array_equal(a.counts, b.counts)
+        assert p.t.df.storageLevel.useMemory
+    finally:
+        p.unpersist()
+    assert not p.t.df.storageLevel.useMemory
+
+
 def test_scatter_is_raster(lineitem):
     g = Plotter(lineitem).scatter("l_quantity", "l_extendedprice", bins=16)
     assert g.counts.shape == (16, 16)
