@@ -182,21 +182,46 @@ def read_votable(spark: SparkSession, path: str):
     return EzTable(spark.createDataFrame(at.to_pandas()), units=units, desc=desc)
 
 
-def to_latex(t, n: int = 30) -> str:
-    """LaTeX tabular of the first ``n`` rows (simpletable.py:792-844) —
-    driver-side formatting of a collected head; a render concern, never
-    a data path."""
+def to_latex(t, n: int = 30, name: str | None = None) -> str:
+    """LaTeX table of the first ``n`` rows, matching the reference's
+    ``_latex_writeto`` structure (simpletable.py:792-844): table/center
+    wrapper, optional ``\\caption`` from the table name, c-aligned
+    tabular, and a scriptsize notes block built from column
+    descriptions. Driver-side formatting of a collected head; a render
+    concern, never a data path."""
+
+    def esc(s) -> str:
+        return str(s).replace("_", "\\_")
+
     rows = t.df.limit(n).collect()
     cols = t.df.columns
-    lines = [
+    lines = ["\\begin{table}", "\\begin{center}"]
+    if name not in ("", None, "None"):
+        lines.append(f"\\caption{{{esc(name)}}}")
+    lines += [
         "\\begin{tabular}{" + "c" * len(cols) + "}",
-        " & ".join(str(c).replace("_", "\\_") for c in cols) + " \\\\",
+        " & ".join(esc(c) for c in cols) + " \\\\",
         "\\hline",
     ]
     for r in rows:
-        lines.append(" & ".join(str(r[c]).replace("_", "\\_") for c in cols) + " \\\\")
-    lines.append("\\end{tabular}")
-    return "\n".join(lines)
+        lines.append(" & ".join(esc(r[c]) for c in cols) + " \\\\")
+    lines += ["\\end{tabular}", "\\end{center}"]
+    desc = dict(getattr(t, "descriptions", {}) or {})
+    notes = {k: v for k, v in desc.items() if v not in (None, "None", "none", "")}
+    if notes:
+        lines += ["% notes", "\\begin{scriptsize}"]
+        for e, (k, v) in enumerate(notes.items()):
+            lines.append(f"{e} {esc(k)}: {esc(v)} \\\\")
+        lines.append("\\end{scriptsize}")
+    lines.append("\\end{table}")
+    return "\n".join(lines) + "\n"
+
+
+def write_latex(t, path: str, n: int = 30, name: str | None = None) -> None:
+    """File form of ``to_latex`` (the reference's writeto('*.tex')
+    dispatch, simpletable.py:792)."""
+    with open(path, "w") as fh:
+        fh.write(to_latex(t, n=n, name=name))
 
 
 def from_dict(spark: SparkSession, data: dict, **meta):

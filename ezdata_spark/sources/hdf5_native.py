@@ -338,6 +338,11 @@ def _np_to_pandas_col(col: np.ndarray):
         return np.char.decode(col, "utf-8")
     native = col.astype(col.dtype.newbyteorder("=")) if col.dtype.byteorder == ">" else col
     if native.ndim > 1:  # subarray member -> array column
+        if len(native) == 0:
+            # an empty [] list makes pandas infer float64, which Arrow
+            # can't convert to the declared list<...> type — 0-row
+            # chunks need an object-typed empty column
+            return np.array([], dtype=object)
         return list(native)
     return native
 
@@ -497,13 +502,15 @@ def _pdf_to_rec(pdf, schema: T.StructType) -> np.ndarray:
         elif type(f.dataType) in _SPARK_NP_H5:
             el = _SPARK_NP_H5[type(f.dataType)]
             ser = pdf[name]
-            if el[0] in "iu" and ser.isna().any():
+            if type(f.dataType) is T.BooleanType:
+                # the documented policy (null -> False) must run BEFORE
+                # the integer-null reject: bools store as u1
+                ser = ser.fillna(False).astype(bool)
+            elif el[0] in "iu" and ser.isna().any():
                 raise ValueError(
                     f"write_hdf5: integer column {name!r} has nulls; HDF5 has "
                     "no integer-null convention — fill or cast to double first"
                 )
-            if type(f.dataType) is T.BooleanType:
-                ser = ser.fillna(False).astype(bool)
             cols.append(ser.to_numpy(el))
             fields.append((name, el))
         else:

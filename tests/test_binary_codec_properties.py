@@ -95,3 +95,106 @@ def test_fits_record_layout_roundtrip(n, seed, tmp_path_factory):
     assert list(pdf["s"]) == [f"r{i}" for i in range(n)]
     for i in range(n):
         assert np.array_equal(pdf["v"].iloc[i], rec["v"][i].astype("<f4"))
+
+
+# ----------------------------------------------------------- Spark-level HDF5
+# UTF-8 incl. multi-byte and the empty string; widths force both the
+# S-width math (bytes, not chars) and the 0-row decode guard
+_LABELS = st.text(alphabet=list("ab·π🚀"), min_size=0, max_size=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_hdf5_spark_roundtrip_edge_dtypes(spark, data):
+    """Spark-level write_hdf5 -> scan_hdf5 round trip over the writer's
+    documented policy surface: utf8 strings (empty / multi-byte / null ->
+    ''), null-heavy booleans (-> False) and doubles (-> NaN), vector
+    columns, and int64 values past 2^53 (exact — never a float detour).
+    The writer targets libhdf5's 'earliest' layout; with no h5py in the
+    container this pins the codec against its own parser over the edge
+    dtypes most likely to ship malformed."""
+    import math
+    import tempfile
+
+    n = data.draw(st.integers(0, 12))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                data.draw(st.integers(-(2**62), 2**62)),  # well past 2^53
+                data.draw(st.one_of(st.none(), _LABELS)),
+                data.draw(st.one_of(st.none(), st.booleans())),
+                data.draw(
+                    st.one_of(
+                        st.none(),
+                        st.floats(allow_nan=False, allow_infinity=True, width=64),
+                    )
+                ),
+                [float(data.draw(st.integers(-5, 5))) for _ in range(3)],
+            )
+        )
+    from ezdata_spark.sources.hdf5_native import scan_hdf5, write_hdf5
+    from ezdata_spark.table import EzTable
+
+    df = spark.createDataFrame(
+        rows, "k long, label string, flag boolean, x double, vec array<double>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/edge.h5"
+        write_hdf5(EzTable(df), p)
+        back = scan_hdf5(spark, p, "data").df.orderBy("k").collect()
+    want = sorted(rows, key=lambda r: r[0])
+    assert len(back) == n
+    for got, w in zip(back, want):
+        assert got.k == w[0]
+        assert got.label == (w[1] or "")  # policy: string null -> ''
+        assert got.flag == int(bool(w[2]))  # policy: bool -> u1, null -> 0
+        if w[3] is None or math.isnan(w[3]):
+            # null -> NaN on write; Arrow reads NaN back as null — the
+            # format conflates them (documented policy)
+            assert got.x is None or math.isnan(got.x)
+        else:
+            assert got.x == w[3]
+        assert list(got.vec) == w[4]
+
+
+def test_hdf5_corrupt_files_error_clearly(tmp_path):
+    """Malformed inputs fail with a clear error, never garbage data:
+    wrong signature, truncated superblock, truncated object header."""
+    import pytest
+
+    from ezdata_spark.sources.hdf5_native import hdf5_table_meta
+
+    bad_sig = tmp_path / "sig.h5"
+    bad_sig.write_bytes(b"NOTHDF5!" + b"\x00" * 100)
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        hdf5_table_meta(str(bad_sig), "data")
+
+    trunc = tmp_path / "trunc.h5"
+    trunc.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 8)  # signature only
+    with pytest.raises(Exception):
+        hdf5_table_meta(str(trunc), "data")
+
+
+def test_hdf5_truncated_valid_file_errors(tmp_path, spark):
+    """A valid file cut mid-payload errors on read rather than decoding
+    short rows silently."""
+    import pytest
+
+    from ezdata_spark.sources.hdf5_native import (
+        hdf5_table_meta,
+        read_h5_rows,
+        write_hdf5,
+    )
+    from ezdata_spark.table import EzTable
+
+    df = spark.range(0, 50).selectExpr("id AS k", "CAST(id * 2.0 AS DOUBLE) AS x")
+    p = str(tmp_path / "full.h5")
+    write_hdf5(EzTable(df), p)
+    blob = open(p, "rb").read()
+    cut = str(tmp_path / "cut.h5")
+    open(cut, "wb").write(blob[: len(blob) - 200])
+    meta = hdf5_table_meta(cut, "data")  # header region intact
+    with pytest.raises(Exception):
+        pdf = read_h5_rows(cut, "data", 0, meta["nrows"])
+        assert len(pdf) == meta["nrows"]  # must not return short frames

@@ -153,8 +153,50 @@ def test_votable_gated_and_latex(spark, meta_table):
     except Exception:
         pass  # astropy present: file-not-found path instead
     tex = to_latex(meta_table, n=2)
-    assert tex.startswith("\\begin{tabular}")
+    assert tex.startswith("\\begin{table}")
     assert "ra & dec & mag" in tex
+
+
+def test_latex_sink_golden(spark, tmp_path):
+    """Golden string: the full _latex_writeto structure (simpletable.py:
+    792-844) — caption, c-aligned tabular, escaped underscores, notes
+    block from column descriptions — plus the file sink."""
+    from ezdata_spark.sources.binary_tables import to_latex, write_latex
+    from ezdata_spark.table import EzTable
+
+    df = spark.createDataFrame(
+        [(1, 10.5, "x_a"), (2, 20.0, "y")], "row_id int, m_val double, tag string"
+    )
+    t = EzTable(df, desc={"m_val": "a measure"})
+    got = to_latex(t.sort("row_id"), n=2, name="my_cat")
+    # EzTable.sort returns a new table; descriptions ride along
+    want = "\n".join(
+        [
+            "\\begin{table}",
+            "\\begin{center}",
+            "\\caption{my\\_cat}",
+            "\\begin{tabular}{ccc}",
+            "row\\_id & m\\_val & tag \\\\",
+            "\\hline",
+            "1 & 10.5 & x\\_a \\\\",
+            "2 & 20.0 & y \\\\",
+            "\\end{tabular}",
+            "\\end{center}",
+            "% notes",
+            "\\begin{scriptsize}",
+            "0 m\\_val: a measure \\\\",
+            "\\end{scriptsize}",
+            "\\end{table}",
+            "",
+        ]
+    )
+    assert got == want
+    p = str(tmp_path / "t.tex")
+    write_latex(t.sort("row_id"), p, n=2, name="my_cat")
+    assert open(p).read() == want
+    # no descriptions -> no notes block; no name -> no caption
+    bare = to_latex(EzTable(df).sort("row_id"), n=1)
+    assert "caption" not in bare and "notes" not in bare
 
 
 def test_partitioned_write_prunes(spark, tmp_path):
@@ -257,13 +299,14 @@ def test_to_latex_sink(spark):
     )
     tex = to_latex(t, n=2)
     lines = tex.splitlines()
-    assert lines[0] == "\\begin{tabular}{cc}"
-    assert lines[1] == "col\\_id & name \\\\"
-    assert lines[2] == "\\hline"
-    assert "a\\_b" in lines[3]
-    assert lines[-1] == "\\end{tabular}"
-    # n=2 cap: header(3) + 2 rows + footer
-    assert len(lines) == 6
+    assert lines[0] == "\\begin{table}"
+    assert lines[2] == "\\begin{tabular}{cc}"
+    assert lines[3] == "col\\_id & name \\\\"
+    assert lines[4] == "\\hline"
+    assert "a\\_b" in lines[5]
+    assert lines[-1] == "\\end{table}"
+    # n=2 cap: wrapper(2) + header(3) + 2 rows + tabular/center/table ends
+    assert len(lines) == 10
 
 
 def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
