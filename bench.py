@@ -46,6 +46,11 @@ HEADLINE = [
     "z101_pq_ann",           # PQ codebooks + ADC scan + exact rescore
     "q102_asof_join",        # point-in-time join (union + window)
     "q103_range_join",       # interval containment (bucket + refine)
+    "q104_interval_overlap", # canonical-bucket overlap join
+    "q97_fits_roundtrip",    # native FITS sink -> distributed scan
+    "q98_hdf5_roundtrip",    # native HDF5 sink -> distributed scan
+    "q99_votable_roundtrip", # native VOTable sink -> stdlib-XML reader
+    "z105_approx_profile",   # HLL++ + approx-quantile sketch profile
 ]
 
 
