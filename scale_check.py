@@ -70,7 +70,7 @@ def main() -> None:
         results[name] = {
             "sec": round(dt, 2),
             "rows_out": cnt,
-            "mrows_in_per_s": round(rin / dt / 1e6, 1),
+            "mrows_in_per_s": round(rin / dt / 1e6, 3),
         }
         print(f"{name:24s} {dt:7.2f}s  out={cnt:>10}  {rin/dt/1e6:8.1f} Mrows/s")
 
@@ -232,6 +232,51 @@ def main() -> None:
     run("curate",
         curate(srcdocs, min_chars=10, max_chars=10**6, langs=["en"], cap=500),
         rows_in=doc_n)
+
+    # ANN tier (round-6): PQ encode + ADC top-k and the LSH probe at
+    # vector-corpus scale. Codebooks are trained ONCE on a bounded
+    # sample (the persisted-artifact shape at 100 TB) — training time
+    # reported separately; encode/scan are the recurring per-corpus
+    # costs whose throughput must stay flat.
+    from ezdata_spark.operators.similarity import (
+        cosine_topk_lsh,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    vec_n = max(n // 10, 1_000_000)
+    emb = spark.range(vec_n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64),"
+            " i -> pmod(xxhash64(id, i), 2000) / 1000.0 - 1.0)"
+        ).alias("embedding"),
+    )
+    qvecs = spark.range(16).select(
+        F.col("id").alias("qid"),
+        F.expr(
+            "transform(sequence(1, 64),"
+            " i -> pmod(xxhash64(id + 777, i), 2000) / 1000.0 - 1.0)"
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    cbs = pq_train(emb, m=8, k=16, sample_fraction=50_000 / vec_n, sample_rows=20_000)
+    train_s = round(time.perf_counter() - t0, 2)
+    results["pq_train_sampled"] = {
+        "sec": train_s, "rows_out": 8 * 16, "mrows_in_per_s": round(vec_n / train_s / 1e6, 3),
+    }
+    print(f"{'pq_train_sampled':24s} {train_s:7.2f}s  out={8 * 16:>10}  "
+          f"{vec_n / train_s / 1e6:8.1f} Mrows/s")
+    run("pq_encode", pq_encode(emb, cbs), rows_in=vec_n)
+    # the ADC scan's 100 TB shape reads a PERSISTED codes column —
+    # materialize the encoded corpus outside the timer (run() clears
+    # the cache after each op, so persist locally here)
+    enc_p = pq_encode(emb, cbs).persist()
+    enc_p.write.format("noop").mode("overwrite").save()
+    run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
+    enc_p.unpersist()
+    run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
 
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",

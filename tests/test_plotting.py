@@ -335,3 +335,60 @@ def test_pairgrid_diag_uses_single_pass(lineitem):
     ref_q = Plotter(lineitem).hist("l_quantity", bins=5, range=g._ranges["l_quantity"])
     np.testing.assert_array_equal(diag["l_quantity"].counts, ref_q.counts)
     assert set(diag) == {"l_quantity", "l_discount"}
+
+
+# ----------------------------------------------------------- themes/colors
+def test_color_conversion():
+    from ezdata_spark.functions.themes import hex_to_rgb, normed_rgb, rgb
+
+    assert rgb("#FFFFFF") == (255, 255, 255)
+    assert rgb("plum") == (221, 160, 221)
+    assert rgb((10, 20, 30)) == (10, 20, 30)  # idempotent
+    assert hex_to_rgb("4682B4") == (70, 130, 180)
+    assert normed_rgb("black") == (0.0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="Unknown color"):
+        rgb("notacolorname")
+    with pytest.raises(ValueError, match="Invalid RGB"):
+        rgb((300, 0, 0))
+    with pytest.raises(TypeError):
+        rgb(12)
+
+
+def test_theme_dicts_and_font_scaling():
+    from ezdata_spark.functions.themes import (
+        LIGHT_MINIMAL,
+        font_pt,
+        plotly_layout,
+    )
+
+    assert LIGHT_MINIMAL["axes.spines.top"] is False
+    assert font_pt("x-large", "12pt") == 17  # 12 * 1.44
+    assert font_pt(None, "14pt") == 14
+    lay = plotly_layout(font_size="12pt")
+    # same visual contract as the mpl theme: outward ticks, gray chrome,
+    # label/title sizes derived through the same scaling table
+    assert lay["xaxis"]["ticks"] == "outside"
+    assert lay["xaxis"]["linecolor"] == LIGHT_MINIMAL["axes.edgecolor"]
+    assert lay["title"]["font"]["size"] == font_pt("x-large", "12pt")
+    assert lay["xaxis"]["tickfont"]["size"] == font_pt("small", "12pt")
+
+
+def test_render_helpers_gated_without_mpl():
+    try:
+        import matplotlib  # noqa: F401
+
+        pytest.skip("matplotlib installed: gate not exercised")
+    except ImportError:
+        pass
+    from ezdata_spark.functions.themes import (
+        add_image_legend,
+        apply_theme,
+        generate_cmap_from_colors,
+        label_subplots,
+    )
+
+    for fn in (apply_theme, label_subplots, add_image_legend):
+        with pytest.raises(NotImplementedError, match="matplotlib"):
+            fn()
+    with pytest.raises(NotImplementedError, match="matplotlib"):
+        generate_cmap_from_colors(["black", "white"])
