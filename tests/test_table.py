@@ -349,6 +349,6 @@ def test_extension_dispatch_read_write(spark, tmp_path):
         assert back.unit("x") == "mag", name
     # latex is write-only
     t.write(str(tmp_path / "t.tex"), n=5)
-    assert open(tmp_path / "t.tex").read().startswith("\\begin{tabular}")
+    assert open(tmp_path / "t.tex").read().startswith("\\begin{table}")
     with pytest.raises(ValueError, match="unrecognized"):
         EzTable.read(spark, "x.unknownext")
