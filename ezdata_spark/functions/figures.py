@@ -1,0 +1,153 @@
+"""Plotly-frontend parity: build standard plotly FIGURE DICTS from the
+on-cluster aggregate Results (reference: plotly/tools.py:105-417,
+hvplotter.py:112-230).
+
+The reference's plotly/holoviews frontends re-aggregate driver-side
+(datashader canvas, plotly histograms over raw columns); on Spark the
+aggregation already happened on-cluster (plotting.py returns small
+numpy Results), so the interactive frontend reduces to FORMATTING: a
+plotly figure is a plain JSON dict — ``{"data": [traces], "layout"``
+— renderable with ``plotly.graph_objects.Figure(dict)`` when plotly is
+installed and fully testable without it. Every builder here is pure
+driver-side dict assembly over already-reduced data; no library import,
+no data path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .themes import plotly_layout
+
+
+def _layout(title: str | None = None, **overrides) -> dict:
+    lay = plotly_layout()
+    if title:
+        lay["title"] = {**lay.get("title", {}), "text": title}
+    lay.update(overrides)
+    return lay
+
+
+def hist_figure(h, log: bool = False, title: str | None = None) -> dict:
+    """HistResult -> bar-trace figure dict (the plotly histogram the
+    reference draws from raw columns, hvplotter.py:148-179 — here from
+    the pre-aggregated counts)."""
+    lay = _layout(title or h.label)
+    if log:
+        lay["yaxis"] = {**lay["yaxis"], "type": "log"}
+    return {
+        "data": [
+            {
+                "type": "bar",
+                "x": [float(c) for c in h.centers],
+                "y": [float(v) for v in h.counts],
+                "width": [float(w) for w in np.diff(h.edges)],
+                "name": h.label or "count",
+            }
+        ],
+        "layout": lay,
+    }
+
+
+def raster_figure(
+    g,
+    log: bool = False,
+    colorscale: str = "Viridis",
+    title: str | None = None,
+) -> dict:
+    """Hist2DResult -> heatmap figure dict. ``log=True`` reproduces the
+    reference's logscale colorbar treatment (plotly/tools.py:105-204):
+    z becomes log10(z), the colorbar ticks show the original decades."""
+    z = np.asarray(g.counts, dtype=float).T  # heatmap rows = y
+    xc = 0.5 * (g.x_edges[:-1] + g.x_edges[1:])
+    yc = 0.5 * (g.y_edges[:-1] + g.y_edges[1:])
+    trace: dict = {
+        "type": "heatmap",
+        "x": [float(v) for v in xc],
+        "y": [float(v) for v in yc],
+        "colorscale": colorscale,
+        "colorbar": {"title": {"text": "count"}},
+    }
+    if log:
+        pos = z[z > 0]
+        zlog = np.where(z > 0, np.log10(np.where(z > 0, z, 1.0)), np.nan)
+        trace["z"] = [[None if math.isnan(v) else float(v) for v in row] for row in zlog]
+        hi = int(math.ceil(float(np.log10(pos.max())))) if pos.size else 1
+        ticks = list(range(0, hi + 1))
+        trace["colorbar"]["tickvals"] = ticks
+        trace["colorbar"]["ticktext"] = [f"1e{t}" if t > 1 else str(10**t) for t in ticks]
+    else:
+        trace["z"] = [[float(v) for v in row] for row in z]
+    lay = _layout(title)
+    lay["xaxis"] = {**lay["xaxis"], "title": {"text": g.xlabel}}
+    lay["yaxis"] = {**lay["yaxis"], "title": {"text": g.ylabel}}
+    return {"data": [trace], "layout": lay}
+
+
+def box_figure(b, title: str | None = None) -> dict:
+    """BoxStats -> box traces with PRECOMPUTED quartiles (plotly's
+    q1/median/q3 attributes) — the quantiles came from one on-cluster
+    percentile pass, never raw rows."""
+    traces = [
+        {
+            "type": "box",
+            "name": str(k),
+            "q1": [float(b.q1[i])],
+            "median": [float(b.median[i])],
+            "q3": [float(b.q3[i])],
+            "lowerfence": [float(b.lo[i])],
+            "upperfence": [float(b.hi[i])],
+            "mean": [float(b.mean[i])],
+            "x": [str(k)],
+        }
+        for i, k in enumerate(b.keys)
+    ]
+    return {"data": traces, "layout": _layout(title)}
+
+
+def combine_figures(figs: list[dict], cols: int = 2, hgap: float = 0.08, vgap: float = 0.12) -> dict:
+    """Grid-combine figure dicts into one subplot figure (the
+    reference's combine_figures, plotly/tools.py:303-416): each panel's
+    traces move onto numbered axes (x2/y2, ...) whose domains tile the
+    grid row-major, top row first."""
+    n = len(figs)
+    cols = max(1, min(cols, n))
+    rows = -(-n // cols)
+    w = (1.0 - hgap * (cols - 1)) / cols
+    h = (1.0 - vgap * (rows - 1)) / rows
+    out: dict = {"data": [], "layout": _layout()}
+    for i, fig in enumerate(figs):
+        r, c = divmod(i, cols)
+        ax = "" if i == 0 else str(i + 1)
+        x0 = c * (w + hgap)
+        y1 = 1.0 - r * (h + vgap)
+        src_lay = fig.get("layout", {})
+        out["layout"][f"xaxis{ax}"] = {
+            **src_lay.get("xaxis", {}),
+            "domain": [round(x0, 6), round(x0 + w, 6)],
+            "anchor": f"y{ax or '1'}" if ax else "y",
+        }
+        out["layout"][f"yaxis{ax}"] = {
+            **src_lay.get("yaxis", {}),
+            "domain": [round(y1 - h, 6), round(y1, 6)],
+            "anchor": f"x{ax or '1'}" if ax else "x",
+        }
+        for tr in fig["data"]:
+            t = dict(tr)
+            if ax:
+                t["xaxis"] = f"x{ax}"
+                t["yaxis"] = f"y{ax}"
+            out["data"].append(t)
+    return out
+
+
+def to_plotly_figure(spec: dict):
+    """Materialize a dict into a live ``plotly.graph_objects.Figure``
+    (the only function here that needs plotly installed)."""
+    try:
+        import plotly.graph_objects as go
+    except ImportError as exc:
+        raise NotImplementedError("to_plotly_figure requires plotly") from exc
+    return go.Figure(spec)

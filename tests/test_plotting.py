@@ -392,3 +392,73 @@ def test_render_helpers_gated_without_mpl():
             fn()
     with pytest.raises(NotImplementedError, match="matplotlib"):
         generate_cmap_from_colors(["black", "white"])
+
+
+# ------------------------------------------------------- plotly figure dicts
+def test_plotly_figure_dicts(lineitem):
+    """The plotly frontend is dict assembly over on-cluster aggregates:
+    values in the figure must equal the Result's numpy values exactly."""
+    from ezdata_spark.functions.figures import (
+        combine_figures,
+        hist_figure,
+        raster_figure,
+    )
+
+    h = Plotter(lineitem).hist("l_quantity", bins=10, range=(0.0, 51.0))
+    fh = hist_figure(h, title="qty")
+    assert fh["data"][0]["type"] == "bar"
+    assert fh["data"][0]["y"] == [float(v) for v in h.counts]
+    assert fh["layout"]["title"]["text"] == "qty"
+
+    g = Plotter(lineitem).hist2d(
+        "l_quantity", "l_discount", bins=(6, 5), range=((0.0, 51.0), (0.0, 0.12))
+    )
+    fg = raster_figure(g)
+    z = np.array(fg["data"][0]["z"])
+    assert z.shape == (5, 6)  # heatmap rows are y
+    assert np.array_equal(z, g.counts.T)
+    assert fg["layout"]["xaxis"]["title"]["text"] == "l_quantity"
+
+    flog = raster_figure(g, log=True)
+    zl = flog["data"][0]["z"]
+    nz = g.counts.T
+    for yi in range(5):
+        for xi in range(6):
+            if nz[yi][xi] > 0:
+                assert zl[yi][xi] == pytest.approx(np.log10(nz[yi][xi]))
+            else:
+                assert zl[yi][xi] is None
+    assert flog["data"][0]["colorbar"]["tickvals"][0] == 0
+
+    grid = combine_figures([fh, fg], cols=2)
+    assert len(grid["data"]) == 2
+    assert grid["data"][1]["xaxis"] == "x2"
+    d1 = grid["layout"]["xaxis"]["domain"]
+    d2 = grid["layout"]["xaxis2"]["domain"]
+    assert d1[1] < d2[0]  # side by side, non-overlapping
+    assert grid["layout"]["yaxis2"]["domain"] == grid["layout"]["yaxis"]["domain"]
+
+
+def test_plotly_box_figure(customer):
+    from ezdata_spark.functions.figures import box_figure
+
+    b = Plotter(customer).boxplot("c_mktsegment", "c_acctbal")
+    fb = box_figure(b)
+    assert len(fb["data"]) == len(b.keys)
+    t0 = fb["data"][0]
+    assert t0["type"] == "box"
+    assert t0["median"] == [float(b.median[0])]
+    assert t0["q1"] == [float(b.q1[0])] and t0["q3"] == [float(b.q3[0])]
+
+
+def test_plotly_materializer_gated():
+    from ezdata_spark.functions.figures import to_plotly_figure
+
+    try:
+        import plotly  # noqa: F401
+
+        pytest.skip("plotly installed: gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="plotly"):
+        to_plotly_figure({"data": [], "layout": {}})
