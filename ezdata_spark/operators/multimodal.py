@@ -9,14 +9,15 @@ large-scale training-pipeline pattern:
 - decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` stages: Arrow batches in, bounded memory, one Python
   worker per core — the only sane shape for 100 TB of media;
-- decode is REAL for containers that need no codec library: 24-bit BMP
-  pixels, 8-bit PNG (stdlib zlib + all five scanline filters), and
-  16-bit PCM WAV samples decode pure-numpy (functions/media_codecs.py,
-  round-trip tested). Formats that need PIL/libav (JPEG/MP3/video)
-  fall back to a clearly-marked deterministic STUB (hash-seeded
-  synthetic pixels) so the pipeline shape stays testable; the
-  Spark-side plumbing — schemas, batch iteration, partitioning, output
-  contracts — is identical either way.
+- decode is REAL for every major image/audio container: 24-bit BMP,
+  8-bit PNG (stdlib zlib, all five scanline filters), baseline
+  sequential JPEG (pure-numpy DCT + Annex-K Huffman, 4:4:4/4:2:0;
+  functions/jpeg_codec.py), and 16-bit PCM WAV — all round-trip
+  tested. Only formats that genuinely need external codec libraries
+  (MP3/FLAC audio, video containers) fall back to a clearly-marked
+  deterministic STUB (hash-seeded synthetic pixels) so the pipeline
+  shape stays testable; the Spark-side plumbing — schemas, batch
+  iteration, partitioning, output contracts — is identical either way.
 """
 
 from __future__ import annotations
@@ -68,10 +69,11 @@ def _stub_decode(data: bytes, width: int, height: int, channels: int) -> np.ndar
 
 
 def decode_pixels(data: bytes, meta) -> np.ndarray:
-    """Real decode where a pure-numpy codec exists (BMP, PNG; see
-    functions/media_codecs.py), PIL when installed, deterministic stub
-    otherwise (JPEG without PIL). Grayscale decodes broadcast to the
-    (H, W, C) contract the feature kernels expect."""
+    """Real decode where a pure-numpy codec exists (BMP, PNG, baseline
+    JPEG; see functions/media_codecs.py and functions/jpeg_codec.py),
+    PIL when installed, deterministic stub otherwise (exotic formats
+    without PIL). Grayscale decodes broadcast to the (H, W, C) contract
+    the feature kernels expect."""
     if data and data[:2] == b"BM":
         from ..functions.media_codecs import decode_bmp
 
@@ -80,6 +82,11 @@ def decode_pixels(data: bytes, meta) -> np.ndarray:
         from ..functions.media_codecs import decode_png
 
         px = decode_png(bytes(data))
+        return px[:, :, None] if px.ndim == 2 else px
+    if data and data[:2] == b"\xff\xd8":
+        from ..functions.jpeg_codec import decode_jpeg
+
+        px = decode_jpeg(bytes(data))
         return px[:, :, None] if px.ndim == 2 else px
     if _have_pil():
         import io

@@ -2463,14 +2463,17 @@ def q99(spark, sf_dir):
 def q100(spark, sf_dir):
     """Multimodal features over GENUINE file bytes: each document id
     fabricates a real 24-bit BMP, a real 8-bit PNG (rotating through all
-    five scanline filters), and a real 16-bit PCM WAV executor-side
-    (functions/media_codecs.py encoders), and the feature extractors
-    decode them back with the pure-numpy codecs — the de-stubbed decode
-    path of operators/multimodal.py. Rows-only: binary payloads are not
-    SQL-expressible; determinism is pinned by per-id RandomState and the
-    codec round-trip tests (tests/test_media_codecs.py)."""
+    five scanline filters), a real baseline JPEG (alternating 4:4:4 and
+    4:2:0), and a real 16-bit PCM WAV executor-side (functions/
+    media_codecs.py + jpeg_codec.py encoders), and the feature
+    extractors decode them back with the pure-numpy codecs — the
+    de-stubbed decode path of operators/multimodal.py. Rows-only:
+    binary payloads are not SQL-expressible; determinism is pinned by
+    per-id RandomState and the codec round-trip tests
+    (tests/test_media_codecs.py)."""
     import pandas as pd
 
+    from .functions.jpeg_codec import encode_jpeg
     from .functions.media_codecs import encode_bmp, encode_png, encode_wav
     from .operators.multimodal import IMAGE_SCHEMA, audio_features, image_features
 
@@ -2502,6 +2505,16 @@ def q100(spark, sf_dir):
                         "meta": {"format": "png", "width": w, "height": h, "channels": 3},
                     }
                 )
+                px3 = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid) + 3_000_000,
+                        "data": encode_jpeg(
+                            px3, 90, subsampling="420" if int(mid) % 2 else "444"
+                        ),
+                        "meta": {"format": "jpeg", "width": w, "height": h, "channels": 3},
+                    }
+                )
                 wav = rng.uniform(-0.9, 0.9, int(rng.randint(100, 1000))).astype("float32")
                 rows.append(
                     {
@@ -2513,7 +2526,9 @@ def q100(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(gen, IMAGE_SCHEMA)
-    imgs = image_features(media.filter(F.col("meta.format").isin("bmp", "png"))).select(
+    imgs = image_features(
+        media.filter(F.col("meta.format").isin("bmp", "png", "jpeg"))
+    ).select(
         "media_id",
         F.lit("image").alias("kind"),
         F.round("mean_luma", 4).alias("feat1"),

@@ -329,3 +329,103 @@ def test_image_features_real_png(spark):
     for i in truth:
         assert got[i][0] == pytest.approx(truth[i][0], abs=1e-9)
         assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
+
+
+# --------------------------------------------------------------------- JPEG
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_flat_image_near_exact():
+    """A flat field survives quantization exactly (DC-only blocks)."""
+    from ezdata_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 24), 128, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+    flat_rgb = np.full((8, 8, 3), 200, np.uint8)
+    back = decode_jpeg(encode_jpeg(flat_rgb, 90))
+    assert back.shape == (8, 8, 3)
+    assert _psnr(flat_rgb, back) > 45
+
+
+def test_jpeg_roundtrip_quality_and_sampling():
+    """Smooth content round-trips with high PSNR; quality and 4:4:4 vs
+    4:2:0 order as expected; odd sizes exercise MCU padding."""
+    from ezdata_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:33, 0:41]
+    rgb = np.stack([(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 2) % 256], axis=2).astype(
+        np.uint8
+    )
+    p444 = _psnr(rgb, decode_jpeg(encode_jpeg(rgb, 90, subsampling="444")))
+    p420 = _psnr(rgb, decode_jpeg(encode_jpeg(rgb, 90, subsampling="420")))
+    p50 = _psnr(rgb, decode_jpeg(encode_jpeg(rgb, 50, subsampling="444")))
+    assert p444 > 40 and p420 > 35
+    assert p444 >= p420  # chroma pooling can only lose information
+    assert p444 > p50  # higher quality -> higher fidelity
+
+    odd = np.stack([yy[:17, :19] * 7, xx[:17, :19] * 9, yy[:17, :19] * 3], axis=2).astype(
+        np.uint8
+    )
+    d = decode_jpeg(encode_jpeg(odd, 85, subsampling="420"))
+    assert d.shape == odd.shape and _psnr(odd, d) > 33
+
+
+def test_jpeg_gray_roundtrip():
+    from ezdata_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:20, 0:30]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(g, 90))
+    assert back.ndim == 2 and back.shape == g.shape
+    assert _psnr(g, back) > 38
+
+
+def test_jpeg_error_paths():
+    from ezdata_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    good = bytearray(encode_jpeg(np.full((8, 8), 99, np.uint8)))
+    # flip SOF0 -> SOF2 (progressive): clear NotImplementedError
+    at = bytes(good).index(b"\xff\xc0")
+    prog = bytes(good[:at]) + b"\xff\xc2" + bytes(good[at + 2 :])
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[: len(good) // 2]))  # truncated entropy data
+
+
+def test_image_features_real_jpeg(spark):
+    """Distributed decode over genuine JPEG bytes: features match the
+    numpy truth of the DECODED pixels (lossy codec — the decoded array
+    is the contract, pinned by the PSNR tests above)."""
+    import pandas as pd
+
+    from ezdata_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA, image_features
+
+    rng = np.random.RandomState(9)
+    rows, truth = [], {}
+    for i in range(4):
+        h, w = int(rng.randint(8, 20)), int(rng.randint(8, 20))
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [(yy * (i + 2)) % 256, (xx * (i + 3)) % 256, ((yy + xx) * 2) % 256], axis=2
+        ).astype(np.uint8)
+        data = encode_jpeg(px, 90, subsampling="420" if i % 2 else "444")
+        rows.append(
+            {
+                "media_id": i,
+                "data": data,
+                "meta": {"format": "jpeg", "width": w, "height": h, "channels": 3},
+            }
+        )
+        luma = decode_jpeg(data).astype("float64").mean(axis=2)
+        truth[i] = (float(luma.mean()), float(luma.std()))
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+    got = {r.media_id: (r.mean_luma, r.std_luma) for r in image_features(media).collect()}
+    for i in truth:
+        assert got[i][0] == pytest.approx(truth[i][0], abs=1e-9)
+        assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
