@@ -215,6 +215,112 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0] if img.shape[2] == 1 else img
 
 
+# --------------------------------------------------------------------- AVI
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (N, H, W, 3) uint8 RGB frames as an uncompressed AVI
+    (RIFF 'AVI ' container, DIB/BI_RGB video stream — the same public
+    fixed layout family as BMP/WAV: avih + strh/strf headers, '00db'
+    frame chunks, idx1 index). Exists so tests and fixtures can
+    fabricate REAL video payloads; real-world compressed codecs
+    (H.264 etc.) are out of scope for a no-dependency codec."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"encode_avi expects (N, H, W, 3) RGB, got {fr.shape}")
+    n, h, w = fr.shape[:3]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    frame_size = row_bytes * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # us per frame
+        frame_size * fps,  # max bytes/sec
+        0, 0x10,  # padding, flags (HASINDEX)
+        n, 0, 1, frame_size,  # total frames, initial, streams, buf size
+        w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0) + struct.pack("<HHHH", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = bytearray(b"movi")
+    offsets = []
+    pad = b"\x00" * (row_bytes - w * 3)
+    for i in range(n):
+        offsets.append(len(movi_body))
+        bgr = fr[i, :, :, ::-1]
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up DIB
+            rows += bgr[y].tobytes() + pad
+        movi_body += chunk(b"00db", bytes(rows))
+    movi = chunk(b"LIST", bytes(movi_body))
+
+    idx = bytearray()
+    for off in offsets:
+        idx += b"00db" + struct.pack("<III", 0x10, off, frame_size)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_meta(data: bytes) -> dict:
+    """Container metadata without decoding frames: n_frames, fps,
+    width, height, and the frame-chunk offsets (from the movi scan)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
+    meta: dict = {"frames": []}
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_at = pos + 8
+            if tag == b"LIST":
+                kind = data[body_at : body_at + 4]
+                if kind in (b"hdrl", b"strl", b"movi"):
+                    walk(body_at + 4, body_at + size)
+            elif tag == b"avih":
+                us_frame, _, _, _, n = struct.unpack_from("<IIIII", data, body_at)
+                w, h = struct.unpack_from("<II", data, body_at + 32)
+                meta.update(
+                    n_frames=n,
+                    fps=round(1_000_000 / us_frame) if us_frame else 0,
+                    width=w,
+                    height=h,
+                )
+            elif tag in (b"00db", b"00dc"):
+                meta["frames"].append((body_at, size))
+            pos = body_at + size + (size & 1)
+
+    walk(pos, end)
+    if "n_frames" not in meta:
+        raise ValueError("AVI missing avih header")
+    return meta
+
+
+def decode_avi_frame(data: bytes, index: int) -> np.ndarray:
+    """Decode ONE uncompressed DIB frame to (H, W, 3) RGB — random
+    access via the movi offsets, so sampling frame k of a long clip
+    never touches the other frames' bytes."""
+    meta = avi_meta(data)
+    frames = meta["frames"]
+    if not 0 <= index < len(frames):
+        raise IndexError(f"frame {index} out of range (clip has {len(frames)})")
+    at, size = frames[index]
+    w, h = meta["width"], meta["height"]
+    row_bytes = (w * 3 + 3) // 4 * 4
+    if size < row_bytes * h:
+        raise ValueError("AVI frame chunk truncated")
+    rows = np.frombuffer(data, np.uint8, row_bytes * h, at)
+    img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[::-1]
+    return img[:, :, ::-1].copy()  # bottom-up BGR -> RGB
+
+
 # --------------------------------------------------------------------- WAV
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Encode float samples in [-1, 1] (1-D mono or (N, C)) as a 16-bit

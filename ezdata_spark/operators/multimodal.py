@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -225,13 +226,80 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
     return media.mapInPandas(_feats, AUDIO_FEATURE_SCHEMA)
 
 
+def _avi_n_frames(*series):
+    """Vectorized container-header probe: real frame count for RIFF/AVI
+    payloads, null otherwise (no frame bytes touched — avi_meta walks
+    chunk headers only)."""
+    from ..functions.media_codecs import avi_meta
+
+    out = []
+    for d in series[0]:
+        try:
+            b = bytes(d) if d is not None else b""
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                out.append(avi_meta(b)["n_frames"])
+            else:
+                out.append(None)
+        except (ValueError, struct_error):
+            out.append(None)
+    return pd.Series(out, dtype="Int64")
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
-    """Video frame-sampling plumbing: one row per sampled frame index
-    (posexplode of a generated index sequence; the decode of each frame
-    is the same stubbed kernel). Partitioning: frames of one video stay
-    computable independently — no shuffle."""
-    n_frames = (F.pmod(F.xxhash64("media_id"), F.lit(40)) + 10).cast("int")
+    """Video frame sampling: one row per sampled frame index.
+
+    For REAL video payloads (uncompressed RIFF/AVI,
+    functions/media_codecs.py) the frame count comes from the
+    container's avih header — read executor-side in an Arrow batch,
+    without touching frame bytes. Payloads in codec-library formats
+    (H.264 etc.) keep the deterministic synthetic count so the
+    pipeline shape stays testable. Partitioning: frames of one video
+    stay computable independently — no shuffle."""
+    probe = F.pandas_udf(_avi_n_frames, "long")
+    synthetic = (F.pmod(F.xxhash64("media_id"), F.lit(40)) + 10).cast("long")
+    n_frames = F.coalesce(probe(F.col("data")), synthetic)
     idx = F.slice(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)), 1, max_frames)
     return media.select(
         "media_id", "data", "meta", F.posexplode(idx).alias("frame_pos", "frame_index")
-    ).select("media_id", "frame_index", "data", "meta")
+    ).select("media_id", F.col("frame_index").cast("int").alias("frame_index"), "data", "meta")
+
+
+FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_index int, mean_luma double, std_luma double"
+)
+
+
+def frame_features(sampled: DataFrame) -> DataFrame:
+    """Decode each sampled frame and reduce to per-frame features —
+    REAL random-access decode for AVI payloads (only the sampled
+    frame's bytes are read), stub pixels for codec-library formats.
+    Chains directly after ``sample_frames``."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media_codecs import decode_avi_frame
+
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                d = bytes(row["data"] or b"")
+                idx = int(row["frame_index"])
+                if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
+                    px = decode_avi_frame(d, idx)
+                else:
+                    meta = row["meta"]
+                    px = _stub_decode(
+                        d + idx.to_bytes(4, "little"),
+                        meta["width"], meta["height"], meta["channels"],
+                    )
+                luma = px.astype("float64").mean(axis=2)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "frame_index": idx,
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return sampled.mapInPandas(_feats, FRAME_FEATURE_SCHEMA)
