@@ -2701,3 +2701,48 @@ def q105(spark, sf_dir):
         group_by=["l_returnflag"],
         quantiles=[0.5, 0.9],
     ).orderBy("l_returnflag")
+
+
+@query("z106_video_frames")
+def q106(spark, sf_dir):
+    """Real video-container frame sampling: each document id fabricates
+    an uncompressed RIFF/AVI clip executor-side (functions/
+    media_codecs.py::encode_avi), ``sample_frames`` reads the TRUE
+    frame count from the avih header (no frame bytes touched), and
+    ``frame_features`` random-access-decodes only the sampled frames.
+    Rows-only: binary payloads are not SQL-expressible; frame-exact
+    ground truth is pinned by tests/test_multimodal.py::
+    test_sample_frames_real_avi."""
+    import pandas as pd
+
+    from .functions.media_codecs import encode_avi
+    from .operators.multimodal import IMAGE_SCHEMA, frame_features, sample_frames
+
+    ids = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id")).limit(60)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                rng = np.random.RandomState(int(mid) % (2**31))
+                n = 5 + int(mid) % 30
+                frames = rng.randint(0, 256, size=(n, 8, 10, 3), dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "data": encode_avi(frames, fps=10),
+                        "meta": {"format": "avi", "width": 10, "height": 8, "channels": 3},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(gen, IMAGE_SCHEMA)
+    sampled = sample_frames(media, every_n=5, max_frames=4)
+    return frame_features(sampled).select(
+        "media_id",
+        "frame_index",
+        F.round("mean_luma", 4).alias("mean_luma"),
+        F.round("std_luma", 4).alias("std_luma"),
+    )
