@@ -1,15 +1,16 @@
 """Pure-numpy codecs for media containers that need no codec library:
-24-bit BMP, 16-bit PCM WAV, and 8-bit PNG (stdlib zlib + the five
-scanline filters).
+24-bit BMP, 16-bit PCM + IMA-ADPCM WAV, 8-bit PNG (stdlib zlib + the
+five scanline filters), GIF (LZW, interlace, animation composition),
+and uncompressed AVI.
 
 The multimodal tier (operators/multimodal.py) keeps its decode kernel
-stubbed only for formats that genuinely need external codecs (JPEG/
-MP3/video — PIL/libav are not in this container). BMP, WAV, and PNG
-are fully public formats (Windows BITMAPINFOHEADER; RIFF/WAVE PCM;
-RFC 2083 / ISO 15948 with DEFLATE via stdlib zlib) that decode with
-struct/zlib/numpy — for these the decode path is REAL: bytes in, true
-pixels/samples out, verified by encode->decode round-trip tests and
-ground-truth pixel fixtures.
+stubbed only for formats that genuinely need external codecs (MP3,
+compressed video — libav is not in this container). BMP, WAV, PNG, and
+GIF are fully public formats (Windows BITMAPINFOHEADER; RIFF/WAVE PCM
+and IMA/DVI ADPCM; RFC 2083 / ISO 15948 with DEFLATE via stdlib zlib;
+GIF87a/89a with LZW) that decode with struct/zlib/numpy — for these
+the decode path is REAL: bytes in, true pixels/samples out, verified
+by encode->decode round-trip tests and ground-truth pixel fixtures.
 
 The encoders exist primarily so tests and fixtures can fabricate real
 files deterministically; at scale the decoders run executor-side inside
@@ -321,6 +322,283 @@ def decode_avi_frame(data: bytes, index: int) -> np.ndarray:
     return img[:, :, ::-1].copy()  # bottom-up BGR -> RGB
 
 
+# --------------------------------------------------------------------- GIF
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at min+1, CLEAR and
+    EOI codes, dictionary grows to 4096 then waits for CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader: GIF packs codes LSB-first
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return eoi  # truncated stream: treat as end
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        val = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return val
+
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (emits CLEAR up front and on dict reset)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for ix in indices:
+        nxt = cur + bytes([ix])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([ix])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nacc:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in _GIF_INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out[y] = rows[src]
+            src += 1
+    return out
+
+
+def gif_meta(data: bytes) -> dict:
+    """Parse a GIF87a/89a container without decoding pixels: logical
+    screen size, global palette, and per-frame descriptors (position,
+    size, interlace, disposal, transparency, LZW payload offsets)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file (bad signature)")
+    w, h, packed, bg, _ = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    meta: dict = {"width": w, "height": h, "bg_index": bg, "palette": gct, "frames": []}
+    gce: dict = {}
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                size = data[pos]
+                flags, delay, trans = struct.unpack_from("<BHB", data, pos + 1)
+                gce = {
+                    "disposal": (flags >> 2) & 7,
+                    "transparent": trans if flags & 1 else None,
+                    "delay_cs": delay,
+                }
+                pos += 1 + size
+            while data[pos]:  # skip (remaining) sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            lct = None
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                lct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            min_code = data[pos]
+            pos += 1
+            spans = []
+            while data[pos]:
+                spans.append((pos + 1, data[pos]))
+                pos += 1 + data[pos]
+            pos += 1
+            meta["frames"].append(
+                {
+                    "left": left,
+                    "top": top,
+                    "width": fw,
+                    "height": fh,
+                    "interlace": bool(fpacked & 0x40),
+                    "palette": lct,
+                    "min_code_size": min_code,
+                    "spans": spans,
+                    **{
+                        "disposal": gce.get("disposal", 0),
+                        "transparent": gce.get("transparent"),
+                        "delay_cs": gce.get("delay_cs", 0),
+                    },
+                }
+            )
+            gce = {}
+        else:
+            raise ValueError(f"invalid GIF block 0x{block:02x}")
+    if not meta["frames"]:
+        raise ValueError("GIF contains no image frames")
+    meta["n_frames"] = len(meta["frames"])
+    return meta
+
+
+def decode_gif(data: bytes, frame: int = 0) -> np.ndarray:
+    """Decode a GIF to the (H, W, 3) uint8 RGB logical screen after
+    compositing frames 0..``frame`` (disposal methods 0/1 keep, 2
+    restores background; 3 'restore previous' raises
+    ``NotImplementedError``). Handles LZW, interlace, local palettes,
+    and transparency; frame 0 of a plain GIF is just the image."""
+    meta = gif_meta(data)
+    frames = meta["frames"]
+    if not 0 <= frame < len(frames):
+        raise IndexError(f"frame {frame} out of range (gif has {len(frames)})")
+    h, w = meta["height"], meta["width"]
+    gct = meta["palette"]
+    bg = meta["bg_index"]
+    if gct is not None:
+        canvas = np.tile(gct[bg % len(gct)], (h, w, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((h, w, 3), np.uint8)
+    for f in frames[: frame + 1]:
+        if f["disposal"] == 3:
+            raise NotImplementedError("GIF disposal method 3 (restore previous)")
+        pal = f["palette"] if f["palette"] is not None else gct
+        if pal is None:
+            raise ValueError("GIF frame has no palette")
+        payload = b"".join(data[at : at + n] for at, n in f["spans"])
+        idx = _lzw_decode(payload, f["min_code_size"])
+        fw, fh = f["width"], f["height"]
+        if len(idx) < fw * fh:
+            raise ValueError("GIF LZW data short of frame size")
+        grid = np.asarray(idx[: fw * fh], np.int32).reshape(fh, fw)
+        if f["interlace"]:
+            grid = _gif_deinterlace(grid)
+        rgb = pal[np.clip(grid, 0, len(pal) - 1)]
+        y0, x0 = f["top"], f["left"]
+        region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        if f["transparent"] is not None:
+            mask = grid != f["transparent"]
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        if f["disposal"] == 2 and gct is not None:
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = gct[bg % len(gct)]
+    return canvas
+
+
+def encode_gif(frames: np.ndarray, fps: int = 10, interlace: bool = False) -> bytes:
+    """Encode (H, W, 3) or (N, H, W, 3) uint8 RGB as a GIF89a with one
+    global palette built from the distinct colors (<= 256 required —
+    this is a deterministic fixture encoder, not a quantizer)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim == 3:
+        fr = fr[None]
+    if fr.ndim != 4 or fr.shape[3] != 3:
+        raise ValueError(f"encode_gif expects (N, H, W, 3) RGB, got {fr.shape}")
+    n, h, w = fr.shape[:3]
+    colors, inverse = np.unique(fr.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif palette overflow: {len(colors)} distinct colors")
+    pal_bits = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    pal_n = 1 << pal_bits
+    palette = np.zeros((pal_n, 3), np.uint8)
+    palette[: len(colors)] = colors
+    indexed = inverse.reshape(n, h, w)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += palette.tobytes()
+    min_code = max(2, pal_bits)
+    for i in range(n):
+        if n > 1:
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, 100 // max(fps, 1), 0) + b"\x00"
+        flags = 0x40 if interlace else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        grid = indexed[i]
+        if interlace:
+            rows = [grid[y] for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+            grid = np.stack(rows)
+        out.append(min_code)
+        lzw = _lzw_encode([int(v) for v in grid.reshape(-1)], min_code)
+        for at in range(0, len(lzw), 255):
+            sub = lzw[at : at + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 # --------------------------------------------------------------------- WAV
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Encode float samples in [-1, 1] (1-D mono or (N, C)) as a 16-bit
@@ -339,13 +617,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode a 16-bit PCM RIFF/WAVE file -> (float32 samples in [-1, 1]
-    shaped (N,) mono or (N, C), sample_rate). Walks RIFF chunks, so
+    """Decode a RIFF/WAVE file -> (float32 samples in [-1, 1] shaped
+    (N,) mono or (N, C), sample_rate). Handles 16-bit PCM (format 1)
+    and IMA/DVI ADPCM (format 0x11, 4-bit); walks RIFF chunks, so
     extra chunks (LIST/fact) are tolerated."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
     ch = rate = bits = fmt_code = None
+    block_align = 0
+    n_sample_frames = None
     pcm = None
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
@@ -353,17 +634,161 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body_at = pos + 8
         if cid == b"fmt ":
             fmt_code, ch, rate = struct.unpack_from("<HHI", data, body_at)
-            (bits,) = struct.unpack_from("<H", data, body_at + 14)
+            (block_align, bits) = struct.unpack_from("<HH", data, body_at + 12)
+        elif cid == b"fact":
+            (n_sample_frames,) = struct.unpack_from("<I", data, body_at)
         elif cid == b"data":
             pcm = data[body_at : body_at + size]
         pos = body_at + size + (size & 1)  # chunks are word-aligned
     if fmt_code is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code == 0x11 and bits == 4:
+        arr = _ima_adpcm_decode(pcm, ch, block_align)
+        if n_sample_frames is not None:
+            arr = arr[:n_sample_frames]
+        if ch == 1:
+            arr = arr[:, 0]
+        return arr.astype(np.float32) / 32768.0, rate
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM WAV supported (got format={fmt_code}, bits={bits})"
+            f"only 16-bit PCM / 4-bit IMA ADPCM WAV supported "
+            f"(got format={fmt_code}, bits={bits})"
         )
     arr = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
     if ch > 1:
         arr = arr.reshape(-1, ch)
     return arr, rate
+
+
+# ------------------------------------------------------------- IMA ADPCM
+# The public IMA/DVI ADPCM tables (IMA Digital Audio Focus Group, 1992;
+# Microsoft WAVE format 0x11). 4 bits/sample, 4:1 vs 16-bit PCM.
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition -> (new predictor, new index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, index
+
+
+def _ima_adpcm_decode(pcm: bytes, ch: int, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM data bytes -> (N, ch) int16-valued array.
+    Block layout per the WAVE spec: a 4-byte header per channel
+    (predictor i16, step index u8, reserved u8), then the nibble data
+    interleaved 4 bytes (8 samples) per channel."""
+    if block_align <= 4 * ch:
+        raise ValueError(f"invalid IMA ADPCM block align {block_align}")
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block per channel
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for b0 in range(0, len(pcm) - 4 * ch + 1, block_align):
+        block = pcm[b0 : b0 + block_align]
+        preds, idxs, counts = [], [], []
+        for c in range(ch):
+            pred, index = struct.unpack_from("<hB", block, 4 * c)[0], block[4 * c + 2]
+            idxs.append(max(0, min(88, index)))
+            preds.append(pred)
+            chans[c].append(pred)  # header predictor IS sample 0
+            counts.append(1)
+        at = 4 * ch
+        while at + 4 * ch <= len(block) and min(counts) < spb:
+            for c in range(ch):
+                for byte in block[at + 4 * c : at + 4 * (c + 1)]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if counts[c] < spb:
+                            preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                            chans[c].append(preds[c])
+                            counts[c] += 1
+            at += 4 * ch
+    n = min(len(x) for x in chans)
+    return np.stack([np.asarray(x[:n], np.int32) for x in chans], axis=1)
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 16000, block_align: int | None = None
+) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (N, C)) as an
+    IMA ADPCM RIFF/WAVE file (format 0x11, 4 bits/sample — a REAL
+    public compressed-audio codec at 4:1 vs 16-bit PCM)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n == 0:
+        raise ValueError("cannot encode empty audio")
+    pcm16 = np.clip(np.round(s * 32767.0), -32768, 32767).astype(np.int32)
+    if block_align is None:
+        block_align = 256 * ch
+    if block_align <= 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(f"block_align {block_align} invalid for {ch} channel(s)")
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    # prime the step index to the first block's typical delta: the index
+    # is re-announced in every block header, so this costs nothing and
+    # removes the slow step-size ramp on non-quiet signal onsets
+    steps = np.asarray(_IMA_STEP_TABLE)
+    idxs = []
+    for c in range(ch):
+        d = np.abs(np.diff(pcm16[: min(n, spb), c])).mean() if n > 1 else 0.0
+        idxs.append(int(np.abs(steps - d).argmin()))
+    blocks = bytearray()
+    for b0 in range(0, n, spb):
+        frame = pcm16[b0 : b0 + spb]
+        preds = [int(frame[0, c]) for c in range(ch)]
+        header = bytearray()
+        for c in range(ch):
+            header += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibbles: list[list[int]] = [[] for _ in range(ch)]
+        for c in range(ch):
+            for i in range(1, spb):
+                sample = int(frame[i, c]) if i < len(frame) else preds[c]
+                step = _IMA_STEP_TABLE[idxs[c]]
+                diff = sample - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibbles[c].append(nib)
+        body = bytearray()
+        word_groups = (spb - 1 + 7) // 8
+        for g in range(word_groups):
+            for c in range(ch):
+                for k in range(4):
+                    j = g * 8 + 2 * k
+                    lo = nibbles[c][j] if j < len(nibbles[c]) else 0
+                    hi = nibbles[c][j + 1] if j + 1 < len(nibbles[c]) else 0
+                    body.append(lo | (hi << 4))
+        blocks += header + body
+    byte_rate = sample_rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    body += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -12,9 +12,11 @@ large-scale training-pipeline pattern:
 - decode is REAL for every major image/audio container: 24-bit BMP,
   8-bit PNG (stdlib zlib, all five scanline filters), baseline
   sequential JPEG (pure-numpy DCT + Annex-K Huffman, 4:4:4/4:2:0;
-  functions/jpeg_codec.py), and 16-bit PCM WAV — all round-trip
-  tested. Only formats that genuinely need external codec libraries
-  (MP3/FLAC audio, video containers) fall back to a clearly-marked
+  functions/jpeg_codec.py), GIF (LZW, interlace, animation
+  composition), 16-bit PCM WAV, and 4-bit IMA-ADPCM compressed WAV —
+  all round-trip tested. Only formats that genuinely need external
+  codec libraries (MP3/FLAC audio, compressed video) fall back to a
+  clearly-marked
   deterministic STUB (hash-seeded synthetic pixels) so the pipeline
   shape stays testable; the Spark-side plumbing — schemas, batch
   iteration, partitioning, output contracts — is identical either way.
@@ -89,6 +91,10 @@ def decode_pixels(data: bytes, meta) -> np.ndarray:
 
         px = decode_jpeg(bytes(data))
         return px[:, :, None] if px.ndim == 2 else px
+    if data and data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.media_codecs import decode_gif
+
+        return decode_gif(bytes(data))
     if _have_pil():
         import io
 
@@ -184,10 +190,10 @@ AUDIO_FEATURE_SCHEMA = (
 def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio decode + per-clip features via mapInPandas.
 
-    RIFF/WAVE payloads decode for real (pure-numpy 16-bit PCM reader,
-    functions/media_codecs.py); other containers (MP3/FLAC — libav/
-    soundfile not in this container) fall back to the deterministic
-    STUB waveform. The feature math (RMS / peak / zero-crossing rate)
+    RIFF/WAVE payloads decode for real (pure-numpy 16-bit PCM and
+    4-bit IMA-ADPCM readers, functions/media_codecs.py); other
+    containers (MP3/FLAC — libav/soundfile not in this container)
+    fall back to the deterministic STUB waveform. The feature math (RMS / peak / zero-crossing rate)
     and the Spark plumbing are the same either way: binary in, Arrow
     batches, bounded memory.
     """

@@ -429,3 +429,283 @@ def test_image_features_real_jpeg(spark):
     for i in truth:
         assert got[i][0] == pytest.approx(truth[i][0], abs=1e-9)
         assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
+
+
+# ------------------------------------------------------------------- GIF
+def test_gif_roundtrip_exact_and_interlaced():
+    """encode->decode is pixel-exact (palette built from the distinct
+    colors, LZW lossless), both sequential and interlaced."""
+    from ezdata_spark.functions.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (7, 3), dtype=np.uint8)
+    for h, w in [(1, 1), (5, 9), (13, 17), (32, 47)]:
+        px = pal[rng.randint(0, len(pal), (h, w))]
+        for interlace in (False, True):
+            back = decode_gif(encode_gif(px, interlace=interlace))
+            assert back.shape == (h, w, 3)
+            assert np.array_equal(back, px), (h, w, interlace)
+
+
+def test_gif_lzw_code_growth_and_dict_reset():
+    """A large high-entropy indexed image pushes LZW through code-width
+    growth (and, at this size, dictionary resets) — still lossless."""
+    from ezdata_spark.functions.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, (256, 3), dtype=np.uint8)
+    pal = np.unique(pal, axis=0)  # distinct colors only
+    px = pal[rng.randint(0, len(pal), (64, 101))]
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ncol=st.integers(2, 16),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncol, interlace, seed):
+    from ezdata_spark.functions.media_codecs import decode_gif, encode_gif
+
+    rng = np.random.RandomState(seed)
+    pal = np.unique(rng.randint(0, 256, (ncol, 3), dtype=np.uint8), axis=0)
+    px = pal[rng.randint(0, len(pal), (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(px, interlace=interlace)), px)
+
+
+def test_gif_animation_frames_and_meta():
+    from ezdata_spark.functions.media_codecs import decode_gif, encode_gif, gif_meta
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (5, 3), dtype=np.uint8)
+    frames = np.stack([pal[rng.randint(0, 5, (9, 11))] for _ in range(4)])
+    g = encode_gif(frames, fps=5)
+    m = gif_meta(g)
+    assert m["n_frames"] == 4 and m["width"] == 11 and m["height"] == 9
+    for i in range(4):
+        assert np.array_equal(decode_gif(g, frame=i), frames[i])
+
+
+def test_gif_ground_truth_bytes():
+    """Hand-assembled 2x2 GIF87a (2-color global palette, no extensions)
+    decoded against the spec layout — the decoder, not the encoder, is
+    the source of truth here."""
+    import struct as _s
+
+    from ezdata_spark.functions.media_codecs import _lzw_encode, decode_gif
+
+    # palette: index 0 = red, 1 = blue; pixels: [[0,1],[1,0]]
+    hdr = b"GIF87a" + _s.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    pal = bytes([255, 0, 0, 0, 0, 255])
+    lzw = _lzw_encode([0, 1, 1, 0], 2)
+    img = b"\x2c" + _s.pack("<HHHHB", 0, 0, 2, 2, 0) + bytes([2, len(lzw)]) + lzw + b"\x00"
+    g = hdr + pal + img + b"\x3b"
+    out = decode_gif(g)
+    expect = np.array([[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]], np.uint8)
+    assert np.array_equal(out, expect)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    import struct as _s
+
+    from ezdata_spark.functions.media_codecs import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+        gif_meta,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(1, 255, (4, 3), dtype=np.uint8)
+    base = pal[rng.randint(0, 4, (4, 4))]
+    g = bytearray(encode_gif(base))
+    # append a second frame: all-transparent except one pixel -> frame 1
+    # must equal frame 0 with that single pixel changed
+    m = gif_meta(bytes(g))
+    pal_full = m["palette"]
+    trans_ix = 3
+    gce = b"\x21\xf9\x04" + _s.pack("<BHB", 0x01, 10, trans_ix) + b"\x00"
+    grid = [trans_ix] * 16
+    grid[5] = 1  # pixel (1,1) -> palette color 1
+    lzw = _lzw_encode(grid, 2)
+    frame = b"\x2c" + _s.pack("<HHHHB", 0, 0, 4, 4, 0) + bytes([2, len(lzw)]) + lzw + b"\x00"
+    g = bytes(g[:-1]) + gce + frame + b"\x3b"
+    out0, out1 = decode_gif(g, 0), decode_gif(g, 1)
+    expect = out0.copy()
+    expect[1, 1] = pal_full[1]
+    assert np.array_equal(out1, expect)
+
+
+def test_gif_error_paths():
+    from ezdata_spark.functions.media_codecs import decode_gif, encode_gif, gif_meta
+
+    with pytest.raises(ValueError, match="signature"):
+        gif_meta(b"NOTGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="no image frames"):
+        gif_meta(b"GIF89a" + b"\x00\x01\x00\x01\x00\x00\x00" + b"\x3b")
+    with pytest.raises(ValueError, match="palette overflow"):
+        rng = np.random.RandomState(0)
+        encode_gif(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8))
+    g = encode_gif(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(IndexError, match="out of range"):
+        decode_gif(g, frame=1)
+
+
+def test_image_features_real_gif(spark):
+    """Distributed decode over genuine GIF bytes (lossless -> features
+    match the ENCODED pixels exactly)."""
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import encode_gif
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA, image_features
+
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, (9, 3), dtype=np.uint8)
+    rows, truth = [], {}
+    for i in range(4):
+        h, w = int(rng.randint(6, 20)), int(rng.randint(6, 20))
+        px = pal[rng.randint(0, len(pal), (h, w))]
+        rows.append(
+            {
+                "media_id": i,
+                "data": encode_gif(px, interlace=bool(i % 2)),
+                "meta": {"format": "gif", "width": w, "height": h, "channels": 3},
+            }
+        )
+        luma = px.astype("float64").mean(axis=2)
+        truth[i] = (float(luma.mean()), float(luma.std()))
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+    got = {r.media_id: (r.mean_luma, r.std_luma) for r in image_features(media).collect()}
+    for i in truth:
+        assert got[i] == (pytest.approx(truth[i][0]), pytest.approx(truth[i][1]))
+
+
+# ------------------------------------------------------------ IMA ADPCM
+def test_adpcm_ground_truth_block():
+    """Hand-built single block against the published IMA state machine:
+    predictor 100, index 0, all nibbles 4 -> pred += full step, index
+    += 2 each sample (step table walks 7, 9, 11, 13...)."""
+    import struct as _s
+
+    from ezdata_spark.functions.media_codecs import decode_wav
+
+    block_align = 8  # mono: 4-byte header + 4 data bytes = 9 samples
+    header = _s.pack("<hBB", 100, 0, 0)
+    data = header + bytes([0x44] * 4)
+    fmt = _s.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, block_align, 4, 2, 9)
+    body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    body += b"data" + _s.pack("<I", len(data)) + data
+    wav = b"RIFF" + _s.pack("<I", len(body)) + body
+    out, rate = decode_wav(wav)
+    assert rate == 8000
+    # steps at indices 0,2,4,6,...: 7,9,11,13,16,19,23,28; nibble 4 adds
+    # the full step on top of the step>>3 base term
+    expect = [100]
+    steps = [7, 9, 11, 13, 16, 19, 23, 28]
+    for s in steps:
+        expect.append(expect[-1] + s + (s >> 3))
+    assert np.allclose(out * 32768.0, expect)
+
+
+def test_adpcm_roundtrip_tone_and_noise():
+    from ezdata_spark.functions.media_codecs import (
+        decode_wav,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(6000) / 16000
+    tone = (0.6 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+    w = encode_wav_adpcm(tone, 16000)
+    dec, rate = decode_wav(w)
+    assert rate == 16000 and dec.shape == tone.shape
+    assert np.sqrt(np.mean((dec - tone) ** 2)) < 0.02
+    # genuinely compressed: ~4:1 vs 16-bit PCM
+    assert len(w) < 0.3 * len(encode_wav(tone, 16000))
+
+    rng = np.random.RandomState(2)
+    noise = (rng.standard_normal(3000) * 0.1).astype(np.float32)
+    dec2, _ = decode_wav(encode_wav_adpcm(noise, 8000))
+    assert np.sqrt(np.mean((dec2 - noise) ** 2)) < 0.05
+
+
+def test_adpcm_stereo_roundtrip_preserves_channels():
+    from ezdata_spark.functions.media_codecs import decode_wav, encode_wav_adpcm
+
+    t = np.arange(4000) / 8000
+    left = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    right = (0.4 * np.sin(2 * np.pi * 550 * t + 1.0)).astype(np.float32)
+    st2 = np.stack([left, right], axis=1)
+    dec, rate = decode_wav(encode_wav_adpcm(st2, 8000))
+    assert dec.shape == st2.shape and rate == 8000
+    for c in range(2):
+        err = np.sqrt(np.mean((dec[:, c] - st2[:, c]) ** 2))
+        assert err < 0.02, (c, err)
+    # channels not swapped: correlation with own source dominates
+    assert np.corrcoef(dec[:, 0], left)[0, 1] > 0.99
+    assert np.corrcoef(dec[:, 1], right)[0, 1] > 0.99
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(10, 3000),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adpcm_roundtrip_property(n, ch, seed):
+    """Arbitrary lengths (partial final blocks) decode to exactly n
+    samples with bounded error."""
+    from ezdata_spark.functions.media_codecs import decode_wav, encode_wav_adpcm
+
+    rng = np.random.RandomState(seed)
+    # smooth-ish signal: ADPCM's 4-bit delta tracks it closely
+    sig = np.cumsum(rng.standard_normal((n, ch)) * 0.01, axis=0)
+    sig = np.clip(sig, -0.9, 0.9).astype(np.float32)
+    if ch == 1:
+        sig = sig[:, 0]
+    dec, _ = decode_wav(encode_wav_adpcm(sig, 16000))
+    assert dec.shape == sig.shape
+    assert np.sqrt(np.mean((dec - sig) ** 2)) < 0.05
+
+
+def test_adpcm_error_paths():
+    from ezdata_spark.functions.media_codecs import encode_wav_adpcm
+
+    with pytest.raises(ValueError, match="empty"):
+        encode_wav_adpcm(np.array([], dtype=np.float32))
+    with pytest.raises(ValueError, match="block_align"):
+        encode_wav_adpcm(np.zeros(10, np.float32), block_align=6)
+
+
+def test_audio_features_real_adpcm(spark):
+    """Distributed decode over genuine IMA-ADPCM bytes: features match
+    the numpy truth of the DECODED waveform."""
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import decode_wav, encode_wav_adpcm
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA, audio_features
+
+    rng = np.random.RandomState(31)
+    rows, truth = [], {}
+    for i in range(3):
+        n = int(rng.randint(2000, 6000))
+        t = np.arange(n) / 16000
+        sig = (0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t)).astype(np.float32)
+        data = encode_wav_adpcm(sig, 16000)
+        rows.append(
+            {
+                "media_id": i,
+                "data": data,
+                "meta": {"format": "adpcm", "width": 0, "height": 0, "channels": 1},
+            }
+        )
+        wave, _ = decode_wav(data)
+        truth[i] = (len(wave), float(np.sqrt(np.mean(wave**2))))
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+    got = {r.media_id: (r.n_samples, r.rms) for r in audio_features(media).collect()}
+    for i in truth:
+        assert got[i][0] == truth[i][0]
+        assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
