@@ -2464,7 +2464,8 @@ def q100(spark, sf_dir):
     """Multimodal features over GENUINE file bytes: each document id
     fabricates a real 24-bit BMP, a real 8-bit PNG (rotating through all
     five scanline filters), a real baseline JPEG (alternating 4:4:4 and
-    4:2:0), and a real 16-bit PCM WAV executor-side (functions/
+    4:2:0), a real GIF (LZW, alternating interlace), a real 16-bit PCM
+    WAV, and a real 4-bit IMA-ADPCM WAV executor-side (functions/
     media_codecs.py + jpeg_codec.py encoders), and the feature
     extractors decode them back with the pure-numpy codecs — the
     de-stubbed decode path of operators/multimodal.py. Rows-only:
@@ -2474,7 +2475,13 @@ def q100(spark, sf_dir):
     import pandas as pd
 
     from .functions.jpeg_codec import encode_jpeg
-    from .functions.media_codecs import encode_bmp, encode_png, encode_wav
+    from .functions.media_codecs import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_wav,
+        encode_wav_adpcm,
+    )
     from .operators.multimodal import IMAGE_SCHEMA, audio_features, image_features
 
     ids = load(spark, sf_dir, "documents").select(
@@ -2515,6 +2522,15 @@ def q100(spark, sf_dir):
                         "meta": {"format": "jpeg", "width": w, "height": h, "channels": 3},
                     }
                 )
+                pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+                px4 = pal[rng.randint(0, 8, size=(h, w))]
+                rows.append(
+                    {
+                        "media_id": int(mid) + 4_000_000,
+                        "data": encode_gif(px4, interlace=bool(int(mid) % 2)),
+                        "meta": {"format": "gif", "width": w, "height": h, "channels": 3},
+                    }
+                )
                 wav = rng.uniform(-0.9, 0.9, int(rng.randint(100, 1000))).astype("float32")
                 rows.append(
                     {
@@ -2523,18 +2539,29 @@ def q100(spark, sf_dir):
                         "meta": {"format": "wav", "width": 0, "height": 0, "channels": 1},
                     }
                 )
+                t = np.arange(int(rng.randint(500, 2000))) / 8000.0
+                tone = (0.5 * np.sin(2 * np.pi * float(rng.randint(80, 400)) * t)).astype(
+                    "float32"
+                )
+                rows.append(
+                    {
+                        "media_id": int(mid) + 5_000_000,
+                        "data": encode_wav_adpcm(tone, 8000),
+                        "meta": {"format": "adpcm", "width": 0, "height": 0, "channels": 1},
+                    }
+                )
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(gen, IMAGE_SCHEMA)
     imgs = image_features(
-        media.filter(F.col("meta.format").isin("bmp", "png", "jpeg"))
+        media.filter(F.col("meta.format").isin("bmp", "png", "jpeg", "gif"))
     ).select(
         "media_id",
         F.lit("image").alias("kind"),
         F.round("mean_luma", 4).alias("feat1"),
         F.round("aspect", 4).alias("feat2"),
     )
-    auds = audio_features(media.filter(F.col("meta.format") == "wav")).select(
+    auds = audio_features(media.filter(F.col("meta.format").isin("wav", "adpcm"))).select(
         "media_id",
         F.lit("audio").alias("kind"),
         F.round("rms", 4).alias("feat1"),
