@@ -112,10 +112,23 @@ def approx_stats(
     qnames = [_qname(q) for q in quantiles]
     if len(set(qnames)) != len(qnames):
         raise ValueError(f"approx_stats: duplicate quantile names {qnames}")
+    # ONE KLL sketch per column (percentile_approx takes the quantile
+    # array), not one per (column, quantile) — the sketch build is the
+    # dominant cost and is identical for every requested quantile
     aggs = []
+    post = []
     for c in columns:
         aggs.append(F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct"))
-        for q, qn in zip(quantiles, qnames):
-            aggs.append(F.percentile_approx(c, q, accuracy).alias(f"{c}_{qn}"))
+        aggs.append(
+            F.percentile_approx(
+                c, F.array(*[F.lit(float(q)) for q in quantiles]), accuracy
+            ).alias(f"__q_{c}")
+        )
+        post.append((c, [f"{c}_{qn}" for qn in qnames]))
     g = df.groupBy(*[F.col(c) for c in (group_by or [])])
-    return g.agg(*aggs)
+    out = g.agg(*aggs)
+    for c, names in post:
+        for i, alias in enumerate(names):
+            out = out.withColumn(alias, F.col(f"__q_{c}")[i])
+        out = out.drop(f"__q_{c}")
+    return out
