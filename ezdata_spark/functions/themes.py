@@ -177,6 +177,83 @@ def plotly_layout(name: str = "light_minimal", font_size: str = "12pt") -> dict:
     }
 
 
+def bokeh_theme(name: str = "light_minimal", font_size: str = "12pt") -> dict:
+    """The same theme as a bokeh Theme-json dict (reference
+    bokeh/light_minimal_theme.py:35-116) — plain ``{"attrs": {...}}``
+    structure, so it needs no bokeh import; feed it to
+    ``bokeh.themes.Theme(json=bokeh_theme())`` when bokeh is installed."""
+    theme = THEMES[name]
+    gray = theme["axes.edgecolor"]
+    black = theme.get("axes.labelcolor", "#000000")
+    family = theme["font.family"]
+
+    def pt(which):
+        return f"{font_pt(theme.get(which, which), font_size)}pt"
+
+    return {
+        "attrs": {
+            "Figure": {
+                "toolbar_location": "right",
+                "outline_line_color": None,
+                "min_border_right": 10,
+                "width": 400,
+                "height": 300,
+            },
+            "Axis": {
+                "major_label_text_font_size": pt("xtick.labelsize"),
+                "major_label_text_font_style": "normal",
+                "major_label_text_color": gray,
+                "major_tick_line_alpha": 1.0,
+                "major_label_text_font": family,
+                "major_tick_line_color": gray,
+                "minor_tick_line_alpha": 1.0,
+                "minor_tick_line_color": gray,
+                "axis_line_alpha": 1.0,
+                "axis_line_color": gray,
+                "axis_label_text_font": family,
+                "axis_label_text_font_style": "normal",
+                "axis_label_text_color": black,
+                "axis_label_text_font_size": pt("axes.labelsize"),
+                "major_tick_in": None,
+                "minor_tick_out": None,
+                "minor_tick_in": None,
+            },
+            "Legend": {
+                "spacing": 8,
+                "glyph_width": 15,
+                "label_standoff": 8,
+                "label_text_color": black,
+                "label_text_font": family,
+                "label_text_font_size": pt("xtick.labelsize"),
+                "border_line_alpha": 0,
+                "background_fill_alpha": 0.25,
+            },
+            "ColorBar": {
+                "title_text_color": black,
+                "title_text_font": family,
+                "title_text_alpha": 1,
+                "title_text_font_size": pt("axes.labelsize"),
+                "title_text_font_style": "normal",
+                "title_text_line_height": 1.2,
+                "major_label_text_color": gray,
+                "major_label_text_font": family,
+                "major_label_text_font_size": pt("xtick.labelsize"),
+                "major_tick_out": 8,
+                "major_tick_in": None,
+                "major_tick_line_alpha": 1.0,
+                "major_tick_line_color": gray,
+                "bar_line_alpha": 1,
+                "width": 15,
+            },
+            "Title": {
+                "text_color": black,
+                "text_font": family,
+                "text_font_size": pt("axes.titlesize"),
+            },
+        }
+    }
+
+
 # ------------------------------------------------------- legend helpers
 def is_colorbar(ax) -> bool:
     """Heuristic from reference helpers.py:7-24: a colorbar axes has

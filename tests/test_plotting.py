@@ -373,6 +373,27 @@ def test_theme_dicts_and_font_scaling():
     assert lay["xaxis"]["tickfont"]["size"] == font_pt("small", "12pt")
 
 
+def test_bokeh_theme_dict():
+    from ezdata_spark.functions.themes import LIGHT_MINIMAL, bokeh_theme, font_pt
+
+    t = bokeh_theme(font_size="12pt")
+    attrs = t["attrs"]
+    # same chrome contract as the reference bokeh theme
+    # (bokeh/light_minimal_theme.py:35-116): gray axis lines, black
+    # labels, sizes through the same scaling table, no outline
+    assert attrs["Figure"]["outline_line_color"] is None
+    assert attrs["Axis"]["axis_line_color"] == LIGHT_MINIMAL["axes.edgecolor"]
+    assert attrs["Axis"]["axis_label_text_font_size"] == f"{font_pt('large', '12pt')}pt"
+    assert attrs["Axis"]["major_label_text_font_size"] == f"{font_pt('small', '12pt')}pt"
+    assert attrs["Title"]["text_font_size"] == f"{font_pt('x-large', '12pt')}pt"
+    assert attrs["Legend"]["background_fill_alpha"] == 0.25
+    assert attrs["ColorBar"]["major_tick_out"] == 8
+    # plain dict template: no bokeh import required anywhere
+    assert bokeh_theme(font_size="10pt")["attrs"]["Axis"][
+        "major_label_text_font_size"
+    ] == f"{font_pt('small', '10pt')}pt"
+
+
 def test_render_helpers_gated_without_mpl():
     try:
         import matplotlib  # noqa: F401
