@@ -278,6 +278,69 @@ def main() -> None:
     enc_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
 
+    # Multimodal tier: REAL codec decode throughput (media_codecs.py) at
+    # payload-corpus scale. Payload fabrication (the encoders) runs
+    # outside the timers into a persisted frame; the timed ops are the
+    # decode+feature mapInPandas stages a 100 TB media pipeline reruns.
+    from ezdata_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        audio_features,
+        image_features,
+    )
+
+    media_n = max(n // 150, 10_000)
+
+    def _gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ezdata_spark.functions.media_codecs import (
+            encode_bmp,
+            encode_gif,
+            encode_wav_adpcm,
+        )
+
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                mid = int(mid)
+                rng = np.random.RandomState(mid % (2**31))
+                kind = mid % 3
+                if kind == 0:
+                    px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                    rows.append({"media_id": mid, "data": encode_bmp(px),
+                                 "meta": {"format": "bmp", "width": 16, "height": 16, "channels": 3}})
+                elif kind == 1:
+                    pal = rng.randint(0, 256, (8, 3), dtype=np.uint8)
+                    px = pal[rng.randint(0, 8, (16, 16))]
+                    rows.append({"media_id": mid, "data": encode_gif(px),
+                                 "meta": {"format": "gif", "width": 16, "height": 16, "channels": 3}})
+                else:
+                    t = np.arange(1600) / 8000.0
+                    tone = (0.5 * np.sin(2 * np.pi * (100 + mid % 300) * t)).astype("float32")
+                    rows.append({"media_id": mid, "data": encode_wav_adpcm(tone, 8000),
+                                 "meta": {"format": "adpcm", "width": 0, "height": 0, "channels": 1}})
+            yield pd.DataFrame(rows)
+
+    media = (
+        spark.range(media_n)
+        .repartition(64)
+        .mapInPandas(_gen_media, IMAGE_SCHEMA)
+        .persist()
+    )
+    media.write.format("noop").mode("overwrite").save()  # materialize untimed
+    img_n = media_n - media_n // 3
+    run("image_decode_features",
+        image_features(media.filter(F.col("meta.format") != "adpcm")),
+        rows_in=img_n)
+    # run() clears the cache; re-materialize for the audio pass
+    media.persist()
+    media.write.format("noop").mode("overwrite").save()
+    run("audio_decode_features",
+        audio_features(media.filter(F.col("meta.format") == "adpcm")),
+        rows_in=media_n // 3)
+    media.unpersist()
+
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",
             "n_rows": n, "ops": results}
