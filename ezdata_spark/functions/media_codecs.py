@@ -1,11 +1,12 @@
 """Pure-numpy codecs for media containers that need no codec library:
-24-bit BMP, 16-bit PCM + IMA-ADPCM WAV, 8-bit PNG (stdlib zlib + the
-five scanline filters), GIF (LZW, interlace, animation composition),
-and uncompressed AVI.
+24-bit BMP, 16-bit PCM + IMA-ADPCM + G.711 u/A-law WAV, 8-bit PNG
+(stdlib zlib + the five scanline filters), GIF (LZW, interlace,
+animation composition), and AVI (uncompressed DIB and Motion-JPEG via
+functions/jpeg_codec.py).
 
 The multimodal tier (operators/multimodal.py) keeps its decode kernel
 stubbed only for formats that genuinely need external codecs (MP3,
-compressed video — libav is not in this container). BMP, WAV, PNG, and
+inter-frame video — libav is not in this container). BMP, WAV, PNG, and
 GIF are fully public formats (Windows BITMAPINFOHEADER; RIFF/WAVE PCM
 and IMA/DVI ADPCM; RFC 2083 / ISO 15948 with DEFLATE via stdlib zlib;
 GIF87a/89a with LZW) that decode with struct/zlib/numpy — for these
@@ -217,25 +218,47 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------- AVI
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """Encode (N, H, W, 3) uint8 RGB frames as an uncompressed AVI
-    (RIFF 'AVI ' container, DIB/BI_RGB video stream — the same public
-    fixed layout family as BMP/WAV: avih + strh/strf headers, '00db'
-    frame chunks, idx1 index). Exists so tests and fixtures can
-    fabricate REAL video payloads; real-world compressed codecs
-    (H.264 etc.) are out of scope for a no-dependency codec."""
+def encode_avi(
+    frames: np.ndarray, fps: int = 10, codec: str = "DIB ", quality: int = 85
+) -> bytes:
+    """Encode (N, H, W, 3) uint8 RGB frames as an AVI (RIFF 'AVI '
+    container: avih + strh/strf headers, per-frame movi chunks, idx1
+    index). ``codec='DIB '`` writes uncompressed bottom-up BGR '00db'
+    chunks; ``codec='MJPG'`` writes Motion-JPEG — each frame a
+    standalone baseline JPEG (functions/jpeg_codec.py) in a '00dc'
+    chunk, the standard intra-only compressed-video layout. Exists so
+    tests and fixtures can fabricate REAL video payloads; inter-frame
+    codecs (H.264 etc.) are out of scope for a no-dependency codec."""
     fr = np.asarray(frames, dtype=np.uint8)
     if fr.ndim != 4 or fr.shape[3] != 3:
         raise ValueError(f"encode_avi expects (N, H, W, 3) RGB, got {fr.shape}")
+    if codec not in ("DIB ", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r} (DIB /MJPG)")
     n, h, w = fr.shape[:3]
     row_bytes = (w * 3 + 3) // 4 * 4
-    frame_size = row_bytes * h
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
 
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
+
+    if codec == "MJPG":
+        from .jpeg_codec import encode_jpeg
+
+        tag = b"00dc"
+        payloads = [encode_jpeg(fr[i], quality=quality) for i in range(n)]
+    else:
+        tag = b"00db"
+        pad = b"\x00" * (row_bytes - w * 3)
+        payloads = []
+        for i in range(n):
+            bgr = fr[i, :, :, ::-1]
+            rows = bytearray()
+            for y in range(h - 1, -1, -1):  # bottom-up DIB
+                rows += bgr[y].tobytes() + pad
+            payloads.append(bytes(rows))
+    frame_size = max(len(p) for p in payloads) if payloads else 0
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
@@ -245,25 +268,22 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         n, 0, 1, frame_size,  # total frames, initial, streams, buf size
         w, h, 0, 0, 0, 0,
     )
-    strh = b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0) + struct.pack("<HHHH", 0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0)
+    fourcc = codec.encode("ascii")
+    compression = 0 if codec == "DIB " else struct.unpack("<I", fourcc)[0]
+    strh = b"vids" + fourcc + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0) + struct.pack("<HHHH", 0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
 
     movi_body = bytearray(b"movi")
-    offsets = []
-    pad = b"\x00" * (row_bytes - w * 3)
-    for i in range(n):
-        offsets.append(len(movi_body))
-        bgr = fr[i, :, :, ::-1]
-        rows = bytearray()
-        for y in range(h - 1, -1, -1):  # bottom-up DIB
-            rows += bgr[y].tobytes() + pad
-        movi_body += chunk(b"00db", bytes(rows))
+    sizes = []
+    for p in payloads:
+        sizes.append((len(movi_body), len(p)))
+        movi_body += chunk(tag, p)
     movi = chunk(b"LIST", bytes(movi_body))
 
     idx = bytearray()
-    for off in offsets:
-        idx += b"00db" + struct.pack("<III", 0x10, off, frame_size)
+    for off, size in sizes:
+        idx += tag + struct.pack("<III", 0x10, off, size)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -294,6 +314,8 @@ def avi_meta(data: bytes) -> dict:
                     width=w,
                     height=h,
                 )
+            elif tag == b"strh" and data[body_at : body_at + 4] == b"vids":
+                meta["codec"] = data[body_at + 4 : body_at + 8].decode("ascii", "replace")
             elif tag in (b"00db", b"00dc"):
                 meta["frames"].append((body_at, size))
             pos = body_at + size + (size & 1)
@@ -305,14 +327,22 @@ def avi_meta(data: bytes) -> dict:
 
 
 def decode_avi_frame(data: bytes, index: int) -> np.ndarray:
-    """Decode ONE uncompressed DIB frame to (H, W, 3) RGB — random
-    access via the movi offsets, so sampling frame k of a long clip
-    never touches the other frames' bytes."""
+    """Decode ONE frame to (H, W, 3) RGB — random access via the movi
+    offsets, so sampling frame k of a long clip never touches the other
+    frames' bytes. Uncompressed DIB and Motion-JPEG ('MJPG', each chunk
+    a standalone baseline JPEG) streams decode for real."""
     meta = avi_meta(data)
     frames = meta["frames"]
     if not 0 <= index < len(frames):
         raise IndexError(f"frame {index} out of range (clip has {len(frames)})")
     at, size = frames[index]
+    if meta.get("codec", "DIB ") == "MJPG":
+        from .jpeg_codec import decode_jpeg
+
+        px = decode_jpeg(data[at : at + size])
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px
     w, h = meta["width"], meta["height"]
     row_bytes = (w * 3 + 3) // 4 * 4
     if size < row_bytes * h:
@@ -618,9 +648,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE file -> (float32 samples in [-1, 1] shaped
-    (N,) mono or (N, C), sample_rate). Handles 16-bit PCM (format 1)
-    and IMA/DVI ADPCM (format 0x11, 4-bit); walks RIFF chunks, so
-    extra chunks (LIST/fact) are tolerated."""
+    (N,) mono or (N, C), sample_rate). Handles 16-bit PCM (format 1),
+    IMA/DVI ADPCM (format 0x11, 4-bit), and G.711 A-law/u-law
+    (formats 6/7, 8-bit); walks RIFF chunks, so extra chunks
+    (LIST/fact) are tolerated."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, end = 12, min(len(data), 8 + struct.unpack_from("<I", data, 4)[0])
@@ -649,10 +680,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if ch == 1:
             arr = arr[:, 0]
         return arr.astype(np.float32) / 32768.0, rate
+    if fmt_code in (6, 7) and bits == 8:
+        law = "ulaw" if fmt_code == 7 else "alaw"
+        arr = _g711_expand(np.frombuffer(pcm, dtype=np.uint8), law)
+        if n_sample_frames is not None:
+            arr = arr[: n_sample_frames * ch]
+        arr = arr.astype(np.float32) / 32768.0
+        if ch > 1:
+            arr = arr.reshape(-1, ch)
+        return arr, rate
     if fmt_code != 1 or bits != 16:
         raise NotImplementedError(
-            f"only 16-bit PCM / 4-bit IMA ADPCM WAV supported "
-            f"(got format={fmt_code}, bits={bits})"
+            f"only 16-bit PCM / 4-bit IMA ADPCM / 8-bit G.711 WAV "
+            f"supported (got format={fmt_code}, bits={bits})"
         )
     arr = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
     if ch > 1:
@@ -791,4 +831,64 @@ def encode_wav_adpcm(
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"fact" + struct.pack("<II", 4, n)
     body += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ----------------------------------------------------------- G.711 u/A-law
+# ITU-T G.711 companded telephony audio (WAVE format tags 6 = A-law,
+# 7 = u-law): 8 bits/sample log-quantized, the public 2:1 codec pair.
+# Decode follows the standard segment expansion (sign | 3-bit segment |
+# 4-bit mantissa); encode quantizes each 16-bit sample to the NEAREST
+# decode level via one vectorized searchsorted over the 256-entry table.
+
+
+def _g711_tables(law: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(decode_table[256] int16, sorted_levels, byte_for_sorted_level)."""
+    b = np.arange(256, dtype=np.int32)
+    if law == "ulaw":
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    elif law == "alaw":
+        a = b ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+        lin = np.where(a & 0x80, t, -t)  # sign bit SET means positive
+    else:  # pragma: no cover
+        raise ValueError(f"unknown law {law!r}")
+    order = np.argsort(lin, kind="stable")
+    return lin.astype(np.int16), lin[order], order.astype(np.uint8)
+
+
+_G711 = {law: _g711_tables(law) for law in ("ulaw", "alaw")}
+
+
+def _g711_compress(pcm16: np.ndarray, law: str) -> np.ndarray:
+    _, levels, bytes_for = _G711[law]
+    mids = (levels[:-1] + levels[1:]) / 2.0
+    return bytes_for[np.searchsorted(mids, pcm16.astype(np.int32))]
+
+
+def _g711_expand(codes: np.ndarray, law: str) -> np.ndarray:
+    return _G711[law][0][np.asarray(codes, dtype=np.uint8)]
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (N, C)) as a G.711
+    companded RIFF/WAVE file (format 7 u-law / 6 A-law, 8 bits/sample)."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    pcm16 = np.clip(np.round(s * 32767.0), -32768, 32767).astype(np.int32)
+    codes = _g711_compress(pcm16.reshape(-1), law)
+    fmt_code = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHHH", fmt_code, ch, sample_rate, sample_rate * ch, ch, 8, 0)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, n)
+    data = codes.tobytes()
+    body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
     return b"RIFF" + struct.pack("<I", len(body)) + body

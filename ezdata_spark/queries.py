@@ -2465,7 +2465,8 @@ def q100(spark, sf_dir):
     fabricates a real 24-bit BMP, a real 8-bit PNG (rotating through all
     five scanline filters), a real baseline JPEG (alternating 4:4:4 and
     4:2:0), a real GIF (LZW, alternating interlace), a real 16-bit PCM
-    WAV, and a real 4-bit IMA-ADPCM WAV executor-side (functions/
+    WAV, a real 4-bit IMA-ADPCM WAV, and a real 8-bit G.711 WAV
+    (alternating u-law/A-law) executor-side (functions/
     media_codecs.py + jpeg_codec.py encoders), and the feature
     extractors decode them back with the pure-numpy codecs — the
     de-stubbed decode path of operators/multimodal.py. Rows-only:
@@ -2481,6 +2482,7 @@ def q100(spark, sf_dir):
         encode_png,
         encode_wav,
         encode_wav_adpcm,
+        encode_wav_g711,
     )
     from .operators.multimodal import IMAGE_SCHEMA, audio_features, image_features
 
@@ -2550,6 +2552,14 @@ def q100(spark, sf_dir):
                         "meta": {"format": "adpcm", "width": 0, "height": 0, "channels": 1},
                     }
                 )
+                law = "ulaw" if int(mid) % 2 == 0 else "alaw"
+                rows.append(
+                    {
+                        "media_id": int(mid) + 6_000_000,
+                        "data": encode_wav_g711(tone, 8000, law=law),
+                        "meta": {"format": "g711", "width": 0, "height": 0, "channels": 1},
+                    }
+                )
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(gen, IMAGE_SCHEMA)
@@ -2561,7 +2571,9 @@ def q100(spark, sf_dir):
         F.round("mean_luma", 4).alias("feat1"),
         F.round("aspect", 4).alias("feat2"),
     )
-    auds = audio_features(media.filter(F.col("meta.format").isin("wav", "adpcm"))).select(
+    auds = audio_features(
+        media.filter(F.col("meta.format").isin("wav", "adpcm", "g711"))
+    ).select(
         "media_id",
         F.lit("audio").alias("kind"),
         F.round("rms", 4).alias("feat1"),
@@ -2733,13 +2745,16 @@ def q105(spark, sf_dir):
 @query("z106_video_frames")
 def q106(spark, sf_dir):
     """Real video-container frame sampling: each document id fabricates
-    an uncompressed RIFF/AVI clip executor-side (functions/
-    media_codecs.py::encode_avi), ``sample_frames`` reads the TRUE
-    frame count from the avih header (no frame bytes touched), and
-    ``frame_features`` random-access-decodes only the sampled frames.
-    Rows-only: binary payloads are not SQL-expressible; frame-exact
-    ground truth is pinned by tests/test_multimodal.py::
-    test_sample_frames_real_avi."""
+    a RIFF/AVI clip executor-side (functions/media_codecs.py::
+    encode_avi) — uncompressed DIB for odd ids, Motion-JPEG (each frame
+    a standalone baseline JPEG) for even ids — ``sample_frames`` reads
+    the TRUE frame count from the avih header (no frame bytes touched),
+    and ``frame_features`` random-access-decodes only the sampled
+    frames through the per-stream codec (decode_avi_frame dispatches
+    on the strh fourcc). Rows-only: binary payloads are not
+    SQL-expressible; frame-exact ground truth is pinned by
+    tests/test_multimodal.py::test_sample_frames_real_avi and the
+    MJPEG round-trip tests in tests/test_media_codecs.py."""
     import pandas as pd
 
     from .functions.media_codecs import encode_avi
@@ -2756,10 +2771,11 @@ def q106(spark, sf_dir):
                 rng = np.random.RandomState(int(mid) % (2**31))
                 n = 5 + int(mid) % 30
                 frames = rng.randint(0, 256, size=(n, 8, 10, 3), dtype=np.uint8)
+                codec = "MJPG" if int(mid) % 2 == 0 else "DIB "
                 rows.append(
                     {
                         "media_id": int(mid),
-                        "data": encode_avi(frames, fps=10),
+                        "data": encode_avi(frames, fps=10, codec=codec),
                         "meta": {"format": "avi", "width": 10, "height": 8, "channels": 3},
                     }
                 )

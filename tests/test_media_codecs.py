@@ -709,3 +709,192 @@ def test_audio_features_real_adpcm(spark):
     for i in truth:
         assert got[i][0] == truth[i][0]
         assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
+
+
+# ------------------------------------------------------------ MJPEG / AVI
+def test_mjpeg_avi_roundtrip_and_random_access():
+    """Motion-JPEG AVI: per-frame baseline JPEGs in '00dc' chunks,
+    random-access decode through the strh fourcc dispatch; smooth
+    frames reconstruct within JPEG tolerance."""
+    from ezdata_spark.functions.media_codecs import (
+        avi_meta,
+        decode_avi_frame,
+        encode_avi,
+    )
+
+    x = np.linspace(0, 255, 48)
+    base = np.add.outer(x, x)[:32, :48]
+    frames = np.stack(
+        [np.stack([(base + 10 * i) % 256] * 3, axis=2) for i in range(6)]
+    ).astype(np.uint8)
+    blob = encode_avi(frames, fps=12, codec="MJPG", quality=92)
+    m = avi_meta(blob)
+    assert m["codec"] == "MJPG"
+    assert (m["n_frames"], m["fps"], m["width"], m["height"]) == (6, 12, 48, 32)
+    assert len(m["frames"]) == 6
+    for i in (0, 3, 5):
+        px = decode_avi_frame(blob, i)
+        assert px.shape == (32, 48, 3)
+        mae = np.abs(px.astype(float) - frames[i].astype(float)).mean()
+        assert mae < 3.0, f"frame {i} MAE {mae}"
+    # frame chunks really are standalone JPEGs (SOI marker at offset)
+    at, size = m["frames"][2]
+    assert blob[at : at + 2] == b"\xff\xd8"
+    # uncompressed stream unaffected: still byte-exact
+    dib = encode_avi(frames, fps=12)
+    assert avi_meta(dib)["codec"] == "DIB "
+    assert np.array_equal(decode_avi_frame(dib, 4), frames[4])
+    with pytest.raises(ValueError, match="codec"):
+        encode_avi(frames, codec="H264")
+
+
+def test_mjpeg_smaller_than_dib():
+    """The point of the compressed stream: MJPG payload is materially
+    smaller than the uncompressed DIB container for smooth content."""
+    from ezdata_spark.functions.media_codecs import encode_avi
+
+    x = np.linspace(0, 200, 64)
+    base = np.add.outer(x, x)[:48, :64]
+    frames = np.stack(
+        [np.stack([(base + 5 * i) % 256] * 3, axis=2) for i in range(8)]
+    ).astype(np.uint8)
+    dib = encode_avi(frames)
+    mjpg = encode_avi(frames, codec="MJPG", quality=85)
+    assert len(mjpg) < len(dib) / 2
+
+
+def test_frame_features_real_mjpeg(spark):
+    """Distributed frame sampling over an MJPG clip: features match the
+    numpy truth of the DECODED (lossy) frames."""
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import decode_avi_frame, encode_avi
+    from ezdata_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        frame_features,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(17)
+    frames = rng.randint(0, 256, (12, 16, 16, 3), np.uint8)
+    blob = encode_avi(frames, fps=10, codec="MJPG")
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": 9,
+                    "data": blob,
+                    "meta": {"format": "avi", "width": 16, "height": 16, "channels": 3},
+                }
+            ]
+        ),
+        schema=IMAGE_SCHEMA,
+    )
+    sampled = sample_frames(media, every_n=10, max_frames=5)
+    feats = {
+        r.frame_index: (r.mean_luma, r.std_luma)
+        for r in frame_features(sampled).collect()
+    }
+    assert set(feats) == {0, 10}
+    for idx, (ml, sl) in feats.items():
+        luma = decode_avi_frame(blob, idx).astype("float64").mean(axis=2)
+        assert ml == pytest.approx(float(luma.mean()), abs=1e-9)
+        assert sl == pytest.approx(float(luma.std()), abs=1e-9)
+
+
+# ----------------------------------------------------------------- G.711
+def test_g711_decode_tables_ground_truth():
+    """Canonical G.711 segment-expansion values (ITU-T G.711 tables)."""
+    from ezdata_spark.functions.media_codecs import _g711_expand
+
+    # u-law: byte 0x00 is the negative extreme, 0xFF/0x7F both zero
+    assert _g711_expand(np.array([0x00]), "ulaw")[0] == -32124
+    assert _g711_expand(np.array([0x80]), "ulaw")[0] == 32124
+    assert _g711_expand(np.array([0xFF]), "ulaw")[0] == 0
+    assert _g711_expand(np.array([0x7F]), "ulaw")[0] == 0
+    # A-law: 0x55 is the smallest negative step, extremes +-32256
+    assert _g711_expand(np.array([0x55]), "alaw")[0] == -8
+    assert _g711_expand(np.array([0xD5]), "alaw")[0] == 8
+    assert _g711_expand(np.array([0x2A]), "alaw")[0] == -32256
+    assert _g711_expand(np.array([0xAA]), "alaw")[0] == 32256
+
+
+def test_g711_compress_is_nearest_and_consistent():
+    """Every decode level re-encodes to a byte that decodes to the SAME
+    level (quantizer is idempotent on its own outputs), and compression
+    of arbitrary pcm picks the nearest level."""
+    from ezdata_spark.functions.media_codecs import _g711_compress, _g711_expand
+
+    for law in ("ulaw", "alaw"):
+        all_bytes = np.arange(256, dtype=np.uint8)
+        lin = _g711_expand(all_bytes, law)
+        again = _g711_expand(_g711_compress(lin.astype(np.int32), law), law)
+        assert np.array_equal(again, lin)
+        rng = np.random.RandomState(5)
+        pcm = rng.randint(-32768, 32768, 5000)
+        got = _g711_expand(_g711_compress(pcm, law), law).astype(np.int64)
+        levels = np.unique(lin.astype(np.int64))
+        best = levels[np.abs(levels[None, :] - pcm[:, None]).argmin(axis=1)]
+        assert np.array_equal(np.abs(got - pcm), np.abs(best - pcm))
+
+
+def test_g711_wav_roundtrip_snr():
+    """Encoded tone decodes with the codec's textbook ~38 dB SNR."""
+    from ezdata_spark.functions.media_codecs import decode_wav, encode_wav_g711
+
+    sig = (np.sin(np.linspace(0, 40 * np.pi, 4000)) * 0.7).astype(np.float32)
+    for law, fmt in (("ulaw", 7), ("alaw", 6)):
+        blob = encode_wav_g711(sig, 8000, law=law)
+        import struct as _s
+
+        assert _s.unpack_from("<H", blob, 20)[0] == fmt
+        out, rate = decode_wav(blob)
+        assert rate == 8000 and out.shape == sig.shape
+        snr = 10 * np.log10(np.mean(sig**2) / np.mean((sig - out) ** 2))
+        assert snr > 35.0
+
+
+def test_g711_stereo_and_odd_length():
+    """(N, 2) channel interleave survives the round trip; odd payload
+    lengths stay word-aligned via the RIFF pad byte."""
+    from ezdata_spark.functions.media_codecs import decode_wav, encode_wav_g711
+
+    rng = np.random.RandomState(7)
+    sig = np.clip(
+        np.cumsum(rng.standard_normal((501, 2)) * 0.02, axis=0), -0.9, 0.9
+    ).astype(np.float32)
+    blob = encode_wav_g711(sig, 16000, law="alaw")
+    out, rate = decode_wav(blob)
+    assert rate == 16000 and out.shape == (501, 2)
+    assert np.sqrt(np.mean((out - sig) ** 2)) < 0.02
+
+
+def test_audio_features_real_g711(spark):
+    """Distributed decode over genuine G.711 bytes: features match the
+    numpy truth of the DECODED waveform."""
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import decode_wav, encode_wav_g711
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA, audio_features
+
+    rng = np.random.RandomState(23)
+    rows, truth = [], {}
+    for i, law in enumerate(("ulaw", "alaw")):
+        n = int(rng.randint(2000, 6000))
+        t = np.arange(n) / 8000
+        sig = (0.5 * np.sin(2 * np.pi * (150 + 90 * i) * t)).astype(np.float32)
+        data = encode_wav_g711(sig, 8000, law=law)
+        rows.append(
+            {
+                "media_id": i,
+                "data": data,
+                "meta": {"format": "g711", "width": 0, "height": 0, "channels": 1},
+            }
+        )
+        wave, _ = decode_wav(data)
+        truth[i] = (len(wave), float(np.sqrt(np.mean(wave**2))))
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+    got = {r.media_id: (r.n_samples, r.rms) for r in audio_features(media).collect()}
+    for i in truth:
+        assert got[i][0] == truth[i][0]
+        assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
