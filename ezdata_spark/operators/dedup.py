@@ -378,3 +378,46 @@ def neardup_clusters(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def fuzzy_pairs(strings: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
+    """Edit-distance near-pairs over a string column WITHOUT the O(n^2)
+    cross join: deletion-neighborhood blocking (the public FastSS /
+    SymSpell family). Every distinct string emits itself plus its
+    ``len`` single-deletion variants as join keys; two strings within
+    one edit (substitution, insertion, or deletion) necessarily share a
+    key, so the equi-join generates a COMPLETE candidate set — unlike
+    prefix or length blocking there is no recall loss — and the exact
+    ``levenshtein`` refine drops the false positives (e.g. swapped
+    adjacent characters, which share a deletion key but sit at distance
+    2). Returns (left, right, dist) with left < right, each pair once.
+
+    Scale shape: keys per row are linear in string length, the join is
+    a hash equi-join on the key, and the refine runs on candidates
+    only — no cartesian anywhere. Only ``max_dist=1`` is supported (the
+    single-deletion neighborhood theorem; larger radii need multi-
+    deletion neighborhoods, which grow combinatorially)."""
+    if max_dist != 1:
+        raise ValueError("fuzzy_pairs supports max_dist=1 (single-deletion blocking)")
+    w = F.col("_w")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(w.substr(F.lit(1), i - F.lit(1)), w.substr(i + F.lit(1), F.length(w))),
+    )
+    variants = F.when(F.length(w) > 0, F.array_union(F.array(w), dels)).otherwise(F.array(w))
+    keys = (
+        strings.select(F.col(col).alias("_w"))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .select("_w", F.explode(variants).alias("_k"))
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, F.col("a._k") == F.col("b._k"))
+        .where(F.col("a._w") < F.col("b._w"))
+        .select(F.col("a._w").alias("left"), F.col("b._w").alias("right"))
+        .distinct()
+    )
+    return cand.withColumn("dist", F.levenshtein("left", "right")).where(
+        F.col("dist") <= max_dist
+    )

@@ -244,3 +244,33 @@ def redact_pii(df: DataFrame, text: str = "text", out: str = "redacted") -> Data
     for kind, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
     return df.withColumn(out, c)
+
+
+def linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    out: str = "prob",
+) -> DataFrame:
+    """Vocabulary linear classifier (the fastText-style shallow scorer
+    used for model-based corpus quality filtering): mean matched token
+    weight plus bias through a logistic link. ``weights`` is a
+    vocabulary-sized (term, weight) frame — broadcast onto the exploded
+    token stream, so the plan is one explode, one hash join against the
+    broadcast vocabulary, and one groupBy shuffle on the doc id.
+    Unmatched tokens contribute zero (out-of-vocabulary)."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    hit = tok.join(F.broadcast(weights), "term").groupBy(id_col).agg(
+        F.sum("weight").alias("_s")
+    )
+    base = docs.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    z = F.coalesce(F.col("_s"), F.lit(0.0)) / F.greatest(
+        F.col("n_tokens"), F.lit(1)
+    ) + F.lit(float(bias))
+    return base.join(hit, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out),
+    )

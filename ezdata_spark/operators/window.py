@@ -125,3 +125,52 @@ def sessionize(
         prev.isNull() | (us - prev > int(round(gap_seconds * 1_000_000))), 1
     ).otherwise(0)
     return df.withColumn(name, F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def funnel(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    step_col: str,
+    steps: Sequence[str],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k at the earliest
+    event of type ``steps[k]`` strictly AFTER their step k-1 time (and
+    within ``within_seconds`` of it when set). Returns one row per step:
+    (step_index, step, users).
+
+    Scale shape: each stage is one equi-join on the user key against the
+    (shrinking) reached-users frame plus a min aggregate — no window
+    over the full event stream, no cross-stage state. Timestamps compare
+    in exact integer microseconds."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    reached = (
+        df.where(F.col(step_col) == steps[0]).groupBy(user).agg(F.min(us).alias("_t"))
+    )
+    stages = [
+        reached.select(
+            F.lit(1).alias("step_index"), F.lit(steps[0]).alias("step"), F.col(user)
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ev = df.where(F.col(step_col) == s).select(F.col(user), us.alias("_e"))
+        cond = F.col("_e") > F.col("_t")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("_e") - F.col("_t") <= int(round(within_seconds * 1_000_000))
+            )
+        reached = ev.join(reached, user).where(cond).groupBy(user).agg(
+            F.min("_e").alias("_t")
+        )
+        stages.append(
+            reached.select(
+                F.lit(i).alias("step_index"), F.lit(s).alias("step"), F.col(user)
+            )
+        )
+    out = stages[0]
+    for st in stages[1:]:
+        out = out.unionByName(st)
+    return out.groupBy("step_index", "step").agg(F.count(F.lit(1)).alias("users"))

@@ -2789,3 +2789,174 @@ def q106(spark, sf_dir):
         F.round("mean_luma", 4).alias("mean_luma"),
         F.round("std_luma", 4).alias("std_luma"),
     )
+
+
+@query(
+    "q107_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q107(spark, sf_dir):
+    """Pivot (wide crosstab) — natural Spark extension over the groupBy
+    substrate, same family as rollup/cube (SURVEY.md §2.5 'not present'
+    list). The pivot values are passed EXPLICITLY, which skips the
+    distinct-scan Spark otherwise runs to discover them — at 100 TB the
+    value list is catalog knowledge, not something to rediscover."""
+    df = load(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+@query(
+    "q108_rank_quartiles",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           ntile(4)      OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q108(spark, sf_dir):
+    """Rank-family window functions (ntile / percent_rank / cume_dist)
+    over per-nation account balances — the distribution-bucketing verbs
+    of SURVEY.md §2.6's window tier. Tie-stable: the window orders by
+    (acctbal, custkey) so ntile's positional split is deterministic.
+    One shuffle on the partition key; per-partition sort feeds all
+    three functions from the same window frame."""
+    from pyspark.sql import Window
+
+    df = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return df.select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q109_fuzzy_name_pairs",
+    oracle="""
+    WITH keys AS (
+      SELECT c_name AS w,
+             unnest(list_prepend(c_name, list_transform(range(1, length(c_name) + 1),
+                    i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS k
+      FROM customer),
+    cand AS (
+      SELECT DISTINCT a.w AS left_name, b.w AS right_name
+      FROM keys a JOIN keys b ON a.k = b.k AND a.w < b.w)
+    SELECT left_name, right_name,
+           CAST(levenshtein(left_name, right_name) AS INT) AS dist
+    FROM cand WHERE levenshtein(left_name, right_name) <= 1
+    """,
+)
+def q109(spark, sf_dir):
+    """Fuzzy string self-join (entity resolution / near-dup IDs) via
+    deletion-neighborhood blocking — operators/dedup.py::fuzzy_pairs.
+    Complete candidate recall at edit distance 1 with only a hash
+    equi-join on linear-size keys (FastSS / SymSpell family), exact
+    levenshtein refine on candidates only; the oracle replicates the
+    same blocking in SQL, so the match verifies both the candidate
+    generation and the refine."""
+    from .operators.dedup import fuzzy_pairs
+
+    df = load(spark, sf_dir, "customer")
+    return fuzzy_pairs(df, "c_name").select(
+        F.col("left").alias("left_name"),
+        F.col("right").alias("right_name"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@query(
+    "q110_event_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t
+             AND epoch(e.ts) - epoch(s1.t) <= 259200 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t
+             AND epoch(e.ts) - epoch(s2.t) <= 259200 GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 1 AS step_index, 'signup' AS step, (SELECT count(*) FROM s1) AS users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+    """,
+)
+def q110(spark, sf_dir):
+    """Ordered conversion funnel (signup -> click -> purchase, each
+    within 3 days of the previous step) — operators/window.py::funnel.
+    Each stage is one equi-join on the user key against the shrinking
+    reached set plus a min aggregate; no full-stream window, exact
+    integer-microsecond comparisons."""
+    from .operators.window import funnel
+
+    df = load(spark, sf_dir, "events")
+    return funnel(
+        df, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], within_seconds=259200,
+    ).select("step_index", "step", "users")
+
+
+@query(
+    "q111_linear_classifier",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS term
+                 FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT term, ln((n.n_docs + 1.0) / (count(DISTINCT doc_id) + 1.0)) AS weight
+          FROM tok CROSS JOIN n WHERE length(term) >= 5 GROUP BY term, n.n_docs),
+    cnt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+    hit AS (SELECT tok.doc_id, sum(w.weight) AS s
+            FROM tok JOIN w USING (term) GROUP BY tok.doc_id)
+    SELECT cnt.doc_id, cnt.n_tokens,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(hit.s, 0.0) / GREATEST(cnt.n_tokens, 1)
+                                    - 1.0))), 6) AS prob
+    FROM cnt LEFT JOIN hit ON cnt.doc_id = hit.doc_id
+    """,
+)
+def q111(spark, sf_dir):
+    """Model-based quality scoring (fastText-style vocabulary linear
+    classifier; operators/textstats.py::linear_score): the weight table
+    here is derived on the fly (idf of terms >= 5 chars — rare-word
+    density as a quality proxy), broadcast onto the exploded token
+    stream; out-of-vocabulary tokens exercise the zero-contribution
+    path. In production the weights come from a trained model file;
+    the plan shape is identical."""
+    from .operators.textstats import linear_score, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = (
+        tok.where(F.length("term") >= 5)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias(
+                "weight"
+            ),
+        )
+    )
+    out = linear_score(docs, weights, bias=-1.0)
+    return out.select("doc_id", "n_tokens", F.round("prob", 6).alias("prob"))

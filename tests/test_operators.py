@@ -1334,3 +1334,139 @@ def test_asof_join_right_tiebreak_deterministic(spark):
             right_cols=["px"], right_tiebreak=["qid"],
         ).collect()
         assert len(rows) == 1 and rows[0].px_r == 300.0  # qid=9 wins
+
+
+# ------------------------------------------------- fuzzy pairs (FastSS)
+def test_fuzzy_pairs_complete_vs_brute_force(spark):
+    """Deletion-neighborhood blocking finds EXACTLY the brute-force
+    edit-distance<=1 pairs: substitutions, insertions, deletions in,
+    transpositions (distance 2) out."""
+    import itertools
+
+    from ezdata_spark.operators.dedup import fuzzy_pairs
+
+    words = [
+        "spark", "spars", "sparks", "park", "spak", "psark",  # sub/del/ins/transpose
+        "table", "cable", "tble", "tables", "stable",
+        "query", "q", "", "xyz",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {(r.left, r.right, r.dist) for r in fuzzy_pairs(df, "w").collect()}
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(set(words)), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    assert ("spark", "psark", 1) not in got  # transposition is distance 2
+    import pytest
+
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, "w", max_dist=2)
+
+
+def test_fuzzy_pairs_no_cartesian_plan(spark):
+    from ezdata_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([("abc",), ("abd",)], "w string")
+    plan = fuzzy_pairs(df, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------------------------------- event funnel
+def test_funnel_vs_manual(spark):
+    """Per-user ordered reachability with a time budget, verified
+    against a driver-side replay."""
+    from ezdata_spark.operators.window import funnel
+
+    rows = [
+        # u1 converts fully within budget
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 00:10:00", "click"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        # u2 clicks BEFORE signup -> click doesn't count
+        (2, "2024-01-01 00:05:00", "click"),
+        (2, "2024-01-01 00:06:00", "signup"),
+        (2, "2024-01-01 00:07:00", "purchase"),
+        # u3 clicks too late (outside 1h budget)
+        (3, "2024-01-01 00:00:00", "signup"),
+        (3, "2024-01-01 02:00:00", "click"),
+        # u4 same-timestamp click -> strict > excludes it
+        (4, "2024-01-01 00:00:00", "signup"),
+        (4, "2024-01-01 00:00:00", "click"),
+        # u5 never signs up
+        (5, "2024-01-01 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id long, ts string, event_type string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+    out = {
+        (r.step_index, r.step): r.users
+        for r in funnel(
+            df, "user_id", "ts", "event_type",
+            ["signup", "click", "purchase"], within_seconds=3600,
+        ).collect()
+    }
+    assert out == {(1, "signup"): 4, (2, "click"): 1, (3, "purchase"): 1}
+
+
+def test_funnel_no_time_budget(spark):
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.window import funnel
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-03-01 00:00:00", "b")],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.step: r.users for r in funnel(df, "user_id", "ts", "event_type", ["a", "b"]).collect()}
+    assert out == {"a": 1, "b": 1}  # months apart still converts without a budget
+
+
+# ------------------------------------------------- linear classifier
+def test_linear_score_vs_numpy(spark):
+    import numpy as np
+
+    from ezdata_spark.operators.textstats import linear_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good great good"),
+            (2, "bad awful"),
+            (3, "neutral words only"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 2.0), ("great", 1.0), ("bad", -2.0), ("awful", -3.0)],
+        "term string, weight double",
+    )
+    got = {r.doc_id: (r.n_tokens, r.prob) for r in linear_score(docs, weights, bias=0.5).collect()}
+
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    assert got[1][0] == 3 and got[1][1] == pytest.approx(sig((2 + 1 + 2) / 3 + 0.5))
+    assert got[2][1] == pytest.approx(sig((-2 - 3) / 2 + 0.5))
+    assert got[3][1] == pytest.approx(sig(0.5))  # all OOV -> bias only
+    assert got[4][0] == 0 and got[4][1] == pytest.approx(sig(0.5))  # empty doc
+
+
+def test_linear_score_broadcasts_vocab(spark):
+    from ezdata_spark.operators.textstats import linear_score
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    weights = spark.createDataFrame([("a", 1.0)], "term string, weight double")
+    plan = linear_score(docs, weights)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

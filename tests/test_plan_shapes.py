@@ -33,6 +33,10 @@ BNLJ_ALLOWED = {
     "q87_tfidf_topterms",
     "q88_bm25_search",
     "q90_unigram_logprob",
+    # q111: same scalar fold-in — crossJoin(broadcast(1-row n_docs agg))
+    # inside the on-the-fly idf weight derivation; production weights
+    # arrive as a file and the fold-in disappears entirely
+    "q111_linear_classifier",
     # PQ's ADC pass deliberately scores every code word against the
     # broadcast query LUTs (the linear ADC scan of Jegou et al.) — the
     # compression is the point: m table lookups per vector over the
