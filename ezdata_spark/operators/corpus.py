@@ -485,3 +485,52 @@ def incremental_new(
         .join(seen, "__k", "left_anti")
         .drop("__k")
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window shaping step
+    of an embedding / RAG / pretraining pipeline: each document yields
+    overlapping chunks of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap``, the final chunk keeping the tail
+    (possibly shorter). Empty documents yield nothing; documents at or
+    under one window yield exactly one chunk.
+
+    Returns (id, chunk_index, chunk, chunk_tokens_) rows. Scale shape:
+    pure per-row JVM expressions (tokenize once, posexplode the
+    start-offset sequence, slice+join per chunk) — no shuffle, no
+    Python; the row expansion factor is ~n_tokens/stride."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    t = tokens(text_col)
+    with_tok = docs.select(F.col(id_col), t.alias("_t"), F.size(t).alias("_n")).where(
+        F.size(t) > 0
+    )
+    n = F.col("_n")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("long") + 1
+    )
+    return (
+        with_tok.select(
+            F.col(id_col),
+            "_t",
+            "_n",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_pos", "_k"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_k").cast("int").alias("chunk_index"),
+            F.array_join(
+                F.slice(F.col("_t"), F.col("_k") * stride + 1, chunk_tokens), " "
+            ).alias("chunk"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_k") * stride)
+            .cast("int")
+            .alias("chunk_tokens"),
+        )
+    )

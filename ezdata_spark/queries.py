@@ -2960,3 +2960,33 @@ def q111(spark, sf_dir):
     )
     out = linear_score(docs, weights, bias=-1.0)
     return out.select("doc_id", "n_tokens", F.round("prob", 6).alias("prob"))
+
+
+@query(
+    "q112_chunk_documents",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    meta AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE CAST(ceil((len(t) - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+      FROM tok WHERE len(t) > 0)
+    SELECT doc_id, CAST(k AS INT) AS chunk_index,
+           array_to_string(t[k*48 + 1 : k*48 + 64], ' ') AS chunk,
+           CAST(least(64, n - k*48) AS INT) AS chunk_tokens
+    FROM meta, unnest(range(0, n_chunks)) AS u(k)
+    """,
+)
+def q112(spark, sf_dir):
+    """Sliding-window token chunking (64-token windows, 16 overlap) —
+    operators/corpus.py::chunk_text, the context-window shaping step
+    for embedding / RAG / pretraining pipelines. Pure per-row JVM
+    expressions: tokenize once, posexplode the start offsets, slice +
+    join per chunk; no shuffle anywhere."""
+    from .operators.corpus import chunk_text
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_text(docs, chunk_tokens=64, overlap=16)

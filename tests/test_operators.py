@@ -1470,3 +1470,71 @@ def test_linear_score_broadcasts_vocab(spark):
     weights = spark.createDataFrame([("a", 1.0)], "term string, weight double")
     plan = linear_score(docs, weights)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------- text chunking
+def test_chunk_text_vs_manual(spark):
+    """Sliding-window chunking: stride/overlap math, tail chunk, short
+    and empty docs — verified against a driver-side replay."""
+    from ezdata_spark.operators.corpus import chunk_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens, chunk 4 stride 3
+            (2, "a b"),  # under one window -> one chunk
+            (3, ""),  # empty -> nothing
+            (4, "x " * 4),  # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_index): (r.chunk, r.chunk_tokens)
+        for r in chunk_text(docs, chunk_tokens=4, overlap=1).collect()
+    }
+
+    def manual(tokens, chunk, overlap):
+        stride = chunk - overlap
+        n = len(tokens)
+        if n == 0:
+            return []
+        k = 1 if n <= chunk else -(-(n - chunk) // stride) + 1
+        return [
+            (" ".join(tokens[i * stride : i * stride + chunk]), min(chunk, n - i * stride))
+            for i in range(k)
+        ]
+
+    for doc_id, text in [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (4, "x x x x")]:
+        toks = text.split()
+        want = manual(toks, 4, 1)
+        have = [got[(doc_id, i)] for i in range(len(want))]
+        assert have == want, (doc_id, have, want)
+    assert not any(k[0] == 3 for k in got)
+    # every consecutive pair overlaps by exactly `overlap` tokens (except the tail)
+    c0, c1 = got[(1, 0)][0].split(), got[(1, 1)][0].split()
+    assert c0[-1:] == c1[:1]
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_text_coverage_property(spark):
+    """Every token position is covered by at least one chunk and chunk
+    token counts sum to n + overlap*(k-1) (except a shorter tail)."""
+    from ezdata_spark.operators.corpus import chunk_text
+
+    text = " ".join(f"t{i}" for i in range(137))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_text(docs, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    stride = 32 - 8
+    seen = set()
+    for r in rows:
+        toks = r.chunk.split()
+        assert len(toks) == r.chunk_tokens
+        start = r.chunk_index * stride
+        assert toks == [f"t{i}" for i in range(start, start + len(toks))]
+        seen.update(range(start, start + len(toks)))
+    assert seen == set(range(137))  # full coverage, no gaps
