@@ -51,6 +51,12 @@ HEADLINE = [
     "q98_hdf5_roundtrip",    # native HDF5 sink -> distributed scan
     "q99_votable_roundtrip", # native VOTable sink -> stdlib-XML reader
     "z105_approx_profile",   # HLL++ + approx-quantile sketch profile
+    "q107_pivot",            # wide crosstab (explicit pivot values)
+    "q108_rank_quartiles",   # ntile/percent_rank/cume_dist windows
+    "q109_fuzzy_name_pairs", # deletion-neighborhood fuzzy self-join
+    "q110_event_funnel",     # ordered conversion funnel (3 stages)
+    "q111_linear_classifier",# broadcast-vocabulary quality scorer
+    "q112_chunk_documents",  # sliding-window token chunking
 ]
 
 

@@ -411,6 +411,14 @@ def fuzzy_pairs(strings: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
         .distinct()
         .select("_w", F.explode(variants).alias("_k"))
     )
+    # Pin the key-hash partitioning at cluster parallelism: a small
+    # input arrives as 1-2 splits and AQE coalesces the tiny-by-bytes
+    # shuffle to one partition, serializing the CPU-heavy candidate
+    # join + levenshtein refine. An explicit repartition-by-key is
+    # exempt from AQE coalescing, co-partitions both sides of the
+    # self-join (no second shuffle), and is a no-op at real scale.
+    target = strings.sparkSession.sparkContext.defaultParallelism
+    keys = keys.repartition(target, F.col("_k"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(b, F.col("a._k") == F.col("b._k"))

@@ -274,3 +274,36 @@ def linear_score(
         F.col("n_tokens"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out),
     )
+
+
+def linear_score_stateless(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    out: str = "prob",
+) -> DataFrame:
+    """Append-mode-safe variant of :func:`linear_score`: the vocabulary
+    arrives as a plain dict and is folded into the plan as a literal
+    map, so scoring is ONE per-row expression — no explode, no join, no
+    aggregation — and therefore runs unchanged on a readStream frame in
+    append mode (the same bounded-model trade as
+    ``corpus.decontaminate_stateless``). Use the DataFrame-weights form
+    when the vocabulary is too large to inline into the plan."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {term: weight} dict")
+    m = F.create_map(*[F.lit(x) for kv in sorted(weights.items()) for x in kv])
+    t = tokens(text_col)
+    n = F.size(t)
+    s = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, tok: acc + F.coalesce(F.element_at(m, tok), F.lit(0.0)),
+    )
+    z = s / F.greatest(n, F.lit(1)) + F.lit(float(bias))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out),
+    )

@@ -233,6 +233,33 @@ def main() -> None:
         curate(srcdocs, min_chars=10, max_chars=10**6, langs=["en"], cap=500),
         rows_in=doc_n)
 
+    # round-6 additions: fuzzy string self-join (deletion-neighborhood
+    # blocking — keys linear in string length, hash equi-join, exact
+    # refine), ordered conversion funnel (per-stage equi-joins), the
+    # sliding-window chunker (zero shuffle), and the broadcast-
+    # vocabulary linear classifier
+    from ezdata_spark.operators.corpus import chunk_text
+    from ezdata_spark.operators.dedup import fuzzy_pairs
+    from ezdata_spark.operators.textstats import linear_score
+    from ezdata_spark.operators.window import funnel
+
+    name_n = max(n // 60, 500_000)
+    names = spark.range(name_n).select(
+        F.format_string("User#%09d", F.col("id")).alias("name")
+    )
+    run("fuzzy_name_pairs", fuzzy_pairs(names, "name"), rows_in=name_n)
+    run(
+        "event_funnel",
+        funnel(events, "user_id", "ts", "event_type", ["0", "1", "2"],
+               within_seconds=7 * 86_400),
+    )
+    run("chunk_text", chunk_text(docs, chunk_tokens=8, overlap=2), rows_in=doc_n)
+    vocab = spark.range(50).select(
+        F.concat(F.lit("w"), F.col("id")).alias("term"),
+        ((F.col("id") % 7) - 3.0).alias("weight"),
+    )
+    run("linear_classifier", linear_score(docs, vocab), rows_in=doc_n)
+
     # ANN tier (round-6): PQ encode + ADC top-k and the LSH probe at
     # vector-corpus scale. Codebooks are trained ONCE on a bounded
     # sample (the persisted-artifact shape at 100 TB) — training time
@@ -298,6 +325,7 @@ def main() -> None:
             encode_bmp,
             encode_gif,
             encode_wav_adpcm,
+            encode_wav_g711,
         )
 
         for b in batches:
@@ -305,7 +333,7 @@ def main() -> None:
             for mid in b["id"]:
                 mid = int(mid)
                 rng = np.random.RandomState(mid % (2**31))
-                kind = mid % 3
+                kind = mid % 4
                 if kind == 0:
                     px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
                     rows.append({"media_id": mid, "data": encode_bmp(px),
@@ -315,11 +343,17 @@ def main() -> None:
                     px = pal[rng.randint(0, 8, (16, 16))]
                     rows.append({"media_id": mid, "data": encode_gif(px),
                                  "meta": {"format": "gif", "width": 16, "height": 16, "channels": 3}})
-                else:
+                elif kind == 2:
                     t = np.arange(1600) / 8000.0
                     tone = (0.5 * np.sin(2 * np.pi * (100 + mid % 300) * t)).astype("float32")
                     rows.append({"media_id": mid, "data": encode_wav_adpcm(tone, 8000),
                                  "meta": {"format": "adpcm", "width": 0, "height": 0, "channels": 1}})
+                else:
+                    t = np.arange(1600) / 8000.0
+                    tone = (0.5 * np.sin(2 * np.pi * (100 + mid % 300) * t)).astype("float32")
+                    law = "ulaw" if mid % 2 == 0 else "alaw"
+                    rows.append({"media_id": mid, "data": encode_wav_g711(tone, 8000, law=law),
+                                 "meta": {"format": "g711", "width": 0, "height": 0, "channels": 1}})
             yield pd.DataFrame(rows)
 
     media = (
@@ -329,17 +363,50 @@ def main() -> None:
         .persist()
     )
     media.write.format("noop").mode("overwrite").save()  # materialize untimed
-    img_n = media_n - media_n // 3
+    img_n = media_n // 2
     run("image_decode_features",
-        image_features(media.filter(F.col("meta.format") != "adpcm")),
+        image_features(media.filter(F.col("meta.format").isin("bmp", "gif"))),
         rows_in=img_n)
     # run() clears the cache; re-materialize for the audio pass
     media.persist()
     media.write.format("noop").mode("overwrite").save()
     run("audio_decode_features",
-        audio_features(media.filter(F.col("meta.format") == "adpcm")),
-        rows_in=media_n // 3)
+        audio_features(media.filter(F.col("meta.format").isin("adpcm", "g711"))),
+        rows_in=media_n - img_n)
     media.unpersist()
+
+    # MJPEG frame sampling: header-true sample_frames + random-access
+    # per-frame JPEG decode (the compressed-video path). Clip count is
+    # smaller (each clip fabricates 3 encoded frames) but rows_in counts
+    # FRAMES decoded, the unit the pipeline scales in.
+    from ezdata_spark.functions.media_codecs import encode_avi
+    from ezdata_spark.operators.multimodal import frame_features, sample_frames
+
+    clip_n = max(media_n // 8, 2_000)
+
+    def _gen_clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                mid = int(mid)
+                rng = np.random.RandomState(mid % (2**31))
+                frames = rng.randint(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+                rows.append({"media_id": mid,
+                             "data": encode_avi(frames, fps=10, codec="MJPG"),
+                             "meta": {"format": "avi", "width": 16, "height": 16, "channels": 3}})
+            yield pd.DataFrame(rows)
+
+    clips = (
+        spark.range(clip_n).repartition(64).mapInPandas(_gen_clips, IMAGE_SCHEMA).persist()
+    )
+    clips.write.format("noop").mode("overwrite").save()
+    run("mjpeg_frame_features",
+        frame_features(sample_frames(clips, every_n=1, max_frames=3)),
+        rows_in=clip_n * 3)
+    clips.unpersist()
 
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",
@@ -355,6 +422,26 @@ def main() -> None:
         for k, r in results.items():
             fh.write(f"| {k} | {r['sec']} | {r['rows_out']} | {r['mrows_in_per_s']} |\n")
         fh.write(f"| **total** | **{total}** | | |\n")
+        fh.write(
+            "\nANN tier notes (3M 64-d vectors = 600x the sf0.1 embeddings):\n"
+            "- `pq_encode` is the ONE-TIME corpus compression (interpreted\n"
+            "  HOF lambdas, embarrassingly parallel, linear — verified\n"
+            "  1M->3M). A vectorized-numpy mapInPandas variant measured only\n"
+            "  1.6x faster (Arrow list transfer dominates), so the\n"
+            "  dependency-free JVM path stays. Recurring query cost is\n"
+            "  `pq_topk_adc`: 16 queries scan 3M codes + exact rescore.\n"
+            "- `lsh_probe_topk` buckets the corpus through 4x8 hyperplane\n"
+            "  signatures (one scan, candidates equi-joined per bucket).\n"
+            "\nRound-6 rows:\n"
+            "- `fuzzy_name_pairs` is OUTPUT-dominated (500k dense numeric IDs\n"
+            "  -> 12.25M true distance-1 pairs); the Mrows-in/s metric\n"
+            "  understates it — pair emission is the work, and it is linear\n"
+            "  in true pairs by construction (complete FastSS blocking).\n"
+            "- `mjpeg_frame_features` decodes per-frame baseline JPEGs\n"
+            "  (pure-numpy Huffman+IDCT); rows_in counts FRAMES decoded.\n"
+            "- media decode rows measure the mapInPandas decode+feature\n"
+            "  stage over persisted payloads; fabrication is untimed.\n"
+        )
     spark.stop()
 
 

@@ -1538,3 +1538,29 @@ def test_chunk_text_coverage_property(spark):
         assert toks == [f"t{i}" for i in range(start, start + len(toks))]
         seen.update(range(start, start + len(toks)))
     assert seen == set(range(137))  # full coverage, no gaps
+
+
+def test_linear_score_stateless_matches_dataframe_form(spark):
+    """The literal-map stateless scorer and the broadcast-join scorer
+    agree to float precision on the same vocabulary."""
+    from ezdata_spark.operators.textstats import linear_score, linear_score_stateless
+
+    docs = spark.createDataFrame(
+        [(1, "good great good oov"), (2, ""), (3, "oov only here")],
+        "doc_id long, text string",
+    )
+    w = {"good": 2.0, "great": 1.0, "here": -0.75}
+    wdf = spark.createDataFrame(list(w.items()), "term string, weight double")
+    a = {r.doc_id: (r.n_tokens, r.prob) for r in linear_score(docs, wdf, bias=0.1).collect()}
+    b = {
+        r.doc_id: (r.n_tokens, r.prob)
+        for r in linear_score_stateless(docs, w, bias=0.1).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert a[k][1] == pytest.approx(b[k][1], abs=1e-12)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="weights"):
+        linear_score_stateless(docs, {})

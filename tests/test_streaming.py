@@ -274,3 +274,57 @@ def test_jsonl_stream_to_curated_parquet(spark, tmp_path):
     assert len(got) == 4
     assert got[1][3] is True and got[2][3] is False  # decontamination flag
     assert "bob@example.com" not in got[3][2]        # PII redacted
+
+
+def test_chunk_and_score_compose_with_streams(spark, tmp_path):
+    """The round-6 stateless additions (sliding-window chunking and the
+    literal-map linear scorer) are pure per-row expressions — the SAME
+    operator code must run unchanged on a readStream frame in append
+    mode and produce batch-identical values. (The DataFrame-weights
+    ``linear_score`` aggregates per doc and is the batch/complete-mode
+    form.)"""
+    from ezdata_spark.operators.corpus import chunk_text
+    from ezdata_spark.operators.textstats import linear_score_stateless
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11))), (2, "good text here")],
+        "doc_id long, text string",
+    )
+    weights = {"good": 1.5, "w3": -0.5}
+    path = str(tmp_path / "docs6")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+
+    chunks = chunk_text(stream, chunk_tokens=4, overlap=1)
+    assert chunks.isStreaming
+    q = (
+        chunks.writeStream.format("memory").queryName("ez_chunk_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_index): (r.chunk, r.chunk_tokens)
+        for r in spark.sql("SELECT * FROM ez_chunk_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_index): (r.chunk, r.chunk_tokens)
+        for r in chunk_text(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    assert got == want
+
+    scored = linear_score_stateless(stream, weights, bias=0.25)
+    assert scored.isStreaming
+    q2 = (
+        scored.writeStream.format("memory").queryName("ez_score_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r.doc_id: (r.n_tokens, r.prob)
+        for r in spark.sql("SELECT * FROM ez_score_stream").collect()
+    }
+    want2 = {
+        r.doc_id: (r.n_tokens, r.prob)
+        for r in linear_score_stateless(docs, weights, bias=0.25).collect()
+    }
+    assert got2 == want2
