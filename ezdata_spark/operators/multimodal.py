@@ -190,23 +190,27 @@ AUDIO_FEATURE_SCHEMA = (
 def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
     """Audio decode + per-clip features via mapInPandas.
 
-    RIFF/WAVE payloads decode for real (pure-numpy 16-bit PCM and
-    4-bit IMA-ADPCM readers, functions/media_codecs.py); other
-    containers (MP3/FLAC — libav/soundfile not in this container)
-    fall back to the deterministic STUB waveform. The feature math (RMS / peak / zero-crossing rate)
-    and the Spark plumbing are the same either way: binary in, Arrow
-    batches, bounded memory.
+    RIFF/WAVE payloads decode for real (pure-numpy 16-bit PCM, 4-bit
+    IMA-ADPCM, and 8-bit G.711 readers, functions/media_codecs.py), as
+    do FLAC streams (pure-numpy lossless decoder incl. LPC and
+    mid/side stereo, functions/flac_codec.py); lossy perceptual
+    containers (MP3 — libav/soundfile not in this container) fall back
+    to the deterministic STUB waveform. The feature math (RMS / peak /
+    zero-crossing rate) and the Spark plumbing are the same either
+    way: binary in, Arrow batches, bounded memory.
     """
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac_codec import decode_flac
         from ..functions.media_codecs import decode_wav
 
         for b in batches:
             out = []
             for _, row in b.iterrows():
                 data = row["data"] or b""
-                if data[:4] == b"RIFF":
-                    wave, rate = decode_wav(bytes(data))
+                if data[:4] in (b"RIFF", b"fLaC"):
+                    dec = decode_flac if data[:4] == b"fLaC" else decode_wav
+                    wave, rate = dec(bytes(data))
                     if wave.ndim > 1:
                         wave = wave.mean(axis=1)  # downmix for clip stats
                     n = len(wave)

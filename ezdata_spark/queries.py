@@ -2465,8 +2465,9 @@ def q100(spark, sf_dir):
     fabricates a real 24-bit BMP, a real 8-bit PNG (rotating through all
     five scanline filters), a real baseline JPEG (alternating 4:4:4 and
     4:2:0), a real GIF (LZW, alternating interlace), a real 16-bit PCM
-    WAV, a real 4-bit IMA-ADPCM WAV, and a real 8-bit G.711 WAV
-    (alternating u-law/A-law) executor-side (functions/
+    WAV, a real 4-bit IMA-ADPCM WAV, a real 8-bit G.711 WAV
+    (alternating u-law/A-law), and a real FLAC stream (alternating
+    fixed-predictor and true-LPC encode) executor-side (functions/
     media_codecs.py + jpeg_codec.py encoders), and the feature
     extractors decode them back with the pure-numpy codecs — the
     de-stubbed decode path of operators/multimodal.py. Rows-only:
@@ -2476,6 +2477,7 @@ def q100(spark, sf_dir):
     import pandas as pd
 
     from .functions.jpeg_codec import encode_jpeg
+    from .functions.flac_codec import encode_flac
     from .functions.media_codecs import (
         encode_bmp,
         encode_gif,
@@ -2560,6 +2562,15 @@ def q100(spark, sf_dir):
                         "meta": {"format": "g711", "width": 0, "height": 0, "channels": 1},
                     }
                 )
+                rows.append(
+                    {
+                        "media_id": int(mid) + 7_000_000,
+                        "data": encode_flac(
+                            tone, 8000, lpc_order=4 if int(mid) % 2 else None
+                        ),
+                        "meta": {"format": "flac", "width": 0, "height": 0, "channels": 1},
+                    }
+                )
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(gen, IMAGE_SCHEMA)
@@ -2572,7 +2583,7 @@ def q100(spark, sf_dir):
         F.round("aspect", 4).alias("feat2"),
     )
     auds = audio_features(
-        media.filter(F.col("meta.format").isin("wav", "adpcm", "g711"))
+        media.filter(F.col("meta.format").isin("wav", "adpcm", "g711", "flac"))
     ).select(
         "media_id",
         F.lit("audio").alias("kind"),

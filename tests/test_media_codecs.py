@@ -898,3 +898,132 @@ def test_audio_features_real_g711(spark):
     for i in truth:
         assert got[i][0] == truth[i][0]
         assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
+
+
+# ------------------------------------------------------------------ FLAC
+def _flac_rt(sig, **kw):
+    from ezdata_spark.functions.flac_codec import decode_flac, encode_flac
+
+    blob = encode_flac(np.asarray(sig), 16000, **kw)
+    out, rate = decode_flac(blob)
+    pcm_in = np.clip(np.round(np.asarray(sig) * 32767.0), -32768, 32767).astype(np.int32)
+    pcm_out = np.round(np.asarray(out) * 32768.0).astype(np.int32)
+    assert rate == 16000
+    assert pcm_out.shape == pcm_in.shape
+    assert np.array_equal(pcm_out, pcm_in), "FLAC round-trip not lossless"
+    return blob
+
+
+def test_flac_roundtrip_all_subframe_types():
+    """Constant (silence), verbatim-ish (noise), fixed predictors
+    (smooth walk), and true LPC all round-trip EXACTLY (lossless)."""
+    rng = np.random.RandomState(3)
+    t = np.arange(10000) / 16000.0
+    _flac_rt(np.zeros(5000))                       # CONSTANT
+    _flac_rt(np.full(300, 0.25))                   # CONSTANT, partial block
+    _flac_rt(rng.uniform(-0.99, 0.99, 5000))       # noisy -> high rice/verbatim
+    _flac_rt(0.5 * np.sin(2 * np.pi * 440 * t))    # FIXED
+    _flac_rt(0.5 * np.sin(2 * np.pi * 440 * t), lpc_order=8)  # LPC
+    walk = np.clip(np.cumsum(rng.standard_normal(20000)) * 1e-3, -0.9, 0.9)
+    _flac_rt(walk)                                  # multi-block + tail block
+
+
+def test_flac_stereo_modes_lossless():
+    t = np.arange(9000) / 16000.0
+    st = np.stack(
+        [0.4 * np.sin(2 * np.pi * 300 * t), 0.4 * np.sin(2 * np.pi * 302 * t) + 0.01],
+        axis=1,
+    )
+    _flac_rt(st)                    # mid/side
+    _flac_rt(st, mid_side=False)    # independent channels
+    _flac_rt(st, lpc_order=4)       # mid/side + LPC
+
+
+def test_flac_compression_sanity():
+    """The encoder actually compresses: silence collapses, LPC beats
+    the fixed predictors on a pure tone, noise stays ~1:1 (lossless
+    bound)."""
+    from ezdata_spark.functions.flac_codec import encode_flac
+
+    t = np.arange(10000) / 16000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    silence = encode_flac(np.zeros(10000), 16000)
+    fixed = encode_flac(tone, 16000)
+    lpc = encode_flac(tone, 16000, lpc_order=8)
+    assert len(silence) < 200
+    assert len(lpc) < len(fixed) < 20000  # raw is 20 kB
+    rng = np.random.RandomState(0)
+    noise = encode_flac(rng.uniform(-0.99, 0.99, 10000), 16000)
+    assert len(noise) < 22000  # never blows past raw+headers
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(16, 12000),
+    ch=st.integers(1, 2),
+    lpc=st.sampled_from([None, 2, 6]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_property(n, ch, lpc, seed):
+    rng = np.random.RandomState(seed)
+    sig = np.clip(np.cumsum(rng.standard_normal((n, ch)) * 0.01, axis=0), -0.9, 0.9)
+    if ch == 1:
+        sig = sig[:, 0]
+    _flac_rt(sig.astype(np.float32), lpc_order=lpc)
+
+
+def test_flac_many_frames_utf8_numbers():
+    """>128 frames exercises the multi-byte UTF-8 frame-number coding."""
+    from ezdata_spark.functions.flac_codec import decode_flac, encode_flac
+
+    sig = (0.1 * np.sin(np.arange(40000) * 0.05)).astype(np.float32)
+    blob = encode_flac(sig, 16000, block_size=256)  # 157 frames
+    out, _ = decode_flac(blob)
+    assert len(out) == 40000
+
+
+def test_flac_corruption_detected():
+    from ezdata_spark.functions.flac_codec import decode_flac, encode_flac
+
+    sig = (0.3 * np.sin(np.arange(5000) * 0.1)).astype(np.float32)
+    blob = bytearray(encode_flac(sig, 16000))
+    with pytest.raises(ValueError, match="FLAC"):
+        decode_flac(b"nope" + bytes(blob[4:]))
+    # flip a byte mid-frame: CRC-16 (or upstream parse) must object
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(blob))
+    with pytest.raises(ValueError, match="truncated|sync|FLAC"):
+        decode_flac(bytes(encode_flac(sig, 16000))[:60])
+
+
+def test_audio_features_real_flac(spark):
+    """Distributed decode over genuine FLAC bytes: features match the
+    numpy truth of the ORIGINAL waveform (lossless codec, so decode
+    equals input at 16-bit precision)."""
+    import pandas as pd
+
+    from ezdata_spark.functions.flac_codec import decode_flac, encode_flac
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA, audio_features
+
+    rng = np.random.RandomState(41)
+    rows, truth = [], {}
+    for i, lpc in enumerate((None, 6)):
+        n = int(rng.randint(3000, 9000))
+        t = np.arange(n) / 16000
+        sig = (0.5 * np.sin(2 * np.pi * (180 + 70 * i) * t)).astype(np.float32)
+        data = encode_flac(sig, 16000, lpc_order=lpc)
+        rows.append(
+            {
+                "media_id": i,
+                "data": data,
+                "meta": {"format": "flac", "width": 0, "height": 0, "channels": 1},
+            }
+        )
+        wave, _ = decode_flac(data)
+        truth[i] = (len(wave), float(np.sqrt(np.mean(wave**2))))
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+    got = {r.media_id: (r.n_samples, r.rms) for r in audio_features(media).collect()}
+    for i in truth:
+        assert got[i][0] == truth[i][0]
+        assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
