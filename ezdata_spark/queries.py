@@ -3001,3 +3001,40 @@ def q112(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return chunk_text(docs, chunk_tokens=64, overlap=16)
+
+
+def _q113_oracle() -> str:
+    from .operators.layout import zorder_sql
+
+    z = zorder_sql({"l_quantity": (0.0, 51.0), "l_extendedprice": (900.0, 105000.0)}, bits=12)
+    return f"""
+    SELECT l_orderkey, l_linenumber, {z} AS zval,
+           CAST({z} >> 18 AS INT) AS zbucket
+    FROM lineitem
+    """
+
+
+@query("q113_zorder_layout", oracle=_q113_oracle())
+def q113(spark, sf_dir):
+    """Z-order (Morton) clustering values — operators/layout.py, the
+    data-layout lever behind Delta OPTIMIZE ZORDER: interleaving the
+    rank bits of (quantity, price) makes parquet row-group min/max
+    stats tight on BOTH columns at once, so scans filtering either one
+    prune most row groups after ``write_zordered``'s range-repartition.
+    Pure codegen'd integer expression (no shuffle, no UDF); the oracle
+    runs the same arithmetic via layout.zorder_sql — one generator
+    emits both sides. zbucket (top 6 bits) is the contiguous Morton
+    range a file would own."""
+    from .operators.layout import zorder_layout
+
+    df = load(spark, sf_dir, "lineitem")
+    bounds = {"l_quantity": (0.0, 51.0), "l_extendedprice": (900.0, 105000.0)}
+    return (
+        zorder_layout(df, bounds, bits=12)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "zval",
+            F.shiftright("zval", 18).cast("int").alias("zbucket"),
+        )
+    )

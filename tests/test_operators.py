@@ -1564,3 +1564,87 @@ def test_linear_score_stateless_matches_dataframe_form(spark):
 
     with _pt.raises(ValueError, match="weights"):
         linear_score_stateless(docs, {})
+
+
+# --------------------------------------------------------- z-order layout
+def test_zorder_value_matches_reference(spark):
+    """Bit-interleave matches a pure-python Morton reference, including
+    clamping and null handling."""
+    from ezdata_spark.operators.layout import zorder_layout
+
+    rows = [(1, 0.0, 0.0), (2, 10.0, 3.0), (3, 15.9, 15.9), (4, -5.0, 99.0), (5, None, 8.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    bounds = {"x": (0.0, 16.0), "y": (0.0, 16.0)}
+    got = {r.id: r.zval for r in zorder_layout(df, bounds, bits=4).collect()}
+
+    def cell(v, lo, hi, bits):
+        if v is None:
+            return 0
+        c = int(np.floor((v - lo) / (hi - lo) * (1 << bits)))
+        return min((1 << bits) - 1, max(0, c))
+
+    def morton(x, y, bits):
+        cx, cy = cell(x, 0.0, 16.0, bits), cell(y, 0.0, 16.0, bits)
+        out = 0
+        for i in range(bits):
+            out |= ((cx >> i) & 1) << (2 * i)
+            out |= ((cy >> i) & 1) << (2 * i + 1)
+        return out
+
+    for i, x, y in rows:
+        assert got[i] == morton(x, y, 4), (i, x, y)
+
+    import pytest as _pt
+
+    from ezdata_spark.operators.layout import zorder_value
+
+    with _pt.raises(ValueError, match="exceeds"):
+        zorder_value({"a": (0, 1), "b": (0, 1)}, bits=32)
+    with _pt.raises(ValueError, match="hi > lo"):
+        zorder_value({"a": (1.0, 1.0)})
+
+
+def test_write_zordered_tightens_file_stats(spark, tmp_path):
+    """The point of the layout: after write_zordered, EACH parquet
+    file's min/max span on BOTH dimensions is a fraction of the global
+    range (a lexicographic sort only achieves that for its leading
+    column), so predicates on either column can skip most files."""
+    import pyarrow.parquet as pq
+
+    from ezdata_spark.operators.layout import write_zordered
+
+    n = 20_000
+    rng = np.random.RandomState(0)
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "x": rng.uniform(0, 100, n),
+        "y": rng.uniform(0, 100, n),
+        "payload": rng.randint(0, 1 << 30, n),
+    })
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, {"x": (0.0, 100.0), "y": (0.0, 100.0)}, n_files=16)
+
+    import glob
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) >= 8
+    spans_x, spans_y = [], []
+    total = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        total += md.num_rows
+        if md.num_rows == 0:
+            continue
+        for name, spans in (("x", spans_x), ("y", spans_y)):
+            idx = md.schema.names.index(name)
+            lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            spans.append(hi - lo)
+    assert total == n
+    # average per-file span well under the global 100 on BOTH dims
+    assert np.mean(spans_x) < 45 and np.mean(spans_y) < 45, (
+        np.mean(spans_x), np.mean(spans_y))
+    # and reading back loses nothing
+    assert spark.read.parquet(path).count() == n
