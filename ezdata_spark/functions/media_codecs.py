@@ -1,12 +1,14 @@
 """Pure-numpy codecs for media containers that need no codec library:
 24-bit BMP, 16-bit PCM + IMA-ADPCM + G.711 u/A-law WAV, 8-bit PNG
 (stdlib zlib + the five scanline filters), GIF (LZW, interlace,
-animation composition), and AVI (uncompressed DIB and Motion-JPEG via
-functions/jpeg_codec.py).
+animation composition), and AVI (uncompressed DIB, intra-only
+Motion-JPEG via functions/jpeg_codec.py, and inter-frame MS Video 1
+'CRAM' with skip-block temporal compression).
 
 The multimodal tier (operators/multimodal.py) keeps its decode kernel
-stubbed only for formats that genuinely need external codecs (MP3,
-inter-frame video — libav is not in this container). BMP, WAV, PNG, and
+stubbed only for formats that genuinely need external codecs (lossy
+perceptual audio like MP3, modern DSP video like H.264 — libav is not
+in this container). BMP, WAV, PNG, and
 GIF are fully public formats (Windows BITMAPINFOHEADER; RIFF/WAVE PCM
 and IMA/DVI ADPCM; RFC 2083 / ISO 15948 with DEFLATE via stdlib zlib;
 GIF87a/89a with LZW) that decode with struct/zlib/numpy — for these
@@ -217,6 +219,179 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0] if img.shape[2] == 1 else img
 
 
+# ------------------------------------------------------------ MS Video 1
+# Microsoft Video 1 ('CRAM' / 'MSVC'), 16-bit RGB555 variant — a REAL,
+# public INTER-FRAME video codec (multimedia.cx / MSDN documented): the
+# frame is 4x4 blocks traversed bottom-up/left-to-right; a block is
+# either SKIPPED (copied from the previous frame — the temporal path),
+# painted with 1 color, 2 colors selected per pixel by a 16-bit mask,
+# or 8 colors (2 per 2x2 quadrant). The encoder is closed-loop (skip
+# decisions compare against its own reconstruction, so lossy blocks
+# never drift) and emits frame 0 as a keyframe (no skips).
+#
+# Code words (little-endian u16):
+#   0x0000-0x7FFF  pixel mask -> 2-color block (color_a bit15 clear)
+#                  or 8-color block (color_a bit15 set)
+#   0x8400-0x87FF  skip (word - 0x8400) blocks
+#   0x8800-0xFFFF  1-color block, color = word & 0x7FFF
+# Quadrant order and mask bit order follow the bottom-up traversal;
+# layout implemented from the public description and locked by the
+# codec's own round-trip tests (no reference decoder in-container).
+
+
+def _rgb555(frame: np.ndarray) -> np.ndarray:
+    f = frame.astype(np.uint16)
+    return ((f[:, :, 0] >> 3) << 10) | ((f[:, :, 1] >> 3) << 5) | (f[:, :, 2] >> 3)
+
+
+def _rgb888(q: np.ndarray) -> np.ndarray:
+    out = np.empty(q.shape + (3,), np.uint8)
+    out[:, :, 0] = ((q >> 10) & 0x1F) << 3
+    out[:, :, 1] = ((q >> 5) & 0x1F) << 3
+    out[:, :, 2] = (q & 0x1F) << 3
+    return out
+
+
+def _block_iter(h: int, w: int):
+    for by in range(h - 4, -4, -4):  # bottom-up
+        for bx in range(0, w, 4):
+            yield by, bx
+
+
+def _two_color_split(blk: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Split a (k,) RGB555 sample set into 2 representative colors by
+    luma threshold -> (color1, color0, bit_per_pixel[bit=1 -> color1])."""
+    r, g, b = (blk >> 10) & 0x1F, (blk >> 5) & 0x1F, blk & 0x1F
+    luma = 2 * r.astype(np.int32) + 5 * g + b
+    thr = luma.mean()
+    hi = luma >= thr
+    if hi.all() or (~hi).all():
+        c = int(np.bincount(blk).argmax())
+        return c, c, hi
+    mode = lambda v: int(np.bincount(v).argmax())  # noqa: E731
+    return mode(blk[hi]), mode(blk[~hi]), hi
+
+
+def _msvc_encode_frame(q: np.ndarray, prev: np.ndarray | None) -> tuple[bytes, np.ndarray]:
+    """Encode one RGB555 frame -> (chunk bytes, reconstruction)."""
+    h, w = q.shape
+    recon = np.empty_like(q)
+    out = bytearray()
+    skip_run = 0
+
+    def flush_skips():
+        nonlocal skip_run
+        while skip_run:
+            take = min(skip_run, 0x3FF)
+            out.extend(struct.pack("<H", 0x8400 + take))
+            skip_run -= take
+
+    for by, bx in _block_iter(h, w):
+        blk = q[by : by + 4, bx : bx + 4]
+        if prev is not None and np.array_equal(blk, prev[by : by + 4, bx : bx + 4]):
+            recon[by : by + 4, bx : bx + 4] = blk
+            skip_run += 1
+            continue
+        flush_skips()
+        uniq = np.unique(blk)
+        # 1-color code = 0x8000 | color, EXCEPT colors whose high byte
+        # lands in the skip-code range (0x8400-0x87FF) — those fall back
+        # to a 2-color block with both colors equal
+        if len(uniq) == 1 and not 0x0400 <= int(uniq[0]) <= 0x07FF:
+            out.extend(struct.pack("<H", 0x8000 | int(uniq[0])))
+            recon[by : by + 4, bx : bx + 4] = uniq[0]
+            continue
+        if len(uniq) <= 2:
+            c1, c0 = (int(uniq[0]), int(uniq[-1]))
+            mask = 0
+            bit = 0
+            rblk = np.empty((4, 4), np.uint16)
+            for yy in range(3, -1, -1):  # bottom row first
+                for xx in range(4):
+                    sel = int(blk[yy, xx]) == c1
+                    mask |= int(sel) << bit
+                    rblk[yy, xx] = c1 if sel else c0
+                    bit += 1
+            if mask & 0x8000:  # bit 15 belongs to the 1-color/skip space
+                mask ^= 0xFFFF
+                c1, c0 = c0, c1
+            out.extend(struct.pack("<HHH", mask, c1, c0))
+            recon[by : by + 4, bx : bx + 4] = rblk
+            continue
+        # 8-color: 2 colors per 2x2 quadrant, quadrants in bottom-up order
+        mask = 0
+        colors: list[int] = []
+        rblk = np.empty((4, 4), np.uint16)
+        quads = [(2, 0), (2, 2), (0, 0), (0, 2)]  # (row, col) of quadrant origin
+        for qi, (qy, qx) in enumerate(quads):
+            sub = blk[qy : qy + 2, qx : qx + 2]
+            c1, c0, _ = _two_color_split(sub.reshape(-1))
+            colors += [c1, c0]
+            for yy in range(1, -1, -1):  # bottom row of quadrant first
+                for xx in range(2):
+                    v = int(sub[yy, xx])
+                    sel = abs(v - c1) <= abs(v - c0)
+                    # bit index: quadrant base + position within quadrant
+                    bit = qi * 4 + (1 - yy) * 2 + xx
+                    mask |= int(sel) << bit
+                    rblk[qy + yy, qx + xx] = c1 if sel else c0
+        if mask & 0x8000:  # keep bit 15 clear: flip quadrant 3's bits+colors
+            mask ^= 0xF000
+            colors[6], colors[7] = colors[7], colors[6]
+        colors[0] |= 0x8000  # signals 8-color mode
+        out.extend(struct.pack("<H", mask))
+        for c in colors:
+            out.extend(struct.pack("<H", c))
+        recon[by : by + 4, bx : bx + 4] = rblk
+    flush_skips()
+    return bytes(out), recon
+
+
+def _msvc_decode_frame(data: bytes, h: int, w: int, prev: np.ndarray | None) -> np.ndarray:
+    q = np.zeros((h, w), np.uint16) if prev is None else prev.copy()
+    pos = 0
+    skip = 0
+    for by, bx in _block_iter(h, w):
+        if skip:
+            skip -= 1
+            continue
+        if pos + 2 > len(data):
+            continue  # early end: remaining blocks keep previous content
+        (word,) = struct.unpack_from("<H", data, pos)
+        pos += 2
+        if 0x8400 <= word < 0x8800:
+            skip = word - 0x8400
+            if skip == 0:
+                raise ValueError("MSVC zero-length skip code")
+            skip -= 1  # this block is the first skipped one
+            continue
+        if word & 0x8000:  # 1-color (anything in the top half except skip)
+            q[by : by + 4, bx : bx + 4] = word & 0x7FFF
+            continue
+        mask = word
+        (ca,) = struct.unpack_from("<H", data, pos)
+        if ca & 0x8000:  # 8-color
+            colors = struct.unpack_from("<8H", data, pos)
+            pos += 16
+            colors = [colors[0] & 0x7FFF] + list(colors[1:])
+            quads = [(2, 0), (2, 2), (0, 0), (0, 2)]
+            for qi, (qy, qx) in enumerate(quads):
+                c1, c0 = colors[2 * qi], colors[2 * qi + 1]
+                for yy in range(1, -1, -1):
+                    for xx in range(2):
+                        bit = qi * 4 + (1 - yy) * 2 + xx
+                        q[by + qy + yy, bx + qx + xx] = c1 if (mask >> bit) & 1 else c0
+        else:  # 2-color
+            c1, c0 = struct.unpack_from("<HH", data, pos)
+            pos += 4
+            bit = 0
+            for yy in range(3, -1, -1):
+                for xx in range(4):
+                    q[by + yy, bx + xx] = c1 if (mask >> bit) & 1 else c0
+                    bit += 1
+    return q
+
+
 # --------------------------------------------------------------------- AVI
 def encode_avi(
     frames: np.ndarray, fps: int = 10, codec: str = "DIB ", quality: int = 85
@@ -226,15 +401,20 @@ def encode_avi(
     index). ``codec='DIB '`` writes uncompressed bottom-up BGR '00db'
     chunks; ``codec='MJPG'`` writes Motion-JPEG — each frame a
     standalone baseline JPEG (functions/jpeg_codec.py) in a '00dc'
-    chunk, the standard intra-only compressed-video layout. Exists so
-    tests and fixtures can fabricate REAL video payloads; inter-frame
-    codecs (H.264 etc.) are out of scope for a no-dependency codec."""
+    chunk, the standard intra-only compressed-video layout; and
+    ``codec='CRAM'`` writes Microsoft Video 1 — a real INTER-FRAME
+    codec whose skip blocks copy from the previous frame (16-bit
+    RGB555, lossy quantization, width/height multiples of 4). Exists
+    so tests and fixtures can fabricate REAL video payloads; modern
+    DSP-heavy codecs (H.264 etc.) stay out of scope."""
     fr = np.asarray(frames, dtype=np.uint8)
     if fr.ndim != 4 or fr.shape[3] != 3:
         raise ValueError(f"encode_avi expects (N, H, W, 3) RGB, got {fr.shape}")
-    if codec not in ("DIB ", "MJPG"):
-        raise ValueError(f"unsupported AVI codec {codec!r} (DIB /MJPG)")
+    if codec not in ("DIB ", "MJPG", "CRAM"):
+        raise ValueError(f"unsupported AVI codec {codec!r} (DIB /MJPG/CRAM)")
     n, h, w = fr.shape[:3]
+    if codec == "CRAM" and (h % 4 or w % 4):
+        raise ValueError(f"CRAM needs width/height multiples of 4, got {w}x{h}")
     row_bytes = (w * 3 + 3) // 4 * 4
 
     def chunk(tag: bytes, body: bytes) -> bytes:
@@ -248,6 +428,13 @@ def encode_avi(
 
         tag = b"00dc"
         payloads = [encode_jpeg(fr[i], quality=quality) for i in range(n)]
+    elif codec == "CRAM":
+        tag = b"00dc"
+        payloads = []
+        prev = None
+        for i in range(n):
+            body, prev = _msvc_encode_frame(_rgb555(fr[i]), prev)
+            payloads.append(body)
     else:
         tag = b"00db"
         pad = b"\x00" * (row_bytes - w * 3)
@@ -270,8 +457,9 @@ def encode_avi(
     )
     fourcc = codec.encode("ascii")
     compression = 0 if codec == "DIB " else struct.unpack("<I", fourcc)[0]
+    bitcount = 16 if codec == "CRAM" else 24
     strh = b"vids" + fourcc + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0) + struct.pack("<HHHH", 0, 0, w, h)
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 2835, 2835, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bitcount, compression, frame_size, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
 
     movi_body = bytearray(b"movi")
@@ -327,15 +515,25 @@ def avi_meta(data: bytes) -> dict:
 
 
 def decode_avi_frame(data: bytes, index: int) -> np.ndarray:
-    """Decode ONE frame to (H, W, 3) RGB — random access via the movi
-    offsets, so sampling frame k of a long clip never touches the other
-    frames' bytes. Uncompressed DIB and Motion-JPEG ('MJPG', each chunk
-    a standalone baseline JPEG) streams decode for real."""
+    """Decode ONE frame to (H, W, 3) RGB. For intra-only streams
+    (uncompressed DIB; Motion-JPEG 'MJPG', each chunk a standalone
+    baseline JPEG) this is random access via the movi offsets — frame k
+    never touches the other frames' bytes. For the inter-frame 'CRAM'
+    (MS Video 1) stream, frames 0..k are reconstructed in sequence
+    (skip blocks reference the previous frame), the codec's inherent
+    cost."""
     meta = avi_meta(data)
     frames = meta["frames"]
     if not 0 <= index < len(frames):
         raise IndexError(f"frame {index} out of range (clip has {len(frames)})")
     at, size = frames[index]
+    if meta.get("codec", "DIB ") == "CRAM":
+        w, h = meta["width"], meta["height"]
+        q = None
+        for i in range(index + 1):
+            fat, fsize = frames[i]
+            q = _msvc_decode_frame(data[fat : fat + fsize], h, w, q)
+        return _rgb888(q)
     if meta.get("codec", "DIB ") == "MJPG":
         from .jpeg_codec import decode_jpeg
 

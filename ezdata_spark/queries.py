@@ -2757,15 +2757,18 @@ def q105(spark, sf_dir):
 def q106(spark, sf_dir):
     """Real video-container frame sampling: each document id fabricates
     a RIFF/AVI clip executor-side (functions/media_codecs.py::
-    encode_avi) — uncompressed DIB for odd ids, Motion-JPEG (each frame
-    a standalone baseline JPEG) for even ids — ``sample_frames`` reads
-    the TRUE frame count from the avih header (no frame bytes touched),
-    and ``frame_features`` random-access-decodes only the sampled
-    frames through the per-stream codec (decode_avi_frame dispatches
-    on the strh fourcc). Rows-only: binary payloads are not
-    SQL-expressible; frame-exact ground truth is pinned by
-    tests/test_multimodal.py::test_sample_frames_real_avi and the
-    MJPEG round-trip tests in tests/test_media_codecs.py."""
+    encode_avi) cycling through the three real codecs — uncompressed
+    DIB, Motion-JPEG (intra-only, each frame a standalone baseline
+    JPEG), and MS Video 1 'CRAM' (INTER-frame: skip blocks copy from
+    the previous frame) — ``sample_frames`` reads the TRUE frame count
+    from the avih header (no frame bytes touched), and
+    ``frame_features`` decodes the sampled frames through the
+    per-stream codec (decode_avi_frame dispatches on the strh fourcc;
+    random access for the intra codecs, sequential reconstruction for
+    CRAM). Rows-only: binary payloads are not SQL-expressible;
+    frame-exact ground truth is pinned by tests/test_multimodal.py::
+    test_sample_frames_real_avi and the MJPEG/CRAM round-trip tests in
+    tests/test_media_codecs.py."""
     import pandas as pd
 
     from .functions.media_codecs import encode_avi
@@ -2781,13 +2784,13 @@ def q106(spark, sf_dir):
             for mid in b["id"]:
                 rng = np.random.RandomState(int(mid) % (2**31))
                 n = 5 + int(mid) % 30
-                frames = rng.randint(0, 256, size=(n, 8, 10, 3), dtype=np.uint8)
-                codec = "MJPG" if int(mid) % 2 == 0 else "DIB "
+                frames = rng.randint(0, 256, size=(n, 8, 12, 3), dtype=np.uint8)
+                codec = ["MJPG", "DIB ", "CRAM"][int(mid) % 3]
                 rows.append(
                     {
                         "media_id": int(mid),
                         "data": encode_avi(frames, fps=10, codec=codec),
-                        "meta": {"format": "avi", "width": 10, "height": 8, "channels": 3},
+                        "meta": {"format": "avi", "width": 12, "height": 8, "channels": 3},
                     }
                 )
             yield pd.DataFrame(rows)

@@ -1027,3 +1027,110 @@ def test_audio_features_real_flac(spark):
     for i in truth:
         assert got[i][0] == truth[i][0]
         assert got[i][1] == pytest.approx(truth[i][1], abs=1e-9)
+
+
+# ----------------------------------------------------- MS Video 1 (CRAM)
+def _cram_fixture(n=6, h=16, w=24):
+    """Checkerboard background + a moving square, all colors RGB555-
+    exact and <=2 per block -> the lossy quantizer is exact here."""
+    bg = np.zeros((h, w, 3), np.uint8)
+    bg[(np.add.outer(np.arange(h) // 4, np.arange(w) // 4)) % 2 == 0] = [96, 128, 160]
+    frames = []
+    for i in range(n):
+        f = bg.copy()
+        x = 4 * i % (w - 8)
+        f[4:12, x : x + 8] = [248, 64, 8]
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_cram_interframe_roundtrip_exact():
+    """Inter-frame decode reproduces every frame exactly for RGB555-
+    exact, <=2-colors-per-block content; skip blocks make inter frames
+    a fraction of the keyframe."""
+    from ezdata_spark.functions.media_codecs import (
+        avi_meta,
+        decode_avi_frame,
+        encode_avi,
+    )
+
+    frames = _cram_fixture()
+    blob = encode_avi(frames, fps=10, codec="CRAM")
+    m = avi_meta(blob)
+    assert m["codec"] == "CRAM"
+    for i in range(len(frames)):
+        assert np.array_equal(decode_avi_frame(blob, i), frames[i]), f"frame {i}"
+    sizes = [s for _, s in m["frames"]]
+    assert sizes[0] > 1.8 * np.mean(sizes[1:])  # keyframe >> inter frames
+    dib = encode_avi(frames)
+    assert len(blob) < len(dib) / 5  # real temporal compression
+
+
+def test_cram_static_clip_collapses():
+    """A fully static clip: every inter frame is one skip run."""
+    from ezdata_spark.functions.media_codecs import avi_meta, encode_avi
+
+    frames = np.repeat(_cram_fixture(1), 5, axis=0)
+    m = avi_meta(encode_avi(frames, codec="CRAM"))
+    sizes = [s for _, s in m["frames"]]
+    assert all(s == 2 for s in sizes[1:])  # one 16-bit skip code each
+
+
+def test_cram_lossy_bounded_and_modes():
+    """Random content exercises the 8-color quadrant path (lossy but
+    bounded); dark colors in the skip-code range take the 2-color
+    fallback and stay exact."""
+    from ezdata_spark.functions.media_codecs import decode_avi_frame, encode_avi
+
+    rng = np.random.RandomState(1)
+    rf = rng.randint(0, 256, (4, 8, 12, 3), np.uint8)
+    blob = encode_avi(rf, codec="CRAM")
+    for i in range(4):
+        px = decode_avi_frame(blob, i)
+        mae = np.abs(px.astype(int) - rf[i].astype(int)).mean()
+        assert mae < 60, f"frame {i} MAE {mae}"  # quantizer, not garbage
+    dark = np.zeros((3, 4, 4, 3), np.uint8)
+    dark[:] = [0, 33, 9]  # RGB555 cell 0x421 — inside the skip-code range
+    px = decode_avi_frame(encode_avi(dark, codec="CRAM"), 2)
+    assert np.array_equal(px, np.zeros((4, 4, 3), np.uint8) + [0, 32, 8])
+    with pytest.raises(ValueError, match="multiples of 4"):
+        encode_avi(np.zeros((2, 6, 6, 3), np.uint8), codec="CRAM")
+
+
+def test_frame_features_real_cram(spark):
+    """Distributed frame sampling over a CRAM clip: features match the
+    numpy truth of the reconstructed frames (sequential inter-frame
+    decode inside the Arrow batch)."""
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import decode_avi_frame, encode_avi
+    from ezdata_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        frame_features,
+        sample_frames,
+    )
+
+    frames = _cram_fixture(n=12)
+    blob = encode_avi(frames, fps=10, codec="CRAM")
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "media_id": 3,
+                    "data": blob,
+                    "meta": {"format": "avi", "width": 24, "height": 16, "channels": 3},
+                }
+            ]
+        ),
+        schema=IMAGE_SCHEMA,
+    )
+    sampled = sample_frames(media, every_n=5, max_frames=3)
+    feats = {
+        r.frame_index: (r.mean_luma, r.std_luma)
+        for r in frame_features(sampled).collect()
+    }
+    assert set(feats) == {0, 5, 10}
+    for idx, (ml, sl) in feats.items():
+        luma = decode_avi_frame(blob, idx).astype("float64").mean(axis=2)
+        assert ml == pytest.approx(float(luma.mean()), abs=1e-9)
+        assert sl == pytest.approx(float(luma.std()), abs=1e-9)
