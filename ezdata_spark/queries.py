@@ -3041,3 +3041,64 @@ def q113(spark, sf_dir):
             F.shiftright("zval", 18).cast("int").alias("zbucket"),
         )
     )
+
+
+@query(
+    "q114_correlation_matrix",
+    oracle="""
+    WITH c AS (SELECT corr(l_quantity, l_extendedprice) AS qty_price,
+                      corr(l_quantity, l_discount) AS qty_disc,
+                      corr(l_quantity, l_tax) AS qty_tax,
+                      corr(l_extendedprice, l_discount) AS price_disc,
+                      corr(l_extendedprice, l_tax) AS price_tax,
+                      corr(l_discount, l_tax) AS disc_tax
+               FROM lineitem)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, ROUND(qty_price, 6) AS corr FROM c
+    UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(qty_disc, 6) FROM c
+    UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(qty_tax, 6) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(price_disc, 6) FROM c
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(price_tax, 6) FROM c
+    UNION ALL SELECT 'l_discount', 'l_tax', ROUND(disc_tax, 6) FROM c
+    """,
+)
+def q114(spark, sf_dir):
+    """Pairwise correlation matrix over the numeric measures — ONE
+    aggregate pass computes all six Pearson coefficients (each corr is
+    a mergeable moment sketch, so the scan reads the table once and the
+    shuffle carries six fixed-size states), then an unpivot lays the
+    matrix out long-form."""
+    df = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    agg = df.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs))
+    return agg.select(
+        F.expr(f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)")
+    )
+
+
+@query(
+    "q115_grouped_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q115(spark, sf_dir):
+    """Per-group OLS trend fit (ANSI regr_slope / regr_intercept /
+    regr_r2 — identical definitions in Spark and DuckDB): one hash
+    aggregate whose state is the fixed-size co-moment tuple, so a
+    million groups cost the same shuffle as a count."""
+    df = load(spark, sf_dir, "lineitem")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+    )

@@ -4,6 +4,8 @@ rows-only queries' correctness backstop per FIXTURES.md §C)."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -1648,3 +1650,36 @@ def test_write_zordered_tightens_file_stats(spark, tmp_path):
         np.mean(spans_x), np.mean(spans_y))
     # and reading back loses nothing
     assert spark.read.parquet(path).count() == n
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=0, max_size=6), min_size=2, max_size=25
+    ),
+    seed=st.integers(0, 100),
+)
+def test_fuzzy_pairs_property_vs_brute_force(spark, words, seed):
+    """Random small-alphabet vocabularies (dense near-neighbors, empty
+    strings, duplicates): blocking output == brute force, always."""
+    import itertools
+
+    from ezdata_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {(r.left, r.right) for r in fuzzy_pairs(df, "w").collect()}
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(set(words)), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
