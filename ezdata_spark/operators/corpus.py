@@ -31,6 +31,8 @@ __all__ = [
     "split_by_hash",
     "curate",
     "incremental_new",
+    "chunk_text",
+    "remove_duplicate_spans",
 ]
 
 
@@ -533,4 +535,71 @@ def chunk_text(
             .cast("int")
             .alias("chunk_tokens"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicate-span removal — the distributed form of the
+    suffix-array substring dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022): any ``window``-token
+    span that occurs ``min_count``+ times across the corpus (including
+    repeats inside one document) is cut from every document, and the
+    surviving tokens are rejoined in order.
+
+    Plan shape: one explode to (doc, pos, token), one explode to
+    (doc, wpos, window-gram), a groupBy on the gram to find duplicated
+    windows (the only corpus-wide shuffle — at 100 TB hash the gram to
+    8 bytes first, same trade as ``decontaminate``), a position-range
+    explode to mark covered tokens, an anti-join, and one per-doc
+    aggregate whose order is restored by array_sort (no
+    collect_list-order dependence). Returns (id, kept_text,
+    n_tokens_before, n_tokens_after)."""
+    t = tokens(text_col)
+    tok = docs.select(
+        F.col(id_col), F.posexplode(t).alias("pos", "tok")
+    )
+    grams = docs.select(
+        F.col(id_col), F.posexplode(word_ngrams(text_col, window)).alias("wpos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(window - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_tokens_after"),
+    )
+    base = docs.select(F.col(id_col), F.size(t).alias("n_tokens_before")).where(
+        F.size(t) > 0
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        "n_tokens_before",
+        F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
     )

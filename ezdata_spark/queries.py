@@ -3102,3 +3102,49 @@ def q115(spark, sf_dir):
         F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("intercept"),
         F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
     )
+
+
+@query(
+    "q116_dup_span_removal",
+    oracle=r"""
+    WITH tokl AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ts
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(k AS BIGINT) AS wpos,
+             array_to_string(ts[k + 1 : k + 20], ' ') AS gram
+      FROM tokl, unnest(range(0, greatest(len(ts) - 19, 0))) AS u(k)),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM grams JOIN dup USING (gram), unnest(range(wpos, wpos + 20)) AS v(p)),
+    tok AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos, ts[p + 1] AS tok
+      FROM tokl, unnest(range(0, len(ts))) AS u(p)),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+      ANTI JOIN covered ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+             CAST(count(*) AS BIGINT) AS n_tokens_after
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.kept_text, '') AS kept_text,
+           CAST(t.n AS BIGINT) AS n_tokens_before,
+           COALESCE(r.n_tokens_after, 0) AS n_tokens_after
+    FROM (SELECT doc_id, len(ts) AS n FROM tokl WHERE len(ts) > 0) t
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q116(spark, sf_dir):
+    """Exact duplicate-span removal (operators/corpus.py::
+    remove_duplicate_spans) — the distributed form of the suffix-array
+    substring dedup of Lee et al., ACL 2022: every 20-token window
+    occurring 2+ times corpus-wide is cut from every document and the
+    survivors are rejoined in order. The only corpus-wide shuffle
+    groups on the window gram (hashable to 8 bytes at 100 TB, as in
+    decontaminate); per-doc reconstruction is order-restored by
+    array_sort, not collect order."""
+    from .operators.corpus import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, window=20, min_count=2)

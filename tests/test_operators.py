@@ -1683,3 +1683,52 @@ def test_fuzzy_pairs_property_vs_brute_force(spark, words, seed):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+# ------------------------------------------------ duplicate-span removal
+def test_remove_duplicate_spans_vs_manual(spark):
+    """A span shared by two docs is cut from BOTH; a span repeated
+    inside one doc is cut at both sites; unique text survives."""
+    from ezdata_spark.operators.corpus import remove_duplicate_spans
+
+    shared = "the quick brown fox"  # 4-token window, appears in docs 1+2
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, f"{shared} middle words here {shared}"),   # twice in one doc
+            (4, "totally unique text nothing repeats"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.kept_text, r.n_tokens_before, r.n_tokens_after)
+        for r in remove_duplicate_spans(docs, window=4, min_count=2).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta", 8, 4)
+    assert out[2] == ("one two three four", 8, 4)
+    # doc 3: both copies cut; 'middle words here' has no 4-window of its own...
+    # windows covering positions: every 4-window of doc3 that matches `shared`
+    # covers 0-3 and 7-10; middle tokens 4-6 survive
+    assert out[3] == ("middle words here", 11, 3)
+    assert out[4][0] == "totally unique text nothing repeats"
+    assert 5 not in out  # empty doc emits nothing (no tokens)
+
+
+def test_remove_duplicate_spans_overlapping_windows(spark):
+    """A long duplicated passage produces overlapping duplicated
+    windows whose covered ranges merge seamlessly (no survivor holes)."""
+    from ezdata_spark.operators.corpus import remove_duplicate_spans
+
+    passage = " ".join(f"p{i}" for i in range(10))  # 10-token passage
+    docs = spark.createDataFrame(
+        [(1, f"intro {passage} outro"), (2, f"{passage} tail words")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.kept_text, r.n_tokens_after)
+        for r in remove_duplicate_spans(docs, window=5, min_count=2).collect()
+    }
+    assert out[1] == ("intro outro", 2)
+    assert out[2] == ("tail words", 2)
