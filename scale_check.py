@@ -259,6 +259,17 @@ def main() -> None:
         ((F.col("id") % 7) - 3.0).alias("weight"),
     )
     run("linear_classifier", linear_score(docs, vocab), rows_in=doc_n)
+    from ezdata_spark.operators.corpus import remove_duplicate_spans
+
+    run("dup_span_removal", remove_duplicate_spans(docs, window=10), rows_in=doc_n)
+    from ezdata_spark.operators.layout import zorder_layout
+
+    run(
+        "zorder_values",
+        zorder_layout(
+            fact, {"quantity": (0.0, 51.0), "price": (900.0, 1001.0)}, bits=12
+        ),
+    )
 
     # ANN tier (round-6): PQ encode + ADC top-k and the LSH probe at
     # vector-corpus scale. Codebooks are trained ONCE on a bounded
@@ -333,7 +344,7 @@ def main() -> None:
             for mid in b["id"]:
                 mid = int(mid)
                 rng = np.random.RandomState(mid % (2**31))
-                kind = mid % 4
+                kind = mid % 5
                 if kind == 0:
                     px = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
                     rows.append({"media_id": mid, "data": encode_bmp(px),
@@ -348,12 +359,19 @@ def main() -> None:
                     tone = (0.5 * np.sin(2 * np.pi * (100 + mid % 300) * t)).astype("float32")
                     rows.append({"media_id": mid, "data": encode_wav_adpcm(tone, 8000),
                                  "meta": {"format": "adpcm", "width": 0, "height": 0, "channels": 1}})
-                else:
+                elif kind == 3:
                     t = np.arange(1600) / 8000.0
                     tone = (0.5 * np.sin(2 * np.pi * (100 + mid % 300) * t)).astype("float32")
                     law = "ulaw" if mid % 2 == 0 else "alaw"
                     rows.append({"media_id": mid, "data": encode_wav_g711(tone, 8000, law=law),
                                  "meta": {"format": "g711", "width": 0, "height": 0, "channels": 1}})
+                else:
+                    from ezdata_spark.functions.flac_codec import encode_flac
+
+                    t = np.arange(1600) / 8000.0
+                    tone = (0.5 * np.sin(2 * np.pi * (100 + mid % 300) * t)).astype("float32")
+                    rows.append({"media_id": mid, "data": encode_flac(tone, 8000),
+                                 "meta": {"format": "flac", "width": 0, "height": 0, "channels": 1}})
             yield pd.DataFrame(rows)
 
     media = (
@@ -363,7 +381,7 @@ def main() -> None:
         .persist()
     )
     media.write.format("noop").mode("overwrite").save()  # materialize untimed
-    img_n = media_n // 2
+    img_n = media_n * 2 // 5
     run("image_decode_features",
         image_features(media.filter(F.col("meta.format").isin("bmp", "gif"))),
         rows_in=img_n)
@@ -371,14 +389,14 @@ def main() -> None:
     media.persist()
     media.write.format("noop").mode("overwrite").save()
     run("audio_decode_features",
-        audio_features(media.filter(F.col("meta.format").isin("adpcm", "g711"))),
+        audio_features(media.filter(F.col("meta.format").isin("adpcm", "g711", "flac"))),
         rows_in=media_n - img_n)
     media.unpersist()
 
-    # MJPEG frame sampling: header-true sample_frames + random-access
-    # per-frame JPEG decode (the compressed-video path). Clip count is
-    # smaller (each clip fabricates 3 encoded frames) but rows_in counts
-    # FRAMES decoded, the unit the pipeline scales in.
+    # Compressed-video frame sampling (MJPEG intra + CRAM inter
+    # alternating): header-true sample_frames + per-frame codec decode.
+    # Clip count is smaller (each clip fabricates 3 encoded frames) but
+    # rows_in counts FRAMES decoded, the unit the pipeline scales in.
     from ezdata_spark.functions.media_codecs import encode_avi
     from ezdata_spark.operators.multimodal import frame_features, sample_frames
 
@@ -394,8 +412,9 @@ def main() -> None:
                 mid = int(mid)
                 rng = np.random.RandomState(mid % (2**31))
                 frames = rng.randint(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+                codec = "MJPG" if mid % 2 == 0 else "CRAM"
                 rows.append({"media_id": mid,
-                             "data": encode_avi(frames, fps=10, codec="MJPG"),
+                             "data": encode_avi(frames, fps=10, codec=codec),
                              "meta": {"format": "avi", "width": 16, "height": 16, "channels": 3}})
             yield pd.DataFrame(rows)
 
@@ -403,7 +422,7 @@ def main() -> None:
         spark.range(clip_n).repartition(64).mapInPandas(_gen_clips, IMAGE_SCHEMA).persist()
     )
     clips.write.format("noop").mode("overwrite").save()
-    run("mjpeg_frame_features",
+    run("video_frame_features",
         frame_features(sample_frames(clips, every_n=1, max_frames=3)),
         rows_in=clip_n * 3)
     clips.unpersist()
@@ -437,8 +456,9 @@ def main() -> None:
             "  -> 12.25M true distance-1 pairs); the Mrows-in/s metric\n"
             "  understates it — pair emission is the work, and it is linear\n"
             "  in true pairs by construction (complete FastSS blocking).\n"
-            "- `mjpeg_frame_features` decodes per-frame baseline JPEGs\n"
-            "  (pure-numpy Huffman+IDCT); rows_in counts FRAMES decoded.\n"
+            "- `video_frame_features` decodes MJPEG (pure-numpy\n"
+            "  Huffman+IDCT) and CRAM (inter-frame MS Video 1) clips;\n"
+            "  rows_in counts FRAMES decoded.\n"
             "- media decode rows measure the mapInPandas decode+feature\n"
             "  stage over persisted payloads; fabrication is untimed.\n"
         )
