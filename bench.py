@@ -57,6 +57,10 @@ HEADLINE = [
     "q110_event_funnel",     # ordered conversion funnel (3 stages)
     "q111_linear_classifier",# broadcast-vocabulary quality scorer
     "q112_chunk_documents",  # sliding-window token chunking
+    "q113_zorder_layout",    # Morton interleave layout values
+    "q114_correlation_matrix", # six corr states in one aggregate pass
+    "q115_grouped_regression", # per-group OLS co-moment aggregate
+    "q116_dup_span_removal", # exact duplicate-span (substring) dedup
 ]
 
 

@@ -560,6 +560,12 @@ def remove_duplicate_spans(
     aggregate whose order is restored by array_sort (no
     collect_list-order dependence). Returns (id, kept_text,
     n_tokens_before, n_tokens_after)."""
+    from .dedup import _fan_out
+
+    # the window-gram fold is the CPU-heavy per-row stage (n zip_with
+    # passes per doc); fan a small single-split input out to cluster
+    # parallelism first — a no-op at real scale (see dedup._fan_out)
+    docs = _fan_out(docs)
     t = tokens(text_col)
     tok = docs.select(
         F.col(id_col), F.posexplode(t).alias("pos", "tok")
