@@ -3148,3 +3148,56 @@ def q116(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, window=20, min_count=2)
+
+
+@query(
+    "q117_scd2_merge",
+    oracle="""
+    WITH dim AS (SELECT c_custkey, c_mktsegment AS segment,
+                        TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+    upd AS (SELECT o_custkey AS c_custkey, o_orderdate AS ts,
+                   'SEG-' || substr(o_orderpriority, 1, 1) AS segment
+            FROM orders WHERE o_orderkey % 17 = 0),
+    latest AS (SELECT c_custkey, ts, segment FROM (
+        SELECT c_custkey, ts, segment,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY ts DESC, segment DESC) AS rn
+        FROM upd) WHERE rn = 1),
+    j AS (SELECT d.c_custkey AS dk, d.segment AS dseg, d.valid_from,
+                 l.c_custkey AS uk, l.ts, l.segment AS useg
+          FROM dim d FULL OUTER JOIN latest l ON d.c_custkey = l.c_custkey)
+    SELECT dk AS c_custkey, dseg AS segment, valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM j WHERE dk IS NOT NULL AND (uk IS NULL OR dseg = useg)
+    UNION ALL
+    SELECT dk, dseg, valid_from, ts
+      FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND dseg <> useg
+    UNION ALL
+    SELECT COALESCE(dk, uk), useg, ts, CAST(NULL AS TIMESTAMP)
+      FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR dseg <> useg)
+    """,
+)
+def q117(spark, sf_dir):
+    """SCD type-2 merge (operators/scd.py::scd2_apply) — the
+    history-keeping upsert a warehouse MERGE INTO performs, as a pure
+    DataFrame transformation: changed keys close their open row and
+    start a new one at the update timestamp, unchanged/unmatched rows
+    pass through. One latest-per-key window over the update batch plus
+    one full-outer equi-join on the dimension key."""
+    from .operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = orders.where(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.concat(F.lit("SEG-"), F.substring("o_orderpriority", 1, 1)).alias("segment"),
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["segment"], ts_col="ts")

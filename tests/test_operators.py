@@ -1732,3 +1732,53 @@ def test_remove_duplicate_spans_overlapping_windows(spark):
     }
     assert out[1] == ("intro outro", 2)
     assert out[2] == ("tail words", 2)
+
+
+# ----------------------------------------------------------- SCD2 merge
+def test_scd2_apply_semantics(spark):
+    """Changed key closes + reopens; unchanged and unmatched pass
+    through; new key inserts; closed history untouched; latest update
+    in the batch wins."""
+    from ezdata_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # closed history row for key 1
+            (1, "OLD", "2020-01-01 00:00:00", "2022-01-01 00:00:00"),
+            (1, "A", "2022-01-01 00:00:00", None),   # open, will change
+            (2, "B", "2022-01-01 00:00:00", None),   # open, same value arrives
+            (3, "C", "2022-01-01 00:00:00", None),   # open, no update
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg",
+        "cast(valid_from as timestamp) valid_from",
+        "cast(valid_to as timestamp) valid_to",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "2023-05-01 00:00:00", "X"),   # older intra-batch version
+            (1, "2023-06-01 00:00:00", "A2"),  # latest wins
+            (2, "2023-06-01 00:00:00", "B"),   # unchanged value
+            (9, "2023-06-01 00:00:00", "NEW"), # brand-new key
+        ],
+        "k long, ts string, seg string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "seg")
+
+    out = scd2_apply(dim, updates, "k", ["seg"], ts_col="ts")
+    rows = {(r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in out.collect()}
+    assert rows == {
+        (1, "OLD", "2020-01-01 00:00:00", "2022-01-01 00:00:00"),  # history kept
+        (1, "A", "2022-01-01 00:00:00", "2023-06-01 00:00:00"),    # closed at LATEST ts
+        (1, "A2", "2023-06-01 00:00:00", "None"),                  # new open version
+        (2, "B", "2022-01-01 00:00:00", "None"),                   # unchanged passes
+        (3, "C", "2022-01-01 00:00:00", "None"),                   # unmatched passes
+        (9, "NEW", "2023-06-01 00:00:00", "None"),                 # insert
+    }
+    # exactly one open row per live key
+    opens = [r.k for r in out.where("valid_to is null").collect()]
+    assert sorted(opens) == [1, 2, 3, 9]
+    # idempotence: re-applying the same batch changes nothing
+    again = scd2_apply(out, updates, "k", ["seg"], ts_col="ts")
+    rows2 = {(r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in again.collect()}
+    assert rows2 == rows
