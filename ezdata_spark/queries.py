@@ -3201,3 +3201,29 @@ def q117(spark, sf_dir):
         F.concat(F.lit("SEG-"), F.substring("o_orderpriority", 1, 1)).alias("segment"),
     )
     return scd2_apply(dim, updates, "c_custkey", ["segment"], ts_col="ts")
+
+
+@query("z118_pagerank")
+def q118(spark, sf_dir):
+    """PageRank over the order->part bipartite projection (operators/
+    graph.py::pagerank) — the domain-authority weighting step of a
+    web-corpus curation recipe, run here on the orders graph: nodes
+    are order/part buckets, edges the lineitem incidences. Rows-only:
+    iterative float fixpoint (25+ relational rounds) is not a single
+    SQL expression; exactness vs dense numpy power iteration is pinned
+    by tests/test_operators.py::test_pagerank_vs_dense_power_iteration.
+    5 rounds here (display convergence, not fixpoint — the operator
+    takes iterations/cut_every for real runs); top-50 by (rank, node)."""
+    from .operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.pmod(F.col("l_orderkey"), F.lit(500))).alias("src"),
+        (F.pmod(F.col("l_partkey"), F.lit(500)) + 1000).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5, cut_every=10)
+    return (
+        pr.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )

@@ -1782,3 +1782,37 @@ def test_scd2_apply_semantics(spark):
     again = scd2_apply(out, updates, "k", ["seg"], ts_col="ts")
     rows2 = {(r.k, r.seg, str(r.valid_from), str(r.valid_to)) for r in again.collect()}
     assert rows2 == rows
+
+
+# ------------------------------------------------------------- PageRank
+def test_pagerank_vs_dense_power_iteration(spark):
+    """Relational PageRank equals the dense numpy power iteration with
+    dangling redistribution, including a dangling node and a cycle."""
+    from ezdata_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]  # node 2->0 cycle, 3 feeds in
+    # add a dangling node 4 (no out-edges, referenced by 1)
+    edges.append((1, 4))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=25, cut_every=7).collect()}
+
+    n = 5
+    d = 0.85
+    import numpy as np
+
+    M = np.zeros((n, n))
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    for s, ts in out.items():
+        for t in ts:
+            M[t, s] = 1.0 / len(ts)
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        dangling = sum(r[i] for i in range(n) if i not in out)
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-9), i
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # authority ordering: the cycle hub 0 outranks the feeder 3
+    assert got[0] > got[3]

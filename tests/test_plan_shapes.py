@@ -37,6 +37,10 @@ BNLJ_ALLOWED = {
     # inside the on-the-fly idf weight derivation; production weights
     # arrive as a file and the fold-in disappears entirely
     "q111_linear_classifier",
+    # z118: per-round crossJoin(broadcast(1-row dangling-mass agg)) —
+    # the standard PageRank dangling redistribution, one scalar per
+    # iteration folded onto the rank frame
+    "z118_pagerank",
     # PQ's ADC pass deliberately scores every code word against the
     # broadcast query LUTs (the linear ADC scan of Jegou et al.) — the
     # compression is the point: m table lookups per vector over the
