@@ -61,6 +61,7 @@ HEADLINE = [
     "q114_correlation_matrix", # six corr states in one aggregate pass
     "q115_grouped_regression", # per-group OLS co-moment aggregate
     "q116_dup_span_removal", # exact duplicate-span (substring) dedup
+    "q117_scd2_merge",       # SCD2 history-keeping upsert
 ]
 
 

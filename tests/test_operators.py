@@ -1816,3 +1816,56 @@ def test_pagerank_vs_dense_power_iteration(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     # authority ordering: the cycle hub 0 outranks the feeder 3
     assert got[0] > got[3]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    dim_keys=st.lists(st.integers(0, 8), min_size=0, max_size=6, unique=True),
+    upd=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 5), st.sampled_from("PQRS")),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_scd2_apply_property_vs_simulator(spark, dim_keys, upd):
+    """Random dimensions and update batches vs a pure-Python SCD2
+    simulator: same rows, always one open row per live key."""
+    from ezdata_spark.operators.scd import scd2_apply
+
+    dim_rows = [(k, f"V{k}", "2020-01-01 00:00:00", None) for k in dim_keys]
+    dim = spark.createDataFrame(
+        dim_rows, "k long, seg string, valid_from string, valid_to string"
+    ).selectExpr(
+        "k", "seg",
+        "cast(valid_from as timestamp) valid_from",
+        "cast(valid_to as timestamp) valid_to",
+    )
+    upd_rows = [(k, f"2023-0{d}-01 00:00:00", s) for k, d, s in upd]
+    updates = spark.createDataFrame(
+        upd_rows, "k long, ts string, seg string"
+    ).selectExpr("k", "cast(ts as timestamp) ts", "seg")
+
+    got = {
+        (r.k, r.seg, str(r.valid_from), str(r.valid_to))
+        for r in scd2_apply(dim, updates, "k", ["seg"], ts_col="ts").collect()
+    }
+
+    # simulator: latest update per key (ts desc, seg desc tiebreak)
+    latest = {}
+    for k, ts, s in upd_rows:
+        cur = latest.get(k)
+        if cur is None or (ts, s) > cur:
+            latest[k] = (ts, s)
+    want = set()
+    open_by_key = {k: f"V{k}" for k in dim_keys}
+    for k in dim_keys:
+        if k in latest and latest[k][1] != open_by_key[k]:
+            ts, s = latest[k]
+            want.add((k, open_by_key[k], "2020-01-01 00:00:00", ts))
+            want.add((k, s, ts, "None"))
+        else:
+            want.add((k, open_by_key[k], "2020-01-01 00:00:00", "None"))
+    for k, (ts, s) in latest.items():
+        if k not in open_by_key:
+            want.add((k, s, ts, "None"))
+    assert got == want
