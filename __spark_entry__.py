@@ -25,13 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # name-sorted: q01-q72, q86-q90, q92-q95, q97-q99, q102-q104,
-    # q107-q116 are oracle-backed; q73-q85, q91, q96, z100, z101, z105,
-    # z106 are rows-only (non-SQL-expressible: Spark-specific hashes,
-    # KMeans / codebooks, iterative fixpoints, media bytes, sketch
-    # estimates).  Rows-only entries are z-prefixed so the driver's
-    # 50-name correctness window (first 50 sorted names: q01-q09,
-    # q102-q116, q10-q37) holds only oracle-backed queries; the 47
-    # oracle-backed queries past the window are guarded by
+    # q107-q117, q119-q124 are oracle-backed; q73-q85, q91, q96, z100,
+    # z101, z105, z106, z118 are rows-only (non-SQL-expressible:
+    # Spark-specific hashes, KMeans / codebooks, iterative fixpoints,
+    # media bytes, sketch estimates).  Rows-only entries are z-prefixed
+    # so the driver's 50-name correctness window (first 50 sorted
+    # names: q01-q09, q102-q124, q10-q31) holds only oracle-backed
+    # queries; the oracle-backed queries past the window are guarded by
     # tests/test_oracle_gate.py
     return dict(sorted(_catalog.QUERIES.items()))
 

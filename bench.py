@@ -62,6 +62,12 @@ HEADLINE = [
     "q115_grouped_regression", # per-group OLS co-moment aggregate
     "q116_dup_span_removal", # exact duplicate-span (substring) dedup
     "q117_scd2_merge",       # SCD2 history-keeping upsert
+    "q119_triangle_census",  # degree-ordered triangle counting
+    "q120_mutual_information", # contingency MI / chi2 (one agg pass)
+    "q121_resample_interpolate", # dense 6h grid + linear gap fill
+    "q122_skyline",          # two-phase Pareto front
+    "q123_entropy_profile",  # single-scan per-column entropy
+    "q124_markov_transitions", # lead-window transition matrix
 ]
 
 

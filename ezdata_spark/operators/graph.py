@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -85,4 +85,88 @@ def pagerank(
     out = ranks
     nodes.unpersist()
     out_edges.unpersist()
+    return out
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle / wedge census of the undirected simple graph in
+    ``edges`` (self-loops dropped, duplicates and both orientations
+    collapse to one edge). Returns a 1-row frame:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+
+    Scale design — the standard degree-ordered algorithm (Suri &
+    Vassilvitskii, WWW 2011): orient every edge from its lower-degree
+    endpoint to the higher (ties by id), so each node's out-degree is
+    O(sqrt(m)) on any graph; wedges are the self-join of the oriented
+    list on the pivot node, and a triangle is a wedge whose far pair is
+    itself an oriented edge. Three equi-join shuffles total, no node
+    ever enumerates more than O(sqrt(m)) neighbour pairs — the plan
+    that survives power-law degree skew, where the naive undirected
+    wedge join explodes on hub nodes.
+
+    global_clustering = 3 * triangles / wedges, with wedges counted in
+    the undirected graph: sum over nodes of C(degree, 2)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    # Orient low-degree -> high-degree (tie: smaller id first).
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("uv")
+        )
+        .select("uv.u", "uv.v")
+        .persist()
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum(F.expr("deg * (deg - 1) / 2")).cast("bigint").alias("n_wedges"),
+            )
+        )
+    )
+    out = stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(0.0),
+            6,
+        ).alias("global_clustering"),
+    )
     return out

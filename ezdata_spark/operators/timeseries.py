@@ -1,0 +1,115 @@
+"""Time-series resampling and gap interpolation.
+
+The reference has no time-series surface (its tables are static numpy
+arrays), but a Spark analytics engine over event data needs the pandas
+`resample`/`interpolate` pair as first-class distributed operators:
+regularize an event stream onto a fixed grid, then fill the gaps.
+
+Scale design:
+- `resample` is one hash aggregate on (key, bucket) — the same shuffle
+  shape as any groupBy; the dense grid is generated per key with
+  `sequence()` + explode (rows proportional to key-count x grid length,
+  never to input rows) and joined back on the bucket key.
+- `interpolate_linear` uses two window passes (forward carry of the
+  last observed point, backward carry of the next) partitioned by key
+  and ordered by bucket — no self-join, no point blow-up; state per
+  row is one (ts, value) pair in each direction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    interval_seconds: int,
+    keys: Sequence[str] = (),
+    aggs: Mapping[str, Column] | None = None,
+    dense: bool = True,
+) -> DataFrame:
+    """Bucket `ts_col` to a fixed grid of `interval_seconds` and
+    aggregate; with `dense=True` every (key, bucket) cell between each
+    key's first and last event is emitted (missing cells carry NULL
+    aggregates), which is what downstream interpolation / charting
+    needs.
+
+    Mirrors pandas `df.resample(rule).agg(...)` semantics (left-closed,
+    left-labelled buckets) in one distributed aggregate.
+    """
+    aggs = dict(aggs or {"n": F.count(F.lit(1))})
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("bigint")
+        * interval_seconds
+    ).alias("bucket")
+    keyc = [F.col(k) for k in keys]
+    got = df.groupBy(*keyc, bucket).agg(*[c.alias(n) for n, c in aggs.items()])
+    if not dense:
+        return got
+    # Dense grid per key: sequence() over each key's observed span.
+    # Grid size is (keys x span/interval), independent of event count.
+    span = df.groupBy(*keyc).agg(
+        F.min(F.unix_timestamp(ts_col)).alias("_lo"),
+        F.max(F.unix_timestamp(ts_col)).alias("_hi"),
+    )
+    grid = span.select(
+        *[F.col(k) for k in keys],
+        F.explode(
+            F.sequence(
+                (F.col("_lo") / interval_seconds).cast("bigint") * interval_seconds,
+                (F.col("_hi") / interval_seconds).cast("bigint") * interval_seconds,
+                F.lit(interval_seconds),
+            )
+        ).alias("_b"),
+    ).select(*[F.col(k) for k in keys], F.timestamp_seconds("_b").alias("bucket"))
+    return grid.join(got, [*keys, "bucket"], "left")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "bucket",
+    keys: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL `value_col` cells between the
+    nearest observed neighbours per key (pandas
+    `Series.interpolate(method='time')` semantics: leading/trailing
+    gaps stay NULL).
+
+    Two window passes carry (ts, value) of the previous and next
+    non-null observation; the fill is the time-weighted blend. Windows
+    partition by the series key — at 100 TB each key's series sorts
+    independently, no single-partition stage.
+    """
+    out_col = out_col or value_col
+    part = list(keys)
+    w_fwd = (
+        Window.partitionBy(*part)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy(*part)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t = F.unix_timestamp(F.col(ts_col)).cast("double")
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_fwd)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_fwd)
+    next_v = F.first(v, ignorenulls=True).over(w_bwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_bwd)
+    frac = (t - prev_t) / (next_t - prev_t)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.when(next_t == prev_t, prev_v).otherwise(prev_v + (next_v - prev_v) * frac),
+        )
+    )
+    return df.withColumn(out_col, filled)

@@ -174,3 +174,42 @@ def funnel(
     for st in stages[1:]:
         out = out.unionByName(st)
     return out.groupBy("step_index", "step").agg(F.count(F.lit(1)).alias("users"))
+
+
+def transition_matrix(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    state_col: str,
+    tiebreak: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of per-user state
+    sequences: for each observed (state, next_state) pair, the count
+    and the row-normalized probability P(next | state). The terminal
+    event of each user has no successor and drops out (standard
+    clickstream transition semantics).
+
+    Scale shape: ONE window pass (lead over the per-user timeline --
+    the same single shuffle sessionize uses) followed by a hash
+    aggregate on the (state, next_state) pair; normalization runs on
+    the aggregated matrix (|S|^2 rows) via its row marginals, never on
+    raw events. ``tiebreak`` stabilizes equal-timestamp ordering."""
+    tb = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    w = Window.partitionBy(user).orderBy(ts, *tb)
+    nxt = F.lead(F.col(state_col)).over(w)
+    pairs = (
+        df.select(F.col(state_col).alias("state"), nxt.alias("next_state"))
+        .where(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = pairs.groupBy("state").agg(F.sum("n").alias("_row_n"))
+    return (
+        pairs.join(F.broadcast(marg), "state")
+        .select(
+            "state",
+            "next_state",
+            "n",
+            F.round(F.col("n") / F.col("_row_n"), 6).alias("p"),
+        )
+    )

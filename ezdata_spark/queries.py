@@ -3227,3 +3227,255 @@ def q118(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(50)
     )
+
+
+# =====================================================================
+# round 6 additions: graph census, association profiling, time-series
+# resampling, skyline, Markov transitions
+# =====================================================================
+
+@query(
+    "q119_triangle_census",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(l_orderkey % 500, l_partkey % 500) AS a,
+                      greatest(l_orderkey % 500, l_partkey % 500) AS b
+      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+    deg AS (SELECT node, count(*) AS deg
+            FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            GROUP BY node),
+    tri AS (SELECT count(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles,
+           ROUND(3.0 * (SELECT n_triangles FROM tri)
+                 / (SELECT sum(deg * (deg - 1) // 2) FROM deg), 6) AS global_clustering
+    """,
+)
+def q119(spark, sf_dir):
+    """Triangle / wedge census (operators/graph.py::triangle_count) —
+    degree-ordered triangle counting (Suri & Vassilvitskii, WWW 2011):
+    edges oriented low-degree -> high-degree bound every node's wedge
+    fan-out by O(sqrt(m)), so the count survives power-law hubs that
+    explode the naive wedge join. Three equi-join shuffles total."""
+    from .operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(500)).alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(500)).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "q120_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT coalesce(o_orderstatus, chr(0) || 'null') AS a,
+             coalesce(o_orderpriority, chr(0) || 'null') AS b,
+             CAST(count(*) AS BIGINT) AS nab
+      FROM orders GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM joint GROUP BY a),
+    mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM joint GROUP BY b),
+    tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM joint),
+    cells AS (
+      SELECT joint.*, na, nb, n
+      FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot),
+    terms AS (
+      SELECT n,
+        (nab / CAST(n AS DOUBLE))
+          * log2(nab / CAST(n AS DOUBLE) * n * n / (na * CAST(nb AS DOUBLE))) AS mi_term,
+        -(nab / CAST(n AS DOUBLE)) * log2(nab / CAST(n AS DOUBLE)) AS h_term,
+        (nab - na * nb / CAST(n AS DOUBLE)) * (nab - na * nb / CAST(n AS DOUBLE))
+          / (na * nb / CAST(n AS DOUBLE)) AS chi_term,
+        na * nb / CAST(n AS DOUBLE) AS exp_obs
+      FROM cells),
+    cards AS (
+      SELECT CAST(count(DISTINCT a) AS BIGINT) AS card_a,
+             CAST(count(DISTINCT b) AS BIGINT) AS card_b FROM joint)
+    SELECT n, card_a, card_b,
+           (card_a - 1) * (card_b - 1) AS dof,
+           ROUND(sum(mi_term), 6) AS mi_bits,
+           ROUND(sum(h_term), 6) AS h_joint_bits,
+           ROUND(sum(chi_term) + any_value(n) - sum(exp_obs), 4) AS chi2
+    FROM terms CROSS JOIN cards
+    GROUP BY n, card_a, card_b
+    """,
+)
+def q120(spark, sf_dir):
+    """Mutual information / joint entropy / chi-square between order
+    status and priority (operators/profile.py::association_stats) —
+    one hash aggregate builds the contingency table; all information
+    math runs on that |X| x |Y| frame with broadcast marginals, so the
+    cost at 100 TB is the single groupBy scan."""
+    from .operators.profile import association_stats
+
+    orders = load(spark, sf_dir, "orders")
+    return association_stats(orders, "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q121_resample_interpolate",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+      FROM events),
+    got AS (
+      SELECT event_type, (s // 21600) * 21600 AS b,
+             CAST(count(*) AS BIGINT) AS n, ROUND(avg(value), 6) AS v
+      FROM ev GROUP BY 1, 2),
+    span AS (SELECT event_type, min(s) AS lo, max(s) AS hi FROM ev GROUP BY 1),
+    grid AS (
+      SELECT event_type, CAST(g AS BIGINT) AS b
+      FROM span, unnest(range((lo // 21600) * 21600,
+                              (hi // 21600) * 21600 + 1, 21600)) AS u(g)),
+    j AS (
+      SELECT grid.event_type, grid.b, COALESCE(got.n, 0) AS n, got.v
+      FROM grid LEFT JOIN got
+        ON grid.event_type = got.event_type AND grid.b = got.b),
+    interp AS (
+      SELECT event_type, b, n, v,
+        last_value(v IGNORE NULLS) OVER w_f AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER w_f AS pt,
+        first_value(v IGNORE NULLS) OVER w_b AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER w_b AS nt
+      FROM j
+      WINDOW
+        w_f AS (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_b AS (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, make_timestamp(b * 1000000) AS bucket, n, v,
+      ROUND(CASE WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   CASE WHEN nt = pt THEN pv
+                        ELSE pv + (nv - pv)
+                             * ((CAST(b AS DOUBLE) - pt) / (nt - pt)) END
+            END, 6) AS v_filled
+    FROM interp
+    """,
+)
+def q121(spark, sf_dir):
+    """Resample the event stream to a dense 6-hour grid per event type
+    and linearly interpolate the gaps (operators/timeseries.py) — the
+    pandas resample/interpolate pair as one aggregate + per-key window
+    passes; the dense grid is keys x span/interval rows, independent
+    of event count."""
+    from .operators.timeseries import interpolate_linear, resample
+
+    ev = load(spark, sf_dir, "events")
+    r = resample(
+        ev,
+        "ts",
+        21600,
+        keys=["event_type"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "v": F.round(F.avg("value"), 6),
+        },
+    )
+    r = r.withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("bigint"))
+    out = interpolate_linear(
+        r, "v", ts_col="bucket", keys=["event_type"], out_col="v_filled"
+    )
+    return out.select(
+        "event_type", "bucket", "n", "v", F.round("v_filled", 6).alias("v_filled")
+    )
+
+
+@query(
+    "q122_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_s
+      FROM orders WHERE o_orderkey % 4 = 0)
+    SELECT p.o_orderkey, p.o_totalprice, p.od_s FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.o_totalprice >= p.o_totalprice AND q.od_s <= p.od_s
+        AND (q.o_totalprice > p.o_totalprice OR q.od_s < p.od_s))
+    """,
+)
+def q122(spark, sf_dir):
+    """Skyline / Pareto front (operators/skyline.py) — the earliest
+    high-value orders no other order beats on both (price: max,
+    date: min). Two-phase distributed skyline: exact numpy dominance
+    sweep per partition, then one bounded global refine over the union
+    of local skylines — raw rows never funnel to one task."""
+    from .operators.skyline import skyline
+
+    orders = load(spark, sf_dir, "orders")
+    pts = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("od_s"),
+    )
+    return skyline(pts, {"o_totalprice": "max", "od_s": "min"})
+
+
+@query(
+    "q123_entropy_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'lang' AS col_name, coalesce(lang, chr(0) || 'null') AS v
+      FROM documents
+      UNION ALL
+      SELECT 'source', coalesce(source, chr(0) || 'null') FROM documents),
+    h AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY 1, 2),
+    tot AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1)
+    SELECT h.col_name AS "column", n,
+      CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+      CAST(sum(CASE WHEN v = chr(0) || 'null' THEN cnt ELSE 0 END) AS BIGINT)
+        AS n_null,
+      ROUND(sum(-(cnt / CAST(n AS DOUBLE)) * log2(cnt / CAST(n AS DOUBLE))), 6)
+        AS entropy_bits,
+      ROUND(max(cnt / CAST(n AS DOUBLE)), 6) AS top_share
+    FROM h JOIN tot USING (col_name)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def q123(spark, sf_dir):
+    """Per-column entropy/distinct/null/top-share profile over the
+    document corpus (operators/profile.py::entropy_profile) — ONE scan
+    explodes (column, value) pairs into a single hash aggregate; the
+    entropy math runs on the value histograms (rows = sum of column
+    cardinalities)."""
+    from .operators.profile import entropy_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return entropy_profile(docs, ["lang", "source"])
+
+
+@query(
+    "q124_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_state
+      FROM events),
+    pairs AS (
+      SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_state IS NOT NULL GROUP BY 1, 2),
+    marg AS (SELECT state, CAST(sum(n) AS BIGINT) AS rn FROM pairs GROUP BY 1)
+    SELECT pr.state, pr.next_state, pr.n,
+           ROUND(pr.n / CAST(rn AS DOUBLE), 6) AS p
+    FROM pairs pr JOIN marg USING (state)
+    """,
+)
+def q124(spark, sf_dir):
+    """First-order Markov transition matrix of per-user event
+    sequences (operators/window.py::transition_matrix) — one lead
+    window over the (user, ts) timeline (the sessionize shuffle) plus
+    a pair-count aggregate; probabilities normalize on the |S|^2
+    matrix, never on raw events."""
+    from .operators.window import transition_matrix
+
+    ev = load(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type", tiebreak="event_id")

@@ -1869,3 +1869,187 @@ def test_scd2_apply_property_vs_simulator(spark, dim_keys, upd):
         if k not in open_by_key:
             want.add((k, s, ts, "None"))
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# round 6: triangle census, skyline, association/entropy profile,
+# resample+interpolate, transition matrix
+# ---------------------------------------------------------------------
+
+
+def test_triangle_count_vs_brute_force(spark):
+    """Degree-ordered census equals brute-force triangle enumeration on
+    a graph with a hub, a clique, duplicate/reversed edges, and a
+    self-loop."""
+    from itertools import combinations
+
+    from ezdata_spark.operators.graph import triangle_count
+
+    edges = [
+        (0, 1), (1, 0), (1, 2), (2, 0),            # triangle 0-1-2 (dup orientation)
+        (3, 3),                                    # self-loop: dropped
+        (0, 3), (0, 4), (0, 5), (0, 6),            # hub fan (no closures)
+        (7, 8), (8, 9), (9, 7), (7, 10), (10, 9),  # triangle 7-8-9 + 7-9-10
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    tris = sum(
+        1
+        for a, b, c in combinations(sorted(nodes), 3)
+        if {(a, b), (a, c), (b, c)} <= und
+    )
+    deg = {n: sum(1 for e in und if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(und)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tris == 3
+    assert row.global_clustering == pytest.approx(3 * tris / wedges, abs=1e-6)
+
+
+def test_skyline_vs_brute_force(spark):
+    """Two-phase distributed skyline equals the O(n^2) dominance scan,
+    including tied points (kept) and exact duplicates (all kept)."""
+    from ezdata_spark.operators.skyline import skyline
+
+    rng = np.random.default_rng(7)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(rng.integers(0, 30, (200, 2)))]
+    pts += [(200, 29.0, 0.0), (201, 29.0, 0.0)]  # duplicate extreme points
+    df = spark.createDataFrame(pts, "id long, x double, y double").repartition(7)
+    got = {r.id for r in skyline(df, {"x": "max", "y": "min"}).collect()}
+
+    expect = set()
+    for i, x, y in pts:
+        dominated = any(
+            (qx >= x and qy <= y and (qx > x or qy < y)) for _, qx, qy in pts
+        )
+        if not dominated:
+            expect.add(i)
+    assert got == expect
+    assert {200, 201} <= got
+
+
+def test_skyline_null_criteria_dropped(spark):
+    from ezdata_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, None, 0.0), (3, 4.0, 2.0)], "id long, x double, y double"
+    )
+    got = {r.id for r in skyline(df, {"x": "max", "y": "min"}).collect()}
+    assert got == {1}  # row 2 dropped (null), row 3 dominated by 1
+
+
+def test_association_stats_known_values(spark):
+    """MI/chi2 on a hand-computable 2x2 table; independent columns give
+    mi ~ 0 and chi2 ~ 0."""
+    import math
+
+    from ezdata_spark.operators.profile import association_stats
+
+    # perfectly dependent: b == a, 2 categories, 50/50
+    rows = [("x", "x")] * 6 + [("y", "y")] * 6
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = association_stats(df, "a", "b").collect()[0]
+    assert r.n == 12 and r.card_a == 2 and r.card_b == 2 and r.dof == 1
+    assert r.mi_bits == pytest.approx(1.0, abs=1e-6)       # H(a) = 1 bit
+    assert r.h_joint_bits == pytest.approx(1.0, abs=1e-6)  # joint == marginal
+    assert r.chi2 == pytest.approx(12.0, abs=1e-3)  # n * phi^2, phi=1
+
+    # independent uniform columns
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = association_stats(df, "a", "b").collect()[0]
+    assert r.mi_bits == pytest.approx(0.0, abs=1e-9)
+    assert r.chi2 == pytest.approx(0.0, abs=1e-9)
+    # null cells form their own category
+    df = spark.createDataFrame([("x", None), ("x", "u")], "a string, b string")
+    r = association_stats(df, "a", "b").collect()[0]
+    assert r.card_b == 2
+    del math
+
+
+def test_entropy_profile_known_values(spark):
+    from ezdata_spark.operators.profile import entropy_profile
+
+    df = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", None), ("b", "q")], "u string, w string"
+    )
+    rows = {r["column"]: r for r in entropy_profile(df, ["u", "w"]).collect()}
+    assert rows["u"].entropy_bits == pytest.approx(1.0, abs=1e-6)
+    assert rows["u"].n_distinct == 2 and rows["u"].n_null == 0
+    assert rows["u"].top_share == pytest.approx(0.5, abs=1e-6)
+    assert rows["w"].n_distinct == 3 and rows["w"].n_null == 1
+    assert rows["w"].entropy_bits == pytest.approx(1.5, abs=1e-6)  # {1/4,1/2,1/4}
+
+
+def test_resample_dense_grid_and_interpolation(spark):
+    """Dense grid spans each key's range; interpolation is linear in
+    time, leading/trailing gaps stay NULL."""
+    from ezdata_spark.operators.timeseries import interpolate_linear, resample
+
+    rows = [
+        ("k", "2024-01-01 00:00:30", 10.0),
+        ("k", "2024-01-01 00:03:10", 40.0),  # 3 buckets gap at 60s
+        ("m", "2024-01-01 00:05:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts string, v double").select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    r = resample(df, "ts", 60, keys=["key"], aggs={"avg_v": F.avg("v")})
+    out = interpolate_linear(r, "avg_v", ts_col="bucket", keys=["key"], out_col="fill")
+    got = {
+        (row.key, row.bucket.strftime("%H:%M")): (row.avg_v, row.fill)
+        for row in out.collect()
+    }
+    assert len(got) == 5  # k: 00:00..00:03 (4 buckets), m: 00:05
+    assert got[("k", "00:00")] == (10.0, 10.0)
+    assert got[("k", "00:03")] == (40.0, 40.0)
+    assert got[("k", "00:01")][0] is None
+    assert got[("k", "00:01")][1] == pytest.approx(20.0)
+    assert got[("k", "00:02")][1] == pytest.approx(30.0)
+    assert got[("m", "00:05")] == (7.0, 7.0)
+
+
+def test_interpolate_leading_trailing_gaps_stay_null(spark):
+    from ezdata_spark.operators.timeseries import interpolate_linear
+
+    rows = [
+        ("k", "2024-01-01 00:00:00", None),
+        ("k", "2024-01-01 00:01:00", 4.0),
+        ("k", "2024-01-01 00:02:00", None),
+        ("k", "2024-01-01 00:03:00", 8.0),
+        ("k", "2024-01-01 00:04:00", None),
+    ]
+    df = spark.createDataFrame(rows, "key string, bucket string, v double").select(
+        "key", F.col("bucket").cast("timestamp").alias("bucket"), "v"
+    )
+    out = interpolate_linear(df, "v", ts_col="bucket", keys=["key"], out_col="f")
+    vals = [r.f for r in out.orderBy("bucket").collect()]
+    assert vals[0] is None and vals[4] is None  # no extrapolation
+    assert vals[1] == 4.0 and vals[3] == 8.0
+    assert vals[2] == pytest.approx(6.0)
+
+
+def test_transition_matrix_probabilities(spark):
+    """Row-normalized lead-pair counts; terminal events drop; ties
+    ordered by the tiebreak column."""
+    from ezdata_spark.operators.window import transition_matrix
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"),   # a->b, b->a
+        (2, 1, "a"), (2, 2, "c"),                # a->c
+        (3, 5, "a"),                             # terminal only: no pair
+    ]
+    df = spark.createDataFrame(rows, "user long, seq long, state string").select(
+        "user", F.timestamp_seconds("seq").alias("ts"), "state", F.col("seq").alias("eid")
+    )
+    out = transition_matrix(df, "user", "ts", "state", tiebreak="eid")
+    got = {(r.state, r.next_state): (r.n, r.p) for r in out.collect()}
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }

@@ -41,6 +41,12 @@ BNLJ_ALLOWED = {
     # the standard PageRank dangling redistribution, one scalar per
     # iteration folded onto the rank frame
     "z118_pagerank",
+    # q119/q120: the same 1-row scalar fold-in — crossJoin(broadcast)
+    # of ungrouped aggregates (triangle count / n, cardinalities) onto
+    # a frame that is itself an aggregate result (graph census /
+    # contingency cells), so both BNLJ sides are bounded
+    "q119_triangle_census",
+    "q120_mutual_information",
     # PQ's ADC pass deliberately scores every code word against the
     # broadcast query LUTs (the linear ADC scan of Jegou et al.) — the
     # compression is the point: m table lookups per vector over the
