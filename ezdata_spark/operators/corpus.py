@@ -544,6 +544,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     window: int = 20,
     min_count: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact duplicate-span removal — the distributed form of the
     suffix-array substring dedup of Lee et al., "Deduplicating Training
@@ -554,12 +555,15 @@ def remove_duplicate_spans(
 
     Plan shape: one explode to (doc, pos, token), one explode to
     (doc, wpos, window-gram), a groupBy on the gram to find duplicated
-    windows (the only corpus-wide shuffle — at 100 TB hash the gram to
-    8 bytes first, same trade as ``decontaminate``), a position-range
-    explode to mark covered tokens, an anti-join, and one per-doc
-    aggregate whose order is restored by array_sort (no
-    collect_list-order dependence). Returns (id, kept_text,
-    n_tokens_before, n_tokens_after)."""
+    windows (the only corpus-wide shuffle — ``hash_grams=True``
+    replaces the ~window x 6-byte gram strings with 8-byte xxhash64
+    keys for that shuffle AND the candidate join, the same trade as
+    ``decontaminate``; exact modulo 2^-64 collisions, so the small-sf
+    oracle keeps strings), a position-range explode to mark covered
+    tokens, an anti-join (duplicate covered rows are harmless to
+    left_anti, so no distinct shuffle), and one per-doc aggregate whose
+    order is restored by array_sort (no collect_list-order dependence).
+    Returns (id, kept_text, n_tokens_before, n_tokens_after)."""
     from .dedup import _fan_out
 
     # the window-gram fold is the CPU-heavy per-row stage (n zip_with
@@ -573,6 +577,10 @@ def remove_duplicate_spans(
     grams = docs.select(
         F.col(id_col), F.posexplode(word_ngrams(text_col, window)).alias("wpos", "gram")
     )
+    if hash_grams:
+        grams = grams.select(
+            id_col, "wpos", F.xxhash64("gram").alias("gram")
+        )
     dup = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -587,7 +595,6 @@ def remove_duplicate_spans(
                 F.sequence(F.col("wpos"), F.col("wpos") + F.lit(window - 1))
             ).alias("pos"),
         )
-        .distinct()
     )
     kept = tok.join(covered, [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

@@ -145,9 +145,10 @@ def triangle_count(
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
-    closing = oriented.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
-    )
+    # wedge far-pairs are (x < y); the persisted canonical edge set is
+    # already (a < b), so it closes triangles directly — no re-derived
+    # least/greatest projection of the oriented list
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )

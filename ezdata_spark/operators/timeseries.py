@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -113,3 +114,43 @@ def interpolate_linear(
         )
     )
     return df.withColumn(out_col, filled)
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    keys: Sequence[str],
+    alpha: float,
+    out_col: str = "ewma",
+    adjust: bool = False,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average per series key (pandas
+    ``Series.ewm(alpha=...).mean()`` semantics; NULL observations do
+    not update the state and carry the previous mean forward — the
+    pandas ``ignore_na=False`` default weighting).
+
+    The recurrence y_t = a*x_t + (1-a)*y_{t-1} is inherently
+    sequential per series, so this is an Arrow-batched applyInPandas
+    per key group -- each SERIES must fit in one worker (the same
+    per-group contract as sequence packing), while the keyspace
+    distributes freely; no global order, no driver loop. The closed
+    "window sum of (1-a)^-i" form is deliberately NOT used: it
+    overflows for series longer than ~1000 points.
+    """
+    if not keys:
+        raise ValueError("ewma needs at least one series key (per-key recurrence)")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    order_cols = [ts_col, *tiebreak]
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=adjust).mean()
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(per_key, schema=out_schema)

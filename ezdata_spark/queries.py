@@ -3238,9 +3238,9 @@ def q118(spark, sf_dir):
     "q119_triangle_census",
     oracle="""
     WITH e AS (
-      SELECT DISTINCT least(l_orderkey % 500, l_partkey % 500) AS a,
-                      greatest(l_orderkey % 500, l_partkey % 500) AS b
-      FROM lineitem WHERE l_orderkey % 500 <> l_partkey % 500),
+      SELECT DISTINCT least(l_orderkey % 20000, l_partkey % 20000) AS a,
+                      greatest(l_orderkey % 20000, l_partkey % 20000) AS b
+      FROM lineitem WHERE l_orderkey % 20000 <> l_partkey % 20000),
     deg AS (SELECT node, count(*) AS deg
             FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
             GROUP BY node),
@@ -3265,8 +3265,8 @@ def q119(spark, sf_dir):
 
     li = load(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.pmod(F.col("l_orderkey"), F.lit(500)).alias("src"),
-        F.pmod(F.col("l_partkey"), F.lit(500)).alias("dst"),
+        F.pmod(F.col("l_orderkey"), F.lit(20000)).alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(20000)).alias("dst"),
     )
     return triangle_count(edges)
 
@@ -3479,3 +3479,27 @@ def q124(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return transition_matrix(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+
+
+@query("z125_ewma")
+def q125(spark, sf_dir):
+    """Per-type exponentially weighted moving average of the event
+    value stream (operators/timeseries.py::ewma) — the smoothing pass
+    dashboards and anomaly scores run after resampling. Rows-only: the
+    EWMA recurrence y_t = a*x_t + (1-a)*y_{t-1} is sequential per
+    series (SQL needs a recursive CTE); exactness is pinned by
+    tests/test_operators.py::test_ewma_vs_recurrence. Scale shape:
+    applyInPandas per series key — the keyspace distributes, each
+    series streams through one worker."""
+    from .operators.timeseries import ewma
+
+    ev = load(spark, sf_dir, "events")
+    out = ewma(
+        ev.select("event_type", "ts", "event_id", "value"),
+        "value",
+        "ts",
+        ["event_type"],
+        alpha=0.2,
+        tiebreak=["event_id"],
+    )
+    return out.select("event_type", "event_id", F.round("ewma", 6).alias("ewma"))

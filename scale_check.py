@@ -261,7 +261,8 @@ def main() -> None:
     run("linear_classifier", linear_score(docs, vocab), rows_in=doc_n)
     from ezdata_spark.operators.corpus import remove_duplicate_spans
 
-    run("dup_span_removal", remove_duplicate_spans(docs, window=10), rows_in=doc_n)
+    run("dup_span_removal",
+        remove_duplicate_spans(docs, window=10, hash_grams=True), rows_in=doc_n)
     from ezdata_spark.operators.layout import zorder_layout
 
     run(

@@ -2053,3 +2053,31 @@ def test_transition_matrix_probabilities(spark):
         ("a", "c"): (1, 0.5),
         ("b", "a"): (1, 1.0),
     }
+
+
+def test_ewma_vs_recurrence(spark):
+    """Distributed per-key EWMA equals the textbook recurrence
+    y_t = a*x_t + (1-a)*y_{t-1} (adjust=False), on shuffled input."""
+    from ezdata_spark.operators.timeseries import ewma
+
+    alpha = 0.3
+    series = {
+        "a": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+        "b": [10.0, 20.0, 15.0],
+    }
+    rows = [
+        (k, i, v) for k, vs in series.items() for i, v in enumerate(vs)
+    ]
+    rows = rows[::-1]  # shuffled arrival order
+    df = spark.createDataFrame(rows, "key string, seq long, v double").select(
+        "key", F.timestamp_seconds(F.col("seq") * 60).alias("ts"), "seq", "v"
+    ).repartition(5)
+    out = ewma(df, "v", "ts", ["key"], alpha=alpha, tiebreak=["seq"])
+    got = {
+        (r.key, r.seq): r.ewma for r in out.collect()
+    }
+    for k, vs in series.items():
+        y = None
+        for i, x in enumerate(vs):
+            y = x if y is None else alpha * x + (1 - alpha) * y
+            assert got[(k, i)] == pytest.approx(y, rel=1e-12), (k, i)
