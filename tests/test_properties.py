@@ -160,3 +160,73 @@ def test_split_by_hash_matches_python(spark, ids):
         return "test"
 
     assert got == {i: py_split(i) for i in ids}
+
+
+# ---------------------------------------------------------------------
+# round 6: interpolation vs pandas, skyline vs brute force
+# ---------------------------------------------------------------------
+
+_interp_series = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50).map(float)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(series=_interp_series)
+@SETTINGS
+def test_interpolate_linear_matches_pandas(spark, series):
+    """interpolate_linear == pandas Series.interpolate(method='index',
+    limit_area='inside') on an evenly spaced per-key series with
+    arbitrary NULL gaps (incl. all-null and leading/trailing gaps)."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.timeseries import interpolate_linear
+
+    rows = [("k", i * 60, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "key string, s long, v double").select(
+        "key", F.timestamp_seconds("s").alias("bucket"), "v"
+    )
+    out = interpolate_linear(df, "v", ts_col="bucket", keys=["key"], out_col="f")
+    got = [r.f for r in out.orderBy("bucket").collect()]
+
+    exp = (
+        pd.Series(series, index=[i * 60 for i in range(len(series))], dtype="float64")
+        .interpolate(method="index", limit_area="inside")
+        .tolist()
+    )
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None
+        else:
+            assert g == pytest.approx(e, rel=1e-9)
+
+
+_sky_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(pts=_sky_pts)
+@SETTINGS
+def test_skyline_matches_brute_force(spark, pts):
+    """Distributed skyline == O(n^2) dominance scan under duplicates
+    and heavy ties (small integer grid forces both)."""
+    from ezdata_spark.operators.skyline import skyline
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(3)
+    got = {r.id for r in skyline(df, {"x": "max", "y": "max"}).collect()}
+    expect = {
+        i
+        for i, x, y in rows
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y) for _, qx, qy in rows
+        )
+    }
+    assert got == expect
