@@ -68,6 +68,8 @@ HEADLINE = [
     "q122_skyline",          # two-phase Pareto front
     "q123_entropy_profile",  # single-scan per-column entropy
     "q124_markov_transitions", # lead-window transition matrix
+    "q126_weighted_sample",  # deterministic A-ES weighted top-k
+    "q127_rolling_zscore",   # trailing-window anomaly score
 ]
 
 

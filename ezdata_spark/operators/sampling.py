@@ -129,3 +129,39 @@ def pack_sequences(
         "__shard", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards))
     )
     return sharded.groupBy("__shard").applyInPandas(pack, schema=out_schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: top-``k`` by the
+    Efraimidis-Spirakis A-ES key (each row's inclusion probability is
+    proportional to its weight; "Weighted random sampling with a
+    reservoir", IPL 2006). Rows with non-positive or NULL weight are
+    excluded (zero-weight rows must never be drawn).
+
+    Deterministic: the uniform draw is the Knuth multiplicative hash of
+    the id (same idiom as split_by_hash) rather than RNG state, so the
+    sample is reproducible across runs, engines, and partitionings.
+    The A-ES key u^(1/w) is compared through its log, ln(u)/w -- a
+    monotone transform that avoids pow() underflow for large weights.
+
+    Scale shape: one projection + global top-k. Spark plans the
+    ORDER BY ... LIMIT k as per-partition top-k with a driver-side
+    merge of k-row heads (TakeOrderedAndProject) -- no full sort, no
+    single-partition exchange; k is the sample size, bounded by
+    construction."""
+    u = (
+        F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296)) + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn(score_col, key)
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -32,28 +32,71 @@ from pyspark.sql import DataFrame
 __all__ = ["skyline"]
 
 
-def _sweep(mat: np.ndarray) -> np.ndarray:
+def _sweep2d(mat: np.ndarray) -> np.ndarray:
+    """O(n log n) exact 2-d skyline: sort by (-x, -y); a point survives
+    iff it holds its x-group's max y AND that max strictly exceeds the
+    running y-max of all strictly-larger-x groups. Handles duplicates
+    (kept) and the fully anti-correlated case (skyline = n) without the
+    O(n * |skyline|) general sweep."""
+    order = np.lexsort((-mat[:, 1], -mat[:, 0]))
+    x, y = mat[order, 0], mat[order, 1]
+    newx = np.empty(len(x), dtype=bool)
+    newx[0] = True
+    newx[1:] = x[1:] != x[:-1]
+    gid = np.cumsum(newx) - 1
+    gmax = y[np.flatnonzero(newx)]  # y sorted desc within each x-group
+    prior = np.concatenate(([-np.inf], np.maximum.accumulate(gmax)[:-1]))
+    group_alive = gmax > prior
+    alive = group_alive[gid] & (y == gmax[gid])
+    return order[alive]
+
+
+def _sweep(mat: np.ndarray, chunk: int = 2048) -> np.ndarray:
     """Exact skyline indices of `mat` (rows = points, all criteria
-    maximized). Sorted-sum sweep: after sorting by -sum, a point can
-    only be dominated by an earlier (or equal-sum identical) point, so
-    one pass against the survivor set suffices."""
+    maximized). Sorted-sum CHUNKED sweep: after sorting by -sum, a
+    point can only be dominated by an earlier (or equal-sum identical)
+    point. Points stream through in blocks — each block is first
+    masked against the accumulated skyline with one broadcast
+    comparison (block x |skyline| x d), then intra-block dominance
+    resolves pairwise (block^2 x d). Python-level iterations are
+    n/chunk, not n — the per-point loop melts a 1M-row partition."""
     n = mat.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    if mat.shape[1] == 2:
+        return _sweep2d(mat)
     order = np.argsort(-mat.sum(axis=1), kind="stable")
     sm = mat[order]
-    keep: list[int] = []
+    kept_idx: list[np.ndarray] = []
     kept = np.empty((0, mat.shape[1]))
-    for i in range(n):
-        p = sm[i]
-        if kept.shape[0]:
-            ge = (kept >= p).all(axis=1)
-            gt = (kept > p).any(axis=1)
-            if bool(np.any(ge & gt)):
-                continue
-        keep.append(i)
-        kept = np.vstack([kept, p])
-    return order[np.asarray(keep, dtype=np.int64)]
+    for start in range(0, n, chunk):
+        blk = sm[start : start + chunk]
+        alive = np.ones(len(blk), dtype=bool)
+        # dominated by any accumulated skyline point? (kept compared in
+        # slices so the broadcast stays bounded even when the true
+        # skyline is huge, e.g. anti-correlated data)
+        for ks in range(0, kept.shape[0], 8192):
+            kslice = kept[ks : ks + 8192]
+            live = np.flatnonzero(alive)
+            if not len(live):
+                break
+            b = blk[live]
+            ge = (kslice[None, :, :] >= b[:, None, :]).all(axis=2)
+            gt = (kslice[None, :, :] > b[:, None, :]).any(axis=2)
+            alive[live[(ge & gt).any(axis=1)]] = False
+        if alive.any():
+            sub = blk[alive]
+            # intra-block pairwise strict dominance (self never
+            # strictly dominates itself: gt is False on the diagonal)
+            ge = (sub[None, :, :] >= sub[:, None, :]).all(axis=2)
+            gt = (sub[None, :, :] > sub[:, None, :]).any(axis=2)
+            alive[np.flatnonzero(alive)[(ge & gt).any(axis=1)]] = False
+        if alive.any():
+            kept_idx.append(start + np.flatnonzero(alive))
+            kept = np.concatenate([kept, blk[alive]])
+    if not kept_idx:
+        return np.empty(0, dtype=np.int64)
+    return order[np.concatenate(kept_idx)]
 
 
 def skyline(df: DataFrame, criteria: Mapping[str, str]) -> DataFrame:

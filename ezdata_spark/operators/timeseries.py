@@ -154,3 +154,36 @@ def ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(per_key, schema=out_schema)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    keys: Sequence[str],
+    n_rows: int = 20,
+    min_obs: int = 5,
+    out_col: str = "zscore",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Rolling z-score anomaly signal: each observation scored against
+    the mean/stddev of its trailing ``n_rows``-row window per series
+    key (the streaming-friendly "how unusual is this point vs its
+    recent past" detector). NULL until ``min_obs`` trailing points
+    exist or the window is constant (stddev 0).
+
+    One window pass over the per-key timeline -- the same single
+    shuffle as lag/sessionize; the frame is row-bounded so state per
+    row is O(1) mergeable moments."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, *tiebreak)
+        .rowsBetween(-n_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    cnt = F.count(value_col).over(w)
+    z = F.when(
+        (cnt >= min_obs) & (sd > 0), (F.col(value_col) - mean) / sd
+    )
+    return df.withColumn(out_col, z)

@@ -3503,3 +3503,71 @@ def q125(spark, sf_dir):
         tiebreak=["event_id"],
     )
     return out.select("event_type", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@query(
+    "q126_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_totalprice,
+             ln((((o_orderkey * 2654435761) % 4294967296) + 0.5)
+                / 4294967296.0) / o_totalprice AS sample_score
+      FROM orders WHERE o_totalprice > 0),
+    top AS (
+      -- order by the RAW score (the engine-side top-k does), not the
+      -- rounded output alias, or boundary ties resolve differently
+      SELECT * FROM w ORDER BY sample_score DESC, o_orderkey LIMIT 500)
+    SELECT o_orderkey, o_totalprice,
+           ROUND(sample_score, 9) + 0.0 AS sample_score  -- kill -0.0
+    FROM top
+    """,
+)
+def q126(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py::
+    weighted_sample) — Efraimidis-Spirakis A-ES keys over
+    value-weighted orders, uniforms derived from the Knuth
+    multiplicative hash so the draw is deterministic across engines
+    and partitionings. Global top-k plans as per-partition heads +
+    driver merge (TakeOrderedAndProject), never a full sort."""
+    from .operators.sampling import weighted_sample
+
+    orders = load(spark, sf_dir, "orders")
+    out = weighted_sample(orders, "o_orderkey", "o_totalprice", k=500)
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.round("sample_score", 9) + F.lit(0.0)).alias("sample_score"),
+    )
+
+
+@query(
+    "q127_rolling_zscore",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id, event_type, value,
+        avg(value) OVER w AS m,
+        stddev_samp(value) OVER w AS sd,
+        count(value) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, value,
+      ROUND(CASE WHEN c >= 5 AND sd > 0 THEN (value - m) / sd END, 5) AS zscore
+    FROM scored
+    """,
+)
+def q127(spark, sf_dir):
+    """Rolling z-score anomaly signal per event type (operators/
+    timeseries.py::rolling_zscore) — each value scored against the
+    mean/stddev of its trailing 20 events; one row-bounded window pass
+    over the per-key timeline, O(1) mergeable moment state per row."""
+    from .operators.timeseries import rolling_zscore
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, "value", "ts", ["event_type"], n_rows=20, min_obs=5,
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "event_type", "value", F.round("zscore", 5).alias("zscore")
+    )

@@ -2081,3 +2081,56 @@ def test_ewma_vs_recurrence(spark):
         for i, x in enumerate(vs):
             y = x if y is None else alpha * x + (1 - alpha) * y
             assert got[(k, i)] == pytest.approx(y, rel=1e-12), (k, i)
+
+
+def test_weighted_sample_matches_driver_ranking(spark):
+    """A-ES top-k equals the same formula computed driver-side; zero /
+    negative / null weights excluded; stable across partitionings."""
+    import math
+
+    from ezdata_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float((i * 37) % 100 - 5)) for i in range(1, 401)]  # some <= 0
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample(df, "id", "w", k=25).collect()]
+
+    def key(i, w):
+        u = ((i * 2654435761) % 2**32 + 0.5) / 2**32
+        return math.log(u) / w
+
+    expect = sorted(
+        ((key(i, w), i) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    assert got == [i for _, i in expect]
+    # partitioning-invariant
+    got7 = [r.id for r in weighted_sample(df.repartition(7), "id", "w", k=25).collect()]
+    assert got7 == got
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    """Trailing-window z-score equals pandas rolling mean/std with the
+    same window and min_obs; constant windows yield NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from ezdata_spark.operators.timeseries import rolling_zscore
+
+    rng = np.random.default_rng(11)
+    vals = list(rng.normal(10, 3, 60)) + [5.0] * 10  # constant tail
+    rows = [("k", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, seq long, v double").select(
+        "key", F.timestamp_seconds("seq").alias("ts"), "seq", "v"
+    ).repartition(4)
+    out = rolling_zscore(df, "v", "ts", ["key"], n_rows=8, min_obs=3, tiebreak=["seq"])
+    got = {r.seq: r.zscore for r in out.collect()}
+
+    s = pd.Series(vals)
+    m = s.shift(1).rolling(8, min_periods=3).mean()
+    sd = s.shift(1).rolling(8, min_periods=3).std()
+    for i, v in enumerate(vals):
+        e = (v - m[i]) / sd[i] if (not pd.isna(sd[i]) and sd[i] > 0) else None
+        if e is None:
+            assert got[i] is None, i
+        else:
+            assert got[i] == pytest.approx(e, rel=1e-9), i
