@@ -70,6 +70,7 @@ HEADLINE = [
     "q124_markov_transitions", # lead-window transition matrix
     "q126_weighted_sample",  # deterministic A-ES weighted top-k
     "q127_rolling_zscore",   # trailing-window anomaly score
+    "q128_melt",             # wide-to-long unpivot (one Expand node)
 ]
 
 

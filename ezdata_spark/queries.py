@@ -3571,3 +3571,27 @@ def q127(spark, sf_dir):
     return out.select(
         "event_id", "event_type", "value", F.round("zscore", 5).alias("zscore")
     )
+
+
+@query(
+    "q128_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def q128(spark, sf_dir):
+    """Wide-to-long melt/unpivot (EzTable.melt, the inverse of q107's
+    pivot — pandas melt parity): three measure columns become
+    (measure, value) pairs per line item. Catalyst plans the unpivot
+    as one Expand node — a narrow 3x row multiplication, zero
+    shuffle."""
+    t = ez(spark, sf_dir, "lineitem")
+    return t.get("l_orderkey l_linenumber l_quantity l_extendedprice l_discount").melt(
+        ["l_orderkey", "l_linenumber"], var_name="measure", value_name="value"
+    ).df

@@ -523,6 +523,26 @@ class EzTable:
             df = df.fillna(defaults)
         return self._clone(df)
 
+    def melt(
+        self,
+        id_vars: Sequence[str],
+        value_vars: Sequence[str] | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "EzTable":
+        """Wide-to-long unpivot (pandas ``melt`` semantics): every
+        ``value_vars`` column becomes a (variable, value) row pair per
+        input row. Defaults to melting every non-id column. The melted
+        columns must share a common type (Spark ``unpivot`` contract).
+
+        Pure narrow transformation — rows multiply by len(value_vars)
+        with no shuffle; Catalyst plans it as a single Expand node."""
+        ids = list(id_vars)
+        vals = list(value_vars) if value_vars else [
+            c for c in self.df.columns if c not in ids
+        ]
+        return self._clone(self.df.unpivot(ids, vals, var_name, value_name))
+
     # ------------------------------------------------------------------
     # joins (simpletable.py:2426-2553; dictdataframe.py:692-785)
     # ------------------------------------------------------------------

@@ -352,3 +352,28 @@ def test_extension_dispatch_read_write(spark, tmp_path):
     assert open(tmp_path / "t.tex").read().startswith("\\begin{table}")
     with pytest.raises(ValueError, match="unrecognized"):
         EzTable.read(spark, "x.unknownext")
+
+
+def test_melt_matches_pandas(spark):
+    import pandas as pd
+
+    from ezdata_spark.table import EzTable
+
+    pdf = pd.DataFrame(
+        {"k": [1, 2], "a": [1.0, 2.0], "b": [3.0, 4.0], "c": [5.0, 6.0]}
+    )
+    t = EzTable(spark.createDataFrame(pdf))
+    got = (
+        t.melt(["k"], var_name="var", value_name="val")
+        .df.orderBy("k", "var")
+        .toPandas()
+    )
+    exp = (
+        pdf.melt(id_vars=["k"], var_name="var", value_name="val")
+        .sort_values(["k", "var"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # default value_vars = all non-id columns; explicit subset works too
+    sub = t.melt(["k"], ["a"], var_name="var", value_name="val").df.collect()
+    assert {(r.k, r.var, r.val) for r in sub} == {(1, "a", 1.0), (2, "a", 2.0)}
