@@ -71,6 +71,8 @@ HEADLINE = [
     "q126_weighted_sample",  # deterministic A-ES weighted top-k
     "q127_rolling_zscore",   # trailing-window anomaly score
     "q128_melt",             # wide-to-long unpivot (one Expand node)
+    "q129_knn_cone",         # bounded-radius spatial kNN join
+    "q130_cohort_retention", # first-month cohort retention matrix
 ]
 
 

@@ -410,3 +410,43 @@ def euler(lon, lat, select: int = 1, b1950: bool = False) -> tuple[Column, Colum
     lon_out = F.pmod(F.degrees(a_out + F.lit(psi)), F.lit(360.0))
     lat_out = F.degrees(F.asin(b_clamped))
     return lon_out.alias("lon_out"), lat_out.alias("lat_out")
+
+
+def knn_cone(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    radius_deg: float,
+    id_left: str,
+    ra_l: str = "ra",
+    dec_l: str = "dec",
+    ra_r: str = "ra",
+    dec_r: str = "dec",
+    tiebreak: str | None = None,
+    round_sep: int = 6,
+    rank_name: str = "knn_rank",
+) -> DataFrame:
+    """k-nearest-neighbour spatial join within a fixed search cone:
+    for every left row, the ``k`` closest right rows among matches
+    inside ``radius_deg`` (the bounded-radius kNN every catalog
+    cross-identification pipeline runs — a finite search radius is
+    what keeps the candidate space an equi-join instead of all-pairs).
+
+    Composition: the dec-zone bucketed ``crossmatch_cone`` generates
+    candidates (no O(n*m) pair space), then one window per left id
+    ranks by (rounded separation, tiebreak) and keeps rank <= k. The
+    window partitions on the left id — millions of small partitions,
+    no global sort. Rows with fewer than k matches keep what they
+    have; rows with none drop (inner semantics)."""
+    from pyspark.sql.window import Window
+
+    m = crossmatch_cone(
+        left, right, radius_deg, ra_l=ra_l, dec_l=dec_l, ra_r=ra_r, dec_r=dec_r
+    ).withColumn("separation", F.round("separation", round_sep))
+    order = [F.col("separation")]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(id_left).orderBy(*order)
+    return m.withColumn(rank_name, F.row_number().over(w)).filter(
+        F.col(rank_name) <= k
+    )

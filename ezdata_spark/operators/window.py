@@ -213,3 +213,41 @@ def transition_matrix(
             F.round(F.col("n") / F.col("_row_n"), 6).alias("p"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user: str,
+    ts: str,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    are cohorted by their first-activity month, and each (cohort,
+    months_since) cell counts how many of them were active that month,
+    with retention as the share of the cohort size.
+
+    Scale shape: one distinct (user, month) projection, a min
+    aggregate for cohorts, an equi-join back on the user key, and a
+    (cohort, months_since) count-distinct — every shuffle keyed on
+    user or cohort, nothing quadratic; cohort sizes come from the
+    months_since=0 cells of the same aggregate (broadcast join)."""
+    month = F.date_trunc("month", F.col(ts))
+    act = df.select(F.col(user).alias("u"), month.alias("m")).distinct()
+    coh = act.groupBy("u").agg(F.min("m").alias("cohort"))
+    j = act.join(coh, "u").select(
+        "cohort",
+        F.months_between("m", F.col("cohort")).cast("bigint").alias("months_since"),
+        "u",
+    )
+    counts = j.groupBy("cohort", "months_since").agg(
+        F.countDistinct("u").alias("active")
+    )
+    sizes = counts.where(F.col("months_since") == 0).select(
+        "cohort", F.col("active").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "months_since",
+        "active",
+        "cohort_size",
+        F.round(F.col("active") / F.col("cohort_size"), 6).alias("retention"),
+    )

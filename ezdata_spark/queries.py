@@ -3595,3 +3595,74 @@ def q128(spark, sf_dir):
     return t.get("l_orderkey l_linenumber l_quantity l_extendedprice l_discount").melt(
         ["l_orderkey", "l_linenumber"], var_name="measure", value_name="value"
     ).df
+
+
+@query(
+    "q129_knn_cone",
+    oracle=f"""
+    WITH csky AS (SELECT c_custkey, {_PSEUDO_SKY} FROM customer),
+         ssky AS (SELECT s_suppkey, (s_suppkey * 53) % 360 AS sra,
+                         (s_suppkey % 167) - 83 AS sdec FROM supplier),
+    pairs AS (
+      SELECT c_custkey, s_suppkey,
+             ROUND({_sphdist_sql('ra', 'dec', 'sra', 'sdec')}, 6) AS separation
+      FROM csky CROSS JOIN ssky
+      WHERE {_sphdist_sql('ra', 'dec', 'sra', 'sdec')} <= 8.0),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY separation, s_suppkey) AS knn_rank
+      FROM pairs)
+    SELECT c_custkey, s_suppkey, separation, knn_rank
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q129(spark, sf_dir):
+    """Bounded-radius k-nearest-neighbour spatial join (functions/
+    astro.py::knn_cone) — the catalog cross-identification verb: each
+    customer 'star' keeps its 3 closest supplier 'sources' within an
+    8-degree cone. Candidates come from the dec-zone bucketed
+    crossmatch (equi-join, never all-pairs); ranking is one window per
+    left id over the ROUNDED separation (cross-engine-stable) with the
+    right id as tiebreak."""
+    from .functions.astro import knn_cone
+
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", "(c_custkey * 37) % 360 AS ra", "(c_custkey % 173) - 86 AS dec"
+    )
+    s = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey", "(s_suppkey * 53) % 360 AS sra", "(s_suppkey % 167) - 83 AS sdec"
+    )
+    out = knn_cone(
+        c, s, k=3, radius_deg=8.0, id_left="c_custkey",
+        ra_l="ra", dec_l="dec", ra_r="sra", dec_r="sdec", tiebreak="s_suppkey",
+    )
+    return out.select("c_custkey", "s_suppkey", "separation", "knn_rank")
+
+
+@query(
+    "q130_cohort_retention",
+    oracle="""
+    WITH act AS (SELECT DISTINCT o_custkey AS u,
+                        date_trunc('month', o_orderdate) AS m FROM orders),
+    coh AS (SELECT u, min(m) AS cohort FROM act GROUP BY u),
+    j AS (SELECT cohort, datediff('month', cohort, m) AS months_since, act.u
+          FROM act JOIN coh USING (u)),
+    counts AS (SELECT cohort, CAST(months_since AS BIGINT) AS months_since,
+                      CAST(count(DISTINCT u) AS BIGINT) AS active
+               FROM j GROUP BY 1, 2),
+    sizes AS (SELECT cohort, active AS cohort_size FROM counts
+              WHERE months_since = 0)
+    SELECT counts.cohort, months_since, active, cohort_size,
+           ROUND(active / CAST(cohort_size AS DOUBLE), 6) AS retention
+    FROM counts JOIN sizes USING (cohort)
+    """,
+)
+def q130(spark, sf_dir):
+    """Cohort retention matrix (operators/window.py::cohort_retention)
+    — customers cohorted by first-order month, each cell the share of
+    the cohort active n months later. All shuffles keyed on user or
+    cohort; cohort sizes broadcast from the months_since=0 cells."""
+    from .operators.window import cohort_retention
+
+    orders = load(spark, sf_dir, "orders")
+    return cohort_retention(orders, "o_custkey", "o_orderdate")

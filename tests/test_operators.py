@@ -2134,3 +2134,65 @@ def test_rolling_zscore_matches_pandas(spark):
             assert got[i] is None, i
         else:
             assert got[i] == pytest.approx(e, rel=1e-9), i
+
+
+def test_knn_cone_vs_brute_force(spark):
+    """Zone-bucketed kNN == brute-force nearest-3 within radius."""
+    import math
+
+    from ezdata_spark.functions.astro import knn_cone
+
+    left = [(i, float((i * 77) % 360), float((i * 13) % 120 - 60)) for i in range(40)]
+    right = [(j, float((j * 31) % 360), float((j * 7) % 120 - 60)) for j in range(200)]
+    ldf = spark.createDataFrame(left, "lid long, ra double, dec double")
+    rdf = spark.createDataFrame(right, "rid long, rra double, rdec double")
+    out = knn_cone(
+        ldf, rdf, k=3, radius_deg=15.0, id_left="lid",
+        ra_l="ra", dec_l="dec", ra_r="rra", dec_r="rdec", tiebreak="rid",
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.lid, []).append((r.knn_rank, r.rid, r.separation))
+
+    def sph(ra1, d1, ra2, d2):
+        ra1, d1, ra2, d2 = map(math.radians, (ra1, d1, ra2, d2))
+        h = (
+            math.sin((d2 - d1) / 2) ** 2
+            + math.cos(d1) * math.cos(d2) * math.sin((ra2 - ra1) / 2) ** 2
+        )
+        return 2 * math.degrees(math.asin(math.sqrt(h)))
+
+    for i, ra, dec in left:
+        cands = sorted(
+            (round(sph(ra, dec, rra, rdec), 6), j)
+            for j, rra, rdec in right
+            if sph(ra, dec, rra, rdec) <= 15.0
+        )[:3]
+        exp = [(rank + 1, j, s) for rank, (s, j) in enumerate(cands)]
+        assert sorted(got.get(i, [])) == exp, i
+
+
+def test_cohort_retention_semantics(spark):
+    """Hand-built activity: retention counts distinct users per
+    (cohort, offset); month-0 retention is 1.0."""
+    from ezdata_spark.operators.window import cohort_retention
+
+    rows = [
+        (1, "2024-01-05"), (1, "2024-02-11"), (1, "2024-04-01"),
+        (2, "2024-01-20"), (2, "2024-01-25"),        # dup month collapses
+        (3, "2024-02-03"), (3, "2024-03-03"),
+    ]
+    df = spark.createDataFrame(rows, "u long, d string").select(
+        "u", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = cohort_retention(df, "u", "ts")
+    got = {
+        (r.cohort.strftime("%Y-%m"), r.months_since): (r.active, r.cohort_size, r.retention)
+        for r in out.collect()
+    }
+    assert got[("2024-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01", 1)] == (1, 2, 0.5)   # only user 1 returns in Feb
+    assert got[("2024-01", 3)] == (1, 2, 0.5)   # user 1 in April
+    assert ("2024-01", 2) not in got            # nobody active in March
+    assert got[("2024-02", 0)] == (1, 1, 1.0)
+    assert got[("2024-02", 1)] == (1, 1, 1.0)
