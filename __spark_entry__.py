@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # name-sorted: q01-q72, q86-q90, q92-q95, q97-q99, q102-q104,
-    # q107-q117, q119-q124, q126-q130 are oracle-backed; q73-q85, q91,
+    # q107-q117, q119-q124, q126-q132 are oracle-backed; q73-q85, q91,
     # q96, z100, z101, z105, z106, z118, z125 are rows-only (non-SQL-expressible:
     # Spark-specific hashes, KMeans / codebooks, iterative fixpoints,
     # media bytes, sketch estimates).  Rows-only entries are z-prefixed

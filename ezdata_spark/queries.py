@@ -3666,3 +3666,90 @@ def q130(spark, sf_dir):
 
     orders = load(spark, sf_dir, "orders")
     return cohort_retention(orders, "o_custkey", "o_orderdate")
+
+
+@query(
+    "q131_pareto_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    c AS (
+      SELECT o_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey) AS cum
+      FROM rev)
+    SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+           (CAST(cum - revenue AS DOUBLE) / CAST(total AS DOUBLE)) < 0.8
+             AS vital_few
+    FROM c CROSS JOIN tot
+    """,
+)
+def q131(spark, sf_dir):
+    """Pareto / contribution analysis — revenue share, cumulative
+    share in descending-revenue order, and the 80/20 'vital few' flag.
+    The cumulative sum is the DISTRIBUTED prefix-sum
+    (operators/window.py::global_cumsum): range repartition + local
+    running window + literal offset map — no Exchange SinglePartition
+    (the oracle's global window is exactly the plan this op avoids).
+    Arithmetic runs in DECIMAL so the offset association is exact and
+    cross-engine-stable; shares divide as doubles at the end."""
+    from .operators.window import global_cumsum
+
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    c = global_cumsum(
+        rev, "revenue", [F.col("revenue").desc(), F.col("o_custkey")], name="cum"
+    )
+    return c.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(F.col("revenue").cast("double") / F.col("total").cast("double"), 6).alias("share"),
+        F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
+        (
+            (F.col("cum") - F.col("revenue")).cast("double")
+            / F.col("total").cast("double")
+            < 0.8
+        ).alias("vital_few"),
+    )
+
+
+@query(
+    "q132_trigram_similarity",
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT doc_id AS id, gg AS g
+      FROM documents,
+           unnest(list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                                 i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS u(gg)),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS ng FROM g GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM g a JOIN g b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter,
+           sa.ng AS n_a, sb.ng AS n_b,
+           ROUND(n_inter / CAST(sa.ng + sb.ng - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE ROUND(n_inter / CAST(sa.ng + sb.ng - n_inter AS DOUBLE), 6) >= 0.8
+    """,
+)
+def q132(spark, sf_dir):
+    """Exact trigram-Jaccard similarity self-join (operators/dedup.py::
+    trigram_similarity_pairs) — pg_trgm-style fuzzy document matching
+    at scale via PREFIX FILTERING (AllPairs, Bayardo et al. WWW'07):
+    the candidate equi-join runs only on each doc's floor((1-t)|G|)+1
+    rarest grams under a global gram order, so frequent grams never
+    explode the join; the oracle is the brute-force all-pairs form the
+    prefix filter provably equals."""
+    from .operators.dedup import trigram_similarity_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return trigram_similarity_pairs(docs, threshold=0.8)

@@ -2196,3 +2196,64 @@ def test_cohort_retention_semantics(spark):
     assert ("2024-01", 2) not in got            # nobody active in March
     assert got[("2024-02", 0)] == (1, 1, 1.0)
     assert got[("2024-02", 1)] == (1, 1, 1.0)
+
+
+def test_global_cumsum_matches_sequential(spark):
+    """Distributed prefix-sum == driver-side sequential scan, exact in
+    decimal, across a forced multi-partition layout; no
+    Exchange SinglePartition in the plan."""
+    from decimal import Decimal
+
+    from ezdata_spark.operators.window import global_cumsum
+
+    rows = [(i, Decimal(f"{(i * 37) % 100}.25")) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v decimal(18,2)").repartition(13)
+    out = global_cumsum(df, "v", [F.col("v").desc(), F.col("id")], name="cum")
+    got = {r.id: r.cum for r in out.collect()}
+
+    acc = Decimal(0)
+    for i, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+        acc += v
+        assert got[i] == acc, i
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_trigram_similarity_prefix_filter_vs_brute(spark):
+    """Prefix-filtered AllPairs join == brute-force trigram Jaccard,
+    including near-dups, disjoint docs, and short (<3 char) texts."""
+    from ezdata_spark.operators.dedup import trigram_similarity_pairs
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),
+        (3, "lorem ipsum dolor sit amet consectetur"),
+        (4, "lorem ipsum dolor sit amet consectetuer"),
+        (5, "zz"),                                    # <3 chars: no grams
+        (6, "completely unrelated text about spark"),
+        (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").repartition(3)
+    t = 0.5
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in trigram_similarity_pairs(df, threshold=t).collect()
+    }
+
+    def grams(s):
+        s = s.lower()
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    exp = {}
+    for i, (ia, ta) in enumerate(texts):
+        for ib, tb in texts[i + 1 :]:
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            j = round(inter / (len(ga) + len(gb) - inter), 6)
+            if j >= t:
+                exp[(min(ia, ib), max(ia, ib))] = (inter, j)
+    assert got == exp
+    assert (1, 7) in got and got[(1, 7)][1] == 1.0

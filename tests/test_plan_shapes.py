@@ -47,6 +47,9 @@ BNLJ_ALLOWED = {
     # contingency cells), so both BNLJ sides are bounded
     "q119_triangle_census",
     "q120_mutual_information",
+    # q131: crossJoin(broadcast(1-row total-revenue agg)) onto the
+    # customer-level aggregate — the same bounded scalar fold-in
+    "q131_pareto_contribution",
     # PQ's ADC pass deliberately scores every code word against the
     # broadcast query LUTs (the linear ADC scan of Jegou et al.) — the
     # compression is the point: m table lookups per vector over the
