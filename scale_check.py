@@ -462,6 +462,17 @@ def main() -> None:
         "markov_transitions",
         transition_matrix(events, "user_id", "ts", "event_type", tiebreak="value"),
     )
+    from ezdata_spark.operators.window import cohort_retention, global_cumsum
+
+    run(
+        "global_cumsum",
+        lambda: global_cumsum(
+            fact.select("orderkey", F.col("price").cast("decimal(18,2)").alias("v")),
+            "v",
+            [F.col("v").desc(), F.col("orderkey")],
+        ),
+    )
+    run("cohort_retention", cohort_retention(events, "user_id", "ts"))
 
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",
