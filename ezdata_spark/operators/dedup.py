@@ -451,6 +451,8 @@ def trigram_similarity_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    broadcast_sets: bool = False,
+    hash_verify: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity self-join on character trigram sets
     (pg_trgm semantics) with PREFIX FILTERING — the AllPairs algorithm
@@ -471,7 +473,16 @@ def trigram_similarity_pairs(
 
     Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b.
     Scale: shuffles carry prefix grams (rare by construction) and the
-    per-doc gram arrays for candidates only."""
+    per-doc gram arrays for candidates only. ``broadcast_sets=True``
+    broadcasts the per-doc gram-set frame into both verify joins
+    instead of shuffling a ~2x1.7KB array payload per candidate —
+    the right call when the corpus (not the pair space) fits a
+    broadcast, e.g. the 5k-doc bench corpus; leave False at 100 TB.
+    ``hash_verify=True`` (default) intersects xxhash64'd gram arrays —
+    Spark's primitive-long array_intersect is 2x the string path; a
+    within-pair hash collision (probability ~|G|^2 / 2^64 ~ 1e-12 per
+    pair) would overcount the intersection by 1 — set False for
+    strictly-exact verification."""
     grams = (
         # char_trigrams is array_distinct per doc, so (id, g) is already
         # unique — no global distinct shuffle needed
@@ -514,12 +525,20 @@ def trigram_similarity_pairs(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    sets = grams.groupBy("id").agg(F.collect_set("g").alias("gs")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    gcol = F.xxhash64("g") if hash_verify else F.col("g")
+    sets = (
+        grams.select("id", gcol.alias("gv"))
+        .groupBy("id")
+        .agg(F.collect_set("gv").alias("gs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sa_ = sets.select(F.col("id").alias("id_a"), F.col("gs").alias("ga"))
+    sb_ = sets.select(F.col("id").alias("id_b"), F.col("gs").alias("gb"))
+    if broadcast_sets:
+        sa_, sb_ = F.broadcast(sa_), F.broadcast(sb_)
     verified = (
-        cand.join(sets.select(F.col("id").alias("id_a"), F.col("gs").alias("ga")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"), F.col("gs").alias("gb")), "id_b")
+        cand.join(sa_, "id_a")
+        .join(sb_, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",

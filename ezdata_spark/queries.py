@@ -3752,4 +3752,4 @@ def q132(spark, sf_dir):
     from .operators.dedup import trigram_similarity_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return trigram_similarity_pairs(docs, threshold=0.8)
+    return trigram_similarity_pairs(docs, threshold=0.8, broadcast_sets=True)
