@@ -2257,3 +2257,30 @@ def test_trigram_similarity_prefix_filter_vs_brute(spark):
                 exp[(min(ia, ib), max(ia, ib))] = (inter, j)
     assert got == exp
     assert (1, 7) in got and got[(1, 7)][1] == 1.0
+
+
+def test_dup_span_hash_grams_equivalent(spark):
+    """The rolling-hash gram path (hash_grams=True) removes exactly the
+    same spans as the string-gram path on a corpus with real cross-doc
+    and within-doc duplicate windows."""
+    from ezdata_spark.operators.corpus import remove_duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"intro one {boiler} outro alpha"),
+        (2, f"intro two {boiler} outro beta"),
+        (3, "completely unique text with no repeated windows at all here"),
+        (4, f"{boiler} {boiler}"),  # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r.doc_id: (r.kept_text, r.n_tokens_before, r.n_tokens_after)
+        for r in remove_duplicate_spans(df, window=5, hash_grams=False).collect()
+    }
+    b = {
+        r.doc_id: (r.kept_text, r.n_tokens_before, r.n_tokens_after)
+        for r in remove_duplicate_spans(df, window=5, hash_grams=True).collect()
+    }
+    assert a == b
+    assert a[3][0].startswith("completely unique")  # untouched doc
+    assert a[1][2] < a[1][1]                        # boilerplate removed
