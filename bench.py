@@ -80,6 +80,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ezdata_spark.cache import release_caches
     from ezdata_spark.queries import QUERIES
     from ezdata_spark.session import get_spark
 
@@ -128,7 +129,10 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
             # queries that persist() intermediates would otherwise hand
             # later reps a warm cache (CacheManager matches canonical
-            # plans), timing cache hits instead of compute
+            # plans), timing cache hits instead of compute; release_caches
+            # also empties the tracked registry so DataFrame handles don't
+            # accumulate across reps x queries
+            release_caches()
             spark.catalog.clearCache()
 
     timings = {

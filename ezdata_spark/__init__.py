@@ -4,6 +4,7 @@ Spark DataFrame/SQL stack (Catalyst-optimized, cluster-scale).
 """
 
 from .astrotable import AstroTable
+from .cache import release_caches
 from .expr import ExprError, translate
 from .plotting import CornerPlot, Group, PairGrid, Plotter
 from .session import get_spark, tune_existing
@@ -16,6 +17,7 @@ __all__ = [
     "ExprError",
     "get_spark",
     "tune_existing",
+    "release_caches",
     "Plotter",
     "Group",
     "PairGrid",

@@ -437,7 +437,15 @@ def knn_cone(
     ranks by (rounded separation, tiebreak) and keeps rank <= k. The
     window partitions on the left id — millions of small partitions,
     no global sort. Rows with fewer than k matches keep what they
-    have; rows with none drop (inner semantics)."""
+    have; rows with none drop (inner semantics).
+
+    Determinism: ``row_number`` needs a TOTAL order — ranking on the
+    rounded separation alone would make which neighbour fills rank k
+    among equidistant ties depend on partitioning. With
+    ``tiebreak=None`` every atomic (orderable) right-side column is
+    appended to the sort key so the result is run-stable; pass an
+    explicit right-side id column when you know the unique key."""
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     m = crossmatch_cone(
@@ -446,6 +454,21 @@ def knn_cone(
     order = [F.col("separation")]
     if tiebreak:
         order.append(F.col(tiebreak))
+    else:
+        atomic = (
+            T.NumericType, T.StringType, T.BooleanType,
+            T.DateType, T.TimestampType, T.BinaryType,
+        )
+        ties = [
+            f.name for f in right.schema.fields
+            if isinstance(f.dataType, atomic) and f.name in m.columns
+        ]
+        if not ties:
+            raise ValueError(
+                "knn_cone: no orderable right-side column for a "
+                "deterministic tiebreak — pass tiebreak= explicitly"
+            )
+        order.extend(F.col(c) for c in ties)
     w = Window.partitionBy(id_left).orderBy(*order)
     return m.withColumn(rank_name, F.row_number().over(w)).filter(
         F.col(rank_name) <= k

@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
+from ..cache import track
 from .textstats import token_count, tokens
 
 __all__ = [
@@ -122,11 +122,11 @@ def tf_idf_top_terms(
     # join on the term aggregate is the scale shape. Spill-safe level;
     # LRU-evictable (no unpersist handle — the frame is the aggregated
     # (doc, term) counts, far smaller than the corpus).
-    tf = (
+    tf = track(
         docs.select(F.col(id_col), F.explode(tokens(text)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -171,9 +171,7 @@ def bm25_scores(
     terms = [t.lower() for t in query_terms]
     # persisted: read by the avgdl scalar AND the per-doc join — one
     # length scan instead of two (two longs per doc, trivially cached)
-    lens = docs.select(F.col(id_col), token_count(text).alias("dl")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    lens = track(docs.select(F.col(id_col), token_count(text).alias("dl")))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -244,14 +242,14 @@ def unigram_logprob(
     # persisted: the LM, the corpus totals, and the scoring join all
     # derive from this aggregate — without the cache the token-explode
     # scan is planned three times (same rationale as tf_idf_top_terms)
-    term = (
+    term = track(
         docs.select(F.col(id_col), F.explode(tokens(text)).alias("w"))
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # persisted too: both the scoring join and the corpus totals read the
     # LM — uncached, the vocab shuffle over `term` is planned twice
-    lm = term.groupBy("w").agg(F.sum("c").alias("cw")).persist(StorageLevel.MEMORY_AND_DISK)
+    lm = track(term.groupBy("w").agg(F.sum("c").alias("cw")))
     totals = lm.agg(
         F.sum("cw").alias("t_tokens"), F.count(F.lit(1)).alias("vocab")
     )

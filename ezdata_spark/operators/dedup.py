@@ -20,7 +20,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from ..cache import track
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -208,7 +209,7 @@ def minhash_dedup(
     """Full near-dup pipeline: signatures -> LSH candidates -> verified
     pairs above threshold. Returns (id_a, id_b, jaccard_est)."""
     sigs = minhash_signatures(df, text, id_col, num_hashes, shingle_n)
-    sigs = sigs.persist()
+    sigs = track(sigs)
     pairs = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     return minhash_jaccard(sigs, pairs, id_col).filter(F.col("jaccard_est") >= threshold)
 
@@ -446,6 +447,30 @@ def char_trigrams(text_col: str) -> Column:
     return F.array_distinct(acc)
 
 
+def _gram_set(text_col: str, unit) -> Column:
+    """Distinct gram set of a document for the similarity join:
+    ``"char3"`` = character trigrams (pg_trgm), ``"word"`` = word
+    tokens, an int n = space-joined word n-shingles. Char trigrams fit
+    SHORT strings (names, titles): their universe is alphabet^3, so at
+    corpus scale every gram is frequent. Long-document similarity joins
+    should run on word/shingle units, whose rare-token tail is what
+    makes prefix filtering effective (the token-set setting of the
+    AllPairs/PPJoin papers)."""
+    if unit == "char3":
+        return char_trigrams(text_col)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    if unit == "word":
+        return F.array_distinct(toks)
+    n = int(unit)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
 def trigram_similarity_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -453,16 +478,19 @@ def trigram_similarity_pairs(
     threshold: float = 0.6,
     broadcast_sets: bool = False,
     hash_verify: bool = True,
+    unit="char3",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard similarity self-join on character trigram sets
-    (pg_trgm semantics) with PREFIX FILTERING — the AllPairs algorithm
-    of Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
-    Search" (WWW 2007): a pair with Jaccard >= t MUST share a gram in
-    the first floor((1-t)|G|)+1 grams of each side under one global
-    gram ordering (rarest first), so the candidate join runs on prefix
-    grams only — the frequent-gram blowup (every doc shares 'the')
-    never reaches the join. A size filter (|B| >= t|A|) prunes
-    further; exact Jaccard on full gram sets is the final verdict.
+    """Exact Jaccard similarity self-join on per-document gram sets
+    (default: character trigrams, pg_trgm semantics) with PREFIX
+    FILTERING — the AllPairs algorithm of Bayardo, Ma & Srikant,
+    "Scaling Up All Pairs Similarity Search" (WWW 2007): a pair with
+    Jaccard >= t MUST share a gram in the first |G| - ceil(t|G|) + 1
+    grams of each side under one global gram ordering (rarest first),
+    so the candidate join runs on prefix grams only — the
+    frequent-gram blowup (every doc shares 'the') never reaches the
+    join. A size filter (|B| >= t|A|) prunes further; exact Jaccard on
+    full gram sets is the final verdict.
 
     The POSITIONAL filter of PPJoin (Xiao, Wang, Lin & Yu, WWW 2008)
     prunes further: a shared gram at sorted positions (ra, rb) bounds
@@ -477,45 +505,86 @@ def trigram_similarity_pairs(
     broadcasts the per-doc gram-set frame into both verify joins
     instead of shuffling a ~2x1.7KB array payload per candidate —
     the right call when the corpus (not the pair space) fits a
-    broadcast, e.g. the 5k-doc bench corpus; leave False at 100 TB.
+    broadcast, e.g. the 5k-doc bench corpus; leave False at 100 TB
+    (AQE still broadcasts small verify sides from measured size).
     ``hash_verify=True`` (default) intersects xxhash64'd gram arrays —
     Spark's primitive-long array_intersect is 2x the string path; a
     within-pair hash collision (probability ~|G|^2 / 2^64 ~ 1e-12 per
     pair) would overcount the intersection by 1 — set False for
-    strictly-exact verification."""
+    strictly-exact verification.
+
+    ``unit`` picks the gram vocabulary (see ``_gram_set``): char
+    trigrams for short strings; ``"word"`` or an int shingle width for
+    documents, where the rare-token tail keeps prefixes selective at
+    corpus scale.
+
+    ``max_gram_df`` (RECALL KNOB — standard AllPairs practice): when
+    set, grams whose document frequency exceeds the cap are dropped
+    from candidate generation (never from verification). Bounds the
+    candidate join on adversarial corpora where many documents consist
+    ENTIRELY of ultra-frequent grams — exactly those documents have no
+    sub-cap gram in their prefix and generate no candidates, so pairs
+    among them are missed. Precision is unaffected (verification stays
+    exact); recall is complete for every pair in which either side
+    retains one sub-cap prefix gram. Leave None (default) for the
+    exact join."""
     grams = (
-        # char_trigrams is array_distinct per doc, so (id, g) is already
+        # _gram_set is array_distinct per doc, so (id, g) is already
         # unique — no global distinct shuffle needed
-        df.select(F.col(id_col).alias("id"), F.explode(char_trigrams(text_col)).alias("g"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        track(df.select(
+            F.col(id_col).alias("id"), F.explode(_gram_set(text_col, unit)).alias("g")
+        ))
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
     gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gc"))
     w = Window.partitionBy("id").orderBy("gc", "g")
+    # Prefix length is EXACTLY ng - ceil(t*ng) + 1 (Bayardo et al. §3).
+    # Computed as floor((1-t)*ng)+1 in floating point this comes out one
+    # gram SHORT whenever (1-t)*ng is integral (t=0.8, ng=5k: 0.2*10 ->
+    # 1.9999999999999996 -> floor 1, required 3) and silently drops
+    # qualifying pairs — so the ceil runs on t*ng nudged down by an
+    # epsilon far below the 1-ulp scale of any realistic t*ng, which can
+    # only lengthen the prefix (completeness-safe, never lossy).
+    prefix_len = (
+        F.col("ng")
+        - F.ceil(F.lit(threshold) * F.col("ng") - F.lit(1e-9))
+        + F.lit(1)
+    )
     prefix = (
         grams.join(gdf, "g")
         .join(sizes, "id")
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.floor((1 - threshold) * F.col("ng")) + 1)
-        .select("id", "g", "ng", "rn")
-        # persisted: both join sides (a and b) read the prefix frame —
-        # uncached, the gdf-join + window subtree plans twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .where(F.col("rn") <= prefix_len)
     )
+    if max_gram_df is not None:
+        # rn stays ranked over the FULL order so the positional filter
+        # keeps its meaning; the cap only removes frequent grams from
+        # the candidate join (recall contract in the docstring)
+        prefix = prefix.where(F.col("gc") <= max_gram_df)
+    prefix = prefix.select("id", "g", "ng", "rn")
+    # tracked persist: both join sides (a and b) read the prefix frame —
+    # uncached, the gdf-join + window subtree plans twice. Caller (or
+    # bench loop) releases via ezdata_spark.cache.release_caches().
+    prefix = track(prefix)
     a = prefix.select(
         F.col("id").alias("id_a"), "g", F.col("ng").alias("n_a"), F.col("rn").alias("ra")
     )
     b = prefix.select(
         F.col("id").alias("id_b"), "g", F.col("ng").alias("n_b"), F.col("rn").alias("rb")
     )
+    # Same epsilon hardening on every ceil-of-float bound: each must
+    # never round UP past the exact rational value, or borderline pairs
+    # are pruned before verification.
     min_overlap = F.ceil(
         F.lit(threshold / (1 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
     )
     cand = (
         a.join(b, "g")
         .where(F.col("id_a") < F.col("id_b"))
         .where(
-            F.least("n_a", "n_b") >= F.ceil(F.lit(threshold) * F.greatest("n_a", "n_b"))
+            F.least("n_a", "n_b")
+            >= F.ceil(F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9))
         )
         # PPJoin positional filter: best possible overlap via this gram
         .where(
@@ -526,11 +595,10 @@ def trigram_similarity_pairs(
         .distinct()
     )
     gcol = F.xxhash64("g") if hash_verify else F.col("g")
-    sets = (
+    sets = track(
         grams.select("id", gcol.alias("gv"))
         .groupBy("id")
         .agg(F.collect_set("gv").alias("gs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sa_ = sets.select(F.col("id").alias("id_a"), F.col("gs").alias("ga"))
     sb_ = sets.select(F.col("id").alias("id_b"), F.col("gs").alias("gb"))

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 __all__ = ["pagerank", "triangle_count"]
 
 
@@ -115,15 +117,15 @@ def triangle_count(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
     )
+    e = track(e)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .persist()
     )
+    deg = track(deg)
     # Orient low-degree -> high-degree (tie: smaller id first).
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -140,8 +142,8 @@ def triangle_count(
             .alias("uv")
         )
         .select("uv.u", "uv.v")
-        .persist()
     )
+    oriented = track(oriented)
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))

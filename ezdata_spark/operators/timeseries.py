@@ -43,8 +43,12 @@ def resample(
     left-labelled buckets) in one distributed aggregate.
     """
     aggs = dict(aggs or {"n": F.count(F.lit(1))})
+    # floor(), not cast('bigint'): the cast truncates toward zero, which
+    # right-shifts pre-1970 (negative-epoch) timestamps into the wrong
+    # bucket; floor division is what left-closed buckets mean everywhere
+    # on the time axis.
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("bigint")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("bigint")
         * interval_seconds
     ).alias("bucket")
     keyc = [F.col(k) for k in keys]
@@ -61,8 +65,10 @@ def resample(
         *[F.col(k) for k in keys],
         F.explode(
             F.sequence(
-                (F.col("_lo") / interval_seconds).cast("bigint") * interval_seconds,
-                (F.col("_hi") / interval_seconds).cast("bigint") * interval_seconds,
+                F.floor(F.col("_lo") / interval_seconds).cast("bigint")
+                * interval_seconds,
+                F.floor(F.col("_hi") / interval_seconds).cast("bigint")
+                * interval_seconds,
                 F.lit(interval_seconds),
             )
         ).alias("_b"),

@@ -14,6 +14,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 
 def global_row_id(df: DataFrame, keys: Sequence[str], name: str = "row_id") -> DataFrame:
     """Dense 0-based row ids in ascending ``keys`` order WITHOUT a
@@ -29,11 +31,10 @@ def global_row_id(df: DataFrame, keys: Sequence[str], name: str = "row_id") -> D
     cumulative-offset literal map. The rdd.zipWithIndex two-job
     pattern, kept in Catalyst; the sorted frame is persisted between
     the two jobs so both see identical partitioning."""
-    srt = (
+    srt = track(
         df.repartitionByRange(*[F.col(c) for c in keys])
         .sortWithinPartitions(*keys)
         .withColumn("__mono", F.monotonically_increasing_id())
-        .persist()
     )
     pid = F.expr("shiftright(__mono, 33)")
     local = F.expr(f"__mono & {(1 << 33) - 1}")
@@ -270,11 +271,10 @@ def global_cumsum(
     cross-engine determinism matters: the offsets associate additions
     differently than a sequential scan, which is invisible in exact
     arithmetic and a last-ulp lottery in floats."""
-    srt = (
+    srt = track(
         df.repartitionByRange(*order_keys)
         .sortWithinPartitions(*order_keys)
         .withColumn("__mono", F.monotonically_increasing_id())
-        .persist()
     )
     pid = F.expr("shiftright(__mono, 33)")
     w = (
@@ -283,10 +283,13 @@ def global_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local_cum = F.sum(F.col(value_col)).over(w)
+    # An all-NULL partition sums to NULL: coalesce to 0 so the offset
+    # chain never sees None (Decimal('None') raises) and downstream
+    # partitions still get the right prefix.
     parts = sorted(
         (r[0], r[1])
         for r in srt.groupBy(pid.alias("pid"))
-        .agg(F.sum(value_col).alias("s"))
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
         .collect()
     )
     from decimal import Decimal
@@ -297,9 +300,21 @@ def global_cumsum(
         acc += Decimal(str(s))
     if not offsets:
         return df.withColumn(name, F.col(value_col))
-    omap = "map(" + ",".join(
-        f"{p},CAST('{o}' AS DECIMAL(38,6))" for p, o in offsets.items()
-    ) + ")"
+    # Offset literals carry the VALUE COLUMN's own numeric family:
+    # doubles as doubles (a DECIMAL(38,6) cast would silently quantize
+    # each partition boundary at 1e-6 — worse than the documented
+    # last-ulp association caveat), integers as bigint, decimals in
+    # decimal so exact arithmetic stays exact.
+    from pyspark.sql import types as T
+
+    dt = srt.schema[value_col].dataType
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        lit = lambda o: f"CAST('{float(o)!r}' AS DOUBLE)"
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        lit = lambda o: f"CAST({int(o)} AS BIGINT)"
+    else:
+        lit = lambda o: f"CAST('{o}' AS DECIMAL(38,6))"
+    omap = "map(" + ",".join(f"{p},{lit(o)}" for p, o in offsets.items()) + ")"
     return (
         srt.withColumn(
             name,

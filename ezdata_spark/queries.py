@@ -3745,11 +3745,15 @@ def q132(spark, sf_dir):
     """Exact trigram-Jaccard similarity self-join (operators/dedup.py::
     trigram_similarity_pairs) — pg_trgm-style fuzzy document matching
     at scale via PREFIX FILTERING (AllPairs, Bayardo et al. WWW'07):
-    the candidate equi-join runs only on each doc's floor((1-t)|G|)+1
+    the candidate equi-join runs only on each doc's |G|-ceil(t|G|)+1
     rarest grams under a global gram order, so frequent grams never
     explode the join; the oracle is the brute-force all-pairs form the
     prefix filter provably equals."""
     from .operators.dedup import trigram_similarity_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return trigram_similarity_pairs(docs, threshold=0.8, broadcast_sets=True)
+    # broadcast_sets stays False — the scale-correct default this query
+    # is the copy-paste template for. On a corpus that fits the
+    # autoBroadcastJoinThreshold, AQE broadcasts the verify side anyway
+    # from its MEASURED runtime size; at 100 TB the same code shuffles.
+    return trigram_similarity_pairs(docs, threshold=0.8)
