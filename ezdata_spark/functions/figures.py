@@ -143,6 +143,107 @@ def combine_figures(figs: list[dict], cols: int = 2, hgap: float = 0.08, vgap: f
     return out
 
 
+def _axis_of(trace: dict, which: str) -> str:
+    """Layout key of the axis a trace draws on: 'x2' -> 'xaxis2'."""
+    ref = trace.get(f"{which}axis") or which
+    return ref.replace(which, f"{which}axis", 1)
+
+
+def _domain(layout: dict, axis_key: str) -> tuple:
+    dom = layout.get(axis_key, {}).get("domain", [0.0, 1.0])
+    return float(dom[0]), float(dom[1])
+
+
+def separate_colorbars(fig: dict, xnorm: float = 1.0, ynorm: float = 0.5, **kwargs) -> dict:
+    """Give every color-mapped trace its OWN layout coloraxis and place
+    each colorbar beside its subplot (reference plotly/tools.py:55-86).
+    Without this, a combined figure's heatmaps either share one global
+    colorbar scale or stack their bars at the figure edge.
+
+    Works on figure DICTS: per-trace color properties (colorscale,
+    colorbar, zmin/zmax) move onto numbered ``layout.coloraxisN``
+    entries and the trace keeps only the ``coloraxis`` reference —
+    exactly the structure plotly renders. Returns the same dict,
+    updated in place, for chaining."""
+    layout = fig.setdefault("layout", {})
+    num = 0
+    for tr in fig.get("data", []):
+        if tr.get("type") not in ("heatmap", "histogram2d", "contour") and (
+            "colorscale" not in tr and "coloraxis" not in tr
+        ):
+            continue
+        num += 1
+        name = "coloraxis" if num == 1 else f"coloraxis{num}"
+        axis_props = layout.get(tr.get("coloraxis", ""), {}) if tr.get("coloraxis") else {}
+        axis_props = dict(axis_props)
+        for src, dst in (
+            ("colorscale", "colorscale"),
+            ("zmin", "cmin"),
+            ("zmax", "cmax"),
+            ("colorbar", "colorbar"),
+        ):
+            if src in tr:
+                axis_props[dst] = tr.pop(src)
+        layout[name] = axis_props
+        tr["coloraxis"] = name
+    return reposition_colorbars(fig, xnorm=xnorm, ynorm=ynorm, **kwargs)
+
+
+def reposition_colorbars(fig: dict, xnorm: float = 1.0, ynorm: float = 0.5, **kwargs) -> dict:
+    """Move each trace's colorbar to the same RELATIVE position inside
+    its own subplot's domain (reference plotly/tools.py:19-52):
+    ``x = x0 + (x1-x0)*xnorm``, same for y — so a grid of heatmaps gets
+    a bar beside every panel instead of all bars at the figure edge.
+    Extra kwargs merge into each colorbar (len, thickness, ...)."""
+    layout = fig.setdefault("layout", {})
+    for tr in fig.get("data", []):
+        ca = tr.get("coloraxis")
+        target = layout.get(ca) if ca else tr
+        if target is None or (not ca and "colorbar" not in tr and tr.get("type") != "heatmap"):
+            continue
+        x0, x1 = _domain(layout, _axis_of(tr, "x"))
+        y0, y1 = _domain(layout, _axis_of(tr, "y"))
+        cb = dict(target.get("colorbar", {}) or {})
+        cb["x"] = round(x0 + (x1 - x0) * xnorm, 6)
+        cb["y"] = round(y0 + (y1 - y0) * ynorm, 6)
+        cb.setdefault("len", round(y1 - y0, 6))
+        cb.update(kwargs)
+        target["colorbar"] = cb
+    return fig
+
+
+def copy_axis(new_axis_name: str, axis: dict) -> dict:
+    """Copy an axis dict onto a new layout axis name, dropping the
+    placement keys (domain / anchor / matches) that must come from the
+    new grid position (reference plotly/tools.py:283-300). Returns a
+    layout-fragment dict to merge into ``fig['layout']``."""
+    ignore = ("domain", "anchor", "matches")
+    return {new_axis_name: {k: v for k, v in (axis or {}).items() if k not in ignore}}
+
+
+def update_annotation_position(
+    fig: dict, xaxis_name: str, yaxis_name: str, annotation: dict
+) -> dict:
+    """Re-anchor an annotation after its subplot moved in a combined
+    grid (reference plotly/tools.py:206-246): paper-referenced
+    coordinates rescale into the new axis domain; data-referenced
+    coordinates keep their values and retarget the numbered axis.
+    Returns a NEW annotation dict."""
+    layout = fig.get("layout", {})
+    out = dict(annotation)
+    if annotation.get("xref", "paper") == "paper":
+        x0, x1 = _domain(layout, xaxis_name)
+        out["x"] = round(x0 + (x1 - x0) * float(annotation.get("x", 0.5)), 6)
+    else:
+        out["xref"] = xaxis_name.replace("axis", "")
+    if annotation.get("yref", "paper") == "paper":
+        y0, y1 = _domain(layout, yaxis_name)
+        out["y"] = round(y0 + (y1 - y0) * float(annotation.get("y", 0.5)), 6)
+    else:
+        out["yref"] = yaxis_name.replace("axis", "")
+    return out
+
+
 def to_plotly_figure(spec: dict):
     """Materialize a dict into a live ``plotly.graph_objects.Figure``
     (the only function here that needs plotly installed)."""

@@ -353,7 +353,15 @@ def encode_fits(pdf, schema: T.StructType, units: dict | None = None) -> bytes:
                 fields.append((name, "S1"))
                 tforms.append("L")
                 cols.append(
-                    np.where(pdf[name].fillna(False).to_numpy(bool), b"T", b"F").astype("S1")
+                    np.where(
+                        # map, not fillna: fillna on an object series
+                        # warns (later raises) about dtype downcasting
+                        pdf[name].map(
+                            lambda v: False if pd.isna(v) else bool(v)
+                        ).to_numpy(bool),
+                        b"T",
+                        b"F",
+                    ).astype("S1")
                 )
             else:
                 ser = pdf[name]

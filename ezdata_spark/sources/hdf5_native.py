@@ -504,8 +504,10 @@ def _pdf_to_rec(pdf, schema: T.StructType) -> np.ndarray:
             ser = pdf[name]
             if type(f.dataType) is T.BooleanType:
                 # the documented policy (null -> False) must run BEFORE
-                # the integer-null reject: bools store as u1
-                ser = ser.fillna(False).astype(bool)
+                # the integer-null reject: bools store as u1. fillna on
+                # an object series would warn (and later raise) about
+                # downcasting — build the bool array without it
+                ser = ser.map(lambda v: False if pd.isna(v) else bool(v))
             elif el[0] in "iu" and ser.isna().any():
                 raise ValueError(
                     f"write_hdf5: integer column {name!r} has nulls; HDF5 has "

@@ -460,6 +460,61 @@ def test_plotly_figure_dicts(lineitem):
     assert grid["layout"]["yaxis2"]["domain"] == grid["layout"]["yaxis"]["domain"]
 
 
+def test_plotly_layout_helpers(lineitem):
+    """Multi-raster combine with INDEPENDENT per-panel colorbars
+    (reference plotly/tools.py:19-86 reposition/separate_colorbars,
+    :206-300 annotation/axis copy — here over figure dicts)."""
+    from ezdata_spark.functions.figures import (
+        combine_figures,
+        copy_axis,
+        raster_figure,
+        separate_colorbars,
+        update_annotation_position,
+    )
+
+    p = Plotter(lineitem)
+    g1 = p.hist2d("l_quantity", "l_discount", bins=(6, 5), range=((0.0, 51.0), (0.0, 0.12)))
+    g2 = p.hist2d("l_quantity", "l_extendedprice", bins=(6, 4), range=((0.0, 51.0), (900.0, 105000.0)))
+    grid = combine_figures([raster_figure(g1), raster_figure(g2)], cols=2)
+    out = separate_colorbars(grid, xnorm=1.02)
+
+    # each heatmap now references its own layout coloraxis
+    cas = [tr["coloraxis"] for tr in out["data"]]
+    assert cas == ["coloraxis", "coloraxis2"]
+    assert all("colorscale" not in tr and "colorbar" not in tr for tr in out["data"])
+    # and each colorbar sits just right of ITS subplot's x-domain
+    for tr, ca in zip(out["data"], cas):
+        xd = out["layout"][tr["xaxis"].replace("x", "xaxis", 1) if tr.get("xaxis") else "xaxis"]["domain"]
+        cb = out["layout"][ca]["colorbar"]
+        want_x = xd[0] + (xd[1] - xd[0]) * 1.02
+        assert cb["x"] == pytest.approx(want_x, abs=1e-6)
+        assert cb["y"] == pytest.approx(0.5, abs=1e-6)
+    # the two bars are at different x positions (not stacked at the edge)
+    xs = [out["layout"][ca]["colorbar"]["x"] for ca in cas]
+    assert xs[0] < xs[1]
+
+    # copy_axis drops placement keys, keeps styling
+    frag = copy_axis(
+        "xaxis3",
+        {"title": {"text": "qty"}, "type": "log", "domain": [0, 0.5], "anchor": "y"},
+    )
+    assert frag == {"xaxis3": {"title": {"text": "qty"}, "type": "log"}}
+
+    # paper-ref annotation rescales into the axis domain; data-ref
+    # annotation retargets the numbered axis and keeps coordinates
+    ann = update_annotation_position(
+        out, "xaxis2", "yaxis2", {"x": 0.5, "y": 1.0, "xref": "paper", "yref": "paper", "text": "t"}
+    )
+    xd2 = out["layout"]["xaxis2"]["domain"]
+    assert ann["x"] == pytest.approx(xd2[0] + (xd2[1] - xd2[0]) * 0.5, abs=1e-6)
+    assert ann["y"] == pytest.approx(1.0, abs=1e-6)
+    ann2 = update_annotation_position(
+        out, "xaxis2", "yaxis2", {"x": 12.5, "y": 0.04, "xref": "x", "yref": "y", "text": "d"}
+    )
+    assert ann2["xref"] == "x2" and ann2["yref"] == "y2"
+    assert ann2["x"] == 12.5 and ann2["y"] == 0.04
+
+
 def test_plotly_box_figure(customer):
     from ezdata_spark.functions.figures import box_figure
 

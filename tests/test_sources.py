@@ -735,17 +735,86 @@ def test_read_votable_falls_back_to_native(spark, tmp_path):
     assert t.df.count() == 4 and t.df.columns == ["a"]
 
 
-def test_votable_native_binary_stream_errors(spark, tmp_path):
+@pytest.mark.parametrize("serialization", ["binary", "binary2"])
+def test_votable_native_binary_roundtrip(spark, tmp_path, serialization):
+    """IVOA BINARY/BINARY2 base64 stream writer -> reader round-trip:
+    big-endian packed cells, count-prefixed variable arrays, UTF-16BE
+    unicode, BINARY2 null bitmask (VOTable 1.4 §5.2-5.3). The BINARY
+    (v1) case uses NaN for the null float — the only null the
+    mask-less serialization can carry."""
+    from ezdata_spark.sources.votable_native import read_votable_native, write_votable
+
+    rows = [
+        (1, 10.5, "a b<c", True, [1.0, 2.0], [7, 8]),
+        (2, None, "ünïcode", False, [3.0], []),
+        (3, 30.25, "y", True, [-1.5], [9]),
+    ]
+    if serialization == "binary2":
+        rows.append((4, 1.25, None, None, None, None))
+    df = spark.createDataFrame(
+        rows,
+        "id long, x double, s string, flag boolean, "
+        "vec array<double>, iv array<int>",
+    )
+    t = EzTable(df, units={"x": "mag"})
+    p = str(tmp_path / f"t_{serialization}.vot")
+    write_votable(t, p, serialization=serialization)
+    assert f"<{'BINARY2' if serialization == 'binary2' else 'BINARY'}>" in open(p).read()
+    back = read_votable_native(spark, p)
+    assert back.unit("x") == "mag"
+    a = [r.asDict() for r in df.orderBy("id").collect()]
+    b = [r.asDict() for r in back.df.orderBy("id").collect()]
+    # binary v1 cannot carry null arrays: they round-trip as empty
+    if serialization == "binary":
+        for r in a:
+            for k in ("vec", "iv"):
+                if r[k] is None:
+                    r[k] = []
+    assert a == b
+    assert dict(back.df.dtypes) == dict(df.dtypes)
+
+
+def test_votable_binary_matches_tabledata(spark, tmp_path):
+    """The three serializations of the same table read back
+    value-identical (cross-serialization property)."""
+    from ezdata_spark.sources.votable_native import read_votable_native, write_votable
+
+    df = spark.range(50).selectExpr(
+        "id",
+        "cast(id * 1.5 as double) AS x",
+        "concat('s', id) AS s",
+        "array(cast(id as double), cast(id + 1 as double)) AS vec",
+    )
+    t = EzTable(df)
+    outs = {}
+    for ser in ("tabledata", "binary", "binary2"):
+        p = str(tmp_path / f"m_{ser}.vot")
+        write_votable(t, p, serialization=ser)
+        outs[ser] = [
+            r.asDict() for r in read_votable_native(spark, p).df.orderBy("id").collect()
+        ]
+    assert outs["tabledata"] == outs["binary"] == outs["binary2"]
+
+
+def test_votable_binary_v1_null_int_raises(spark, tmp_path):
+    from ezdata_spark.sources.votable_native import write_votable
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(ValueError, match="binary2"):
+        write_votable(EzTable(df), str(tmp_path / "n.vot"), serialization="binary")
+
+
+def test_votable_native_fits_stream_errors(spark, tmp_path):
     from ezdata_spark.sources.votable_native import read_votable_native
 
-    p = tmp_path / "bin.vot"
+    p = tmp_path / "fits.vot"
     p.write_text(
         '<VOTABLE><RESOURCE><TABLE>'
         '<FIELD name="x" datatype="double"/>'
-        "<DATA><BINARY><STREAM/></BINARY></DATA>"
+        "<DATA><FITS><STREAM/></FITS></DATA>"
         "</TABLE></RESOURCE></VOTABLE>"
     )
-    with pytest.raises(NotImplementedError, match="TABLEDATA"):
+    with pytest.raises(NotImplementedError, match="FITS"):
         read_votable_native(spark, str(p))
 
 
