@@ -13,13 +13,18 @@ large-scale training-pipeline pattern:
   8-bit PNG (stdlib zlib, all five scanline filters), baseline
   sequential JPEG (pure-numpy DCT + Annex-K Huffman, 4:4:4/4:2:0;
   functions/jpeg_codec.py), GIF (LZW, interlace, animation
-  composition), 16-bit PCM WAV, and 4-bit IMA-ADPCM compressed WAV —
-  all round-trip tested. Only formats that genuinely need external
-  codec libraries (MP3/FLAC audio, compressed video) fall back to a
-  clearly-marked
-  deterministic STUB (hash-seeded synthetic pixels) so the pipeline
-  shape stays testable; the Spark-side plumbing — schemas, batch
-  iteration, partitioning, output contracts — is identical either way.
+  composition), 16-bit PCM WAV, 4-bit IMA-ADPCM, G.711, and FLAC —
+  all round-trip tested;
+- every feature row carries a ``decode_status`` column stating what
+  produced it: ``decoded`` (a real codec ran), ``unsupported`` (no
+  codec for this format — MP3 / H.264 etc. need external DSP libraries
+  not in this container; features are NULL, never fabricated),
+  ``error`` (a codec rejected corrupt bytes; features NULL, row kept —
+  at 100 TB a corrupt payload must not kill the job), or ``synthetic``
+  (the OPT-IN ``synthetic_fallback=True`` hash-seeded stand-in for
+  pipeline-shape testing). Synthetic numbers can therefore never be
+  mistaken for real decode output: by default they do not exist, and
+  opted-in they are labelled.
 """
 
 from __future__ import annotations
@@ -71,37 +76,52 @@ def _stub_decode(data: bytes, width: int, height: int, channels: int) -> np.ndar
     return rng.randint(0, 256, size=(height, width, channels), dtype=np.uint8)
 
 
-def decode_pixels(data: bytes, meta) -> np.ndarray:
-    """Real decode where a pure-numpy codec exists (BMP, PNG, baseline
-    JPEG; see functions/media_codecs.py and functions/jpeg_codec.py),
-    PIL when installed, deterministic stub otherwise (exotic formats
-    without PIL). Grayscale decodes broadcast to the (H, W, C) contract
+def try_decode_pixels(data, meta, synthetic_fallback: bool = False):
+    """Decode with an explicit outcome: ``(pixels, status)`` where
+    status is ``decoded`` / ``error`` / ``unsupported`` / ``synthetic``
+    (see module docstring). Pixels are None unless status is decoded
+    or synthetic. Grayscale decodes broadcast to the (H, W, C) contract
     the feature kernels expect."""
-    if data and data[:2] == b"BM":
-        from ..functions.media_codecs import decode_bmp
-
-        return decode_bmp(bytes(data))
-    if data and data[:8] == b"\x89PNG\r\n\x1a\n":
-        from ..functions.media_codecs import decode_png
-
-        px = decode_png(bytes(data))
-        return px[:, :, None] if px.ndim == 2 else px
-    if data and data[:2] == b"\xff\xd8":
-        from ..functions.jpeg_codec import decode_jpeg
-
-        px = decode_jpeg(bytes(data))
-        return px[:, :, None] if px.ndim == 2 else px
-    if data and data[:6] in (b"GIF87a", b"GIF89a"):
-        from ..functions.media_codecs import decode_gif
-
-        return decode_gif(bytes(data))
+    d = bytes(data or b"")
+    real = None
+    if d[:2] == b"BM":
+        from ..functions.media_codecs import decode_bmp as real
+    elif d[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.media_codecs import decode_png as real
+    elif d[:2] == b"\xff\xd8":
+        from ..functions.jpeg_codec import decode_jpeg as real
+    elif d[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.media_codecs import decode_gif as real
+    if real is not None:
+        try:
+            px = real(d)
+            return (px[:, :, None] if px.ndim == 2 else px), "decoded"
+        except Exception:  # noqa: BLE001 - corrupt payload must not kill the job
+            return None, "error"
     if _have_pil():
         import io
 
         from PIL import Image
 
-        return np.asarray(Image.open(io.BytesIO(data)))
-    return _stub_decode(data, meta["width"], meta["height"], meta["channels"])
+        try:
+            return np.asarray(Image.open(io.BytesIO(d))), "decoded"
+        except Exception:  # noqa: BLE001
+            pass  # fall through: PIL couldn't identify it either
+    if synthetic_fallback:
+        return (
+            _stub_decode(d, meta["width"], meta["height"], meta["channels"]),
+            "synthetic",
+        )
+    return None, "unsupported"
+
+
+def decode_pixels(data: bytes, meta) -> np.ndarray:
+    """Legacy strict decode: real codec output or a raise — no silent
+    stand-ins. Prefer ``try_decode_pixels`` in pipelines."""
+    px, status = try_decode_pixels(data, meta, synthetic_fallback=False)
+    if px is None:
+        raise ValueError(f"decode_pixels: payload not decodable ({status})")
+    return px
 
 
 def synthesize_media(spark: SparkSession, df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -121,30 +141,38 @@ def synthesize_media(spark: SparkSession, df: DataFrame, id_col: str, payload_co
 
 FEATURE_SCHEMA = (
     "media_id long, width int, height int, n_bytes long, "
-    "mean_luma double, std_luma double, aspect double"
+    "mean_luma double, std_luma double, aspect double, decode_status string"
 )
 
 
-def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def image_features(
+    media: DataFrame,
+    batch_hint: int | None = None,
+    synthetic_fallback: bool = False,
+) -> DataFrame:
     """Decode + per-image features via mapInPandas (Arrow batches,
-    bounded memory; decode kernel stubbed, see module docstring)."""
+    bounded memory). Pixel-derived features (mean/std luma) are NULL
+    unless a real codec decoded the payload — ``decode_status`` states
+    the outcome per row (module docstring); metadata-derived columns
+    (dims, byte count, aspect) are always present."""
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for _, row in b.iterrows():
                 meta = row["meta"]
-                px = decode_pixels(row["data"], meta)
-                luma = px.astype("float64").mean(axis=2)
+                px, status = try_decode_pixels(row["data"], meta, synthetic_fallback)
+                luma = None if px is None else px.astype("float64").mean(axis=2)
                 out.append(
                     {
                         "media_id": row["media_id"],
                         "width": int(meta["width"]),
                         "height": int(meta["height"]),
                         "n_bytes": len(row["data"] or b""),
-                        "mean_luma": float(luma.mean()),
-                        "std_luma": float(luma.std()),
+                        "mean_luma": None if luma is None else float(luma.mean()),
+                        "std_luma": None if luma is None else float(luma.std()),
                         "aspect": float(meta["width"]) / float(meta["height"]),
+                        "decode_status": status,
                     }
                 )
             yield pd.DataFrame(out)
@@ -152,19 +180,36 @@ def image_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame
     return media.mapInPandas(_feats, FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "media_id long, thumb binary, thumb_w int, thumb_h int"
+RESIZE_SCHEMA = (
+    "media_id long, thumb binary, thumb_w int, thumb_h int, decode_status string"
+)
 
 
-def resize_images(media: DataFrame, max_side: int = 8) -> DataFrame:
+def resize_images(
+    media: DataFrame, max_side: int = 8, synthetic_fallback: bool = False
+) -> DataFrame:
     """Thumbnail stage: decode -> nearest-neighbor downsample -> raw
-    bytes out. Output stays binary (chainable into further stages)."""
+    bytes out. Output stays binary (chainable into further stages);
+    non-decodable payloads keep their row with a NULL thumb and the
+    explaining ``decode_status``."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for _, row in b.iterrows():
                 meta = row["meta"]
-                px = decode_pixels(row["data"], meta)
+                px, status = try_decode_pixels(row["data"], meta, synthetic_fallback)
+                if px is None:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "thumb": None,
+                            "thumb_w": None,
+                            "thumb_h": None,
+                            "decode_status": status,
+                        }
+                    )
+                    continue
                 h, w = px.shape[:2]
                 scale = max(1, -(-max(h, w) // max_side))  # ceil: longest side must land <= max_side
                 thumb = px[::scale, ::scale]
@@ -174,6 +219,7 @@ def resize_images(media: DataFrame, max_side: int = 8) -> DataFrame:
                         "thumb": thumb.tobytes(),
                         "thumb_w": thumb.shape[1],
                         "thumb_h": thumb.shape[0],
+                        "decode_status": status,
                     }
                 )
             yield pd.DataFrame(out)
@@ -183,21 +229,26 @@ def resize_images(media: DataFrame, max_side: int = 8) -> DataFrame:
 
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_s double, "
-    "rms double, peak double, zero_crossings long"
+    "rms double, peak double, zero_crossings long, decode_status string"
 )
 
 
-def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+def audio_features(
+    media: DataFrame, sample_rate: int = 16000, synthetic_fallback: bool = False
+) -> DataFrame:
     """Audio decode + per-clip features via mapInPandas.
 
     RIFF/WAVE payloads decode for real (pure-numpy 16-bit PCM, 4-bit
     IMA-ADPCM, and 8-bit G.711 readers, functions/media_codecs.py), as
     do FLAC streams (pure-numpy lossless decoder incl. LPC and
-    mid/side stereo, functions/flac_codec.py); lossy perceptual
-    containers (MP3 — libav/soundfile not in this container) fall back
-    to the deterministic STUB waveform. The feature math (RMS / peak /
-    zero-crossing rate) and the Spark plumbing are the same either
-    way: binary in, Arrow batches, bounded memory.
+    mid/side stereo, functions/flac_codec.py). Lossy perceptual
+    containers (MP3 etc. — their DSP needs external libraries not in
+    this container) yield NULL features with
+    ``decode_status='unsupported'`` — never fabricated numbers; a
+    codec raising on corrupt bytes yields ``'error'`` and keeps the
+    row. ``synthetic_fallback=True`` opts into the hash-seeded
+    stand-in waveform for pipeline-shape testing, labelled
+    ``'synthetic'``. Feature math: RMS / peak / zero-crossing rate.
     """
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -208,18 +259,39 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
             out = []
             for _, row in b.iterrows():
                 data = row["data"] or b""
+                wave = rate = None
                 if data[:4] in (b"RIFF", b"fLaC"):
                     dec = decode_flac if data[:4] == b"fLaC" else decode_wav
-                    wave, rate = dec(bytes(data))
-                    if wave.ndim > 1:
-                        wave = wave.mean(axis=1)  # downmix for clip stats
-                    n = len(wave)
-                else:
+                    try:
+                        wave, rate = dec(bytes(data))
+                        status = "decoded"
+                        if wave.ndim > 1:
+                            wave = wave.mean(axis=1)  # downmix for clip stats
+                    except Exception:  # noqa: BLE001 - corrupt payload keeps its row
+                        wave, status = None, "error"
+                elif synthetic_fallback:
                     seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "little")
                     rng = np.random.RandomState(seed % (2**32))
                     n = int(rng.randint(sample_rate // 4, sample_rate * 2))
                     wave = rng.standard_normal(n).astype("float32") * 0.1
-                    rate = sample_rate
+                    rate, status = sample_rate, "synthetic"
+                else:
+                    status = "unsupported"
+                if wave is None:
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "duration_s": None,
+                            "rms": None,
+                            "peak": None,
+                            "zero_crossings": None,
+                            "decode_status": status,
+                        }
+                    )
+                    continue
+                n = len(wave)
                 out.append(
                     {
                         "media_id": row["media_id"],
@@ -229,6 +301,7 @@ def audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
                         "rms": float(np.sqrt(np.mean(wave**2))),
                         "peak": float(np.abs(wave).max()),
                         "zero_crossings": int(np.sum(np.diff(np.signbit(wave)))),
+                        "decode_status": status,
                     }
                 )
             yield pd.DataFrame(out)
@@ -255,19 +328,28 @@ def _avi_n_frames(*series):
     return pd.Series(out, dtype="Int64")
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> DataFrame:
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 5,
+    synthetic_fallback: bool = False,
+) -> DataFrame:
     """Video frame sampling: one row per sampled frame index.
 
-    For REAL video payloads (uncompressed RIFF/AVI,
-    functions/media_codecs.py) the frame count comes from the
-    container's avih header — read executor-side in an Arrow batch,
-    without touching frame bytes. Payloads in codec-library formats
-    (H.264 etc.) keep the deterministic synthetic count so the
-    pipeline shape stays testable. Partitioning: frames of one video
-    stay computable independently — no shuffle."""
+    For REAL video payloads (RIFF/AVI, functions/media_codecs.py) the
+    frame count comes from the container's avih header — read
+    executor-side in an Arrow batch, without touching frame bytes.
+    Containers this engine cannot parse (H.264 etc.) produce NO frame
+    rows by default — there is no honest frame count to sample from;
+    ``synthetic_fallback=True`` opts into a deterministic hash-seeded
+    count for pipeline-shape testing. Partitioning: frames of one
+    video stay computable independently — no shuffle."""
     probe = F.pandas_udf(_avi_n_frames, "long")
-    synthetic = (F.pmod(F.xxhash64("media_id"), F.lit(40)) + 10).cast("long")
-    n_frames = F.coalesce(probe(F.col("data")), synthetic)
+    n_frames = probe(F.col("data"))
+    if synthetic_fallback:
+        synthetic = (F.pmod(F.xxhash64("media_id"), F.lit(40)) + 10).cast("long")
+        n_frames = F.coalesce(n_frames, synthetic)
+    # posexplode drops null/empty arrays: unknown containers emit no rows
     idx = F.slice(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)), 1, max_frames)
     return media.select(
         "media_id", "data", "meta", F.posexplode(idx).alias("frame_pos", "frame_index")
@@ -275,15 +357,17 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 5) -> D
 
 
 FRAME_FEATURE_SCHEMA = (
-    "media_id long, frame_index int, mean_luma double, std_luma double"
+    "media_id long, frame_index int, mean_luma double, std_luma double, "
+    "decode_status string"
 )
 
 
-def frame_features(sampled: DataFrame) -> DataFrame:
+def frame_features(sampled: DataFrame, synthetic_fallback: bool = False) -> DataFrame:
     """Decode each sampled frame and reduce to per-frame features —
     REAL random-access decode for AVI payloads (only the sampled
-    frame's bytes are read), stub pixels for codec-library formats.
-    Chains directly after ``sample_frames``."""
+    frame's bytes are read). Non-AVI frames carry NULL features with
+    ``decode_status`` explaining why, or labelled synthetic pixels
+    under the opt-in. Chains directly after ``sample_frames``."""
 
     def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.media_codecs import decode_avi_frame
@@ -294,20 +378,27 @@ def frame_features(sampled: DataFrame) -> DataFrame:
                 d = bytes(row["data"] or b"")
                 idx = int(row["frame_index"])
                 if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
-                    px = decode_avi_frame(d, idx)
-                else:
+                    try:
+                        px, status = decode_avi_frame(d, idx), "decoded"
+                    except Exception:  # noqa: BLE001 - corrupt frame keeps its row
+                        px, status = None, "error"
+                elif synthetic_fallback:
                     meta = row["meta"]
                     px = _stub_decode(
                         d + idx.to_bytes(4, "little"),
                         meta["width"], meta["height"], meta["channels"],
                     )
-                luma = px.astype("float64").mean(axis=2)
+                    status = "synthetic"
+                else:
+                    px, status = None, "unsupported"
+                luma = None if px is None else px.astype("float64").mean(axis=2)
                 out.append(
                     {
                         "media_id": row["media_id"],
                         "frame_index": idx,
-                        "mean_luma": float(luma.mean()),
-                        "std_luma": float(luma.std()),
+                        "mean_luma": None if luma is None else float(luma.mean()),
+                        "std_luma": None if luma is None else float(luma.std()),
+                        "decode_status": status,
                     }
                 )
             yield pd.DataFrame(out)

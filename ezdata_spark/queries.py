@@ -1694,28 +1694,34 @@ def q57(spark, sf_dir):
 @query("q79_media_features")
 def q58(spark, sf_dir):
     """Image feature extraction over binary media columns via
-    mapInPandas (operators/multimodal.py; decode kernel STUBBED —
-    deterministic synthetic pixels — since no codec libs ship in this
-    container; schema/batching/partitioning are the real pipeline).
-    Rows-only."""
+    mapInPandas (operators/multimodal.py). The payloads here are
+    synthetic (text bytes, not real containers), so the query OPTS
+    INTO the labelled synthetic fallback — every row carries
+    decode_status='synthetic', the contract that keeps stand-in
+    numbers from ever passing as real decode output (z100 runs the
+    REAL codecs: its rows say 'decoded'). Rows-only."""
     from .operators.multimodal import image_features, synthesize_media
 
     docs = load(spark, sf_dir, "documents")
     media = synthesize_media(spark, docs, "doc_id", "text")
-    out = image_features(media)
+    out = image_features(media, synthetic_fallback=True)
     return out.select("media_id", "width", "height", "n_bytes",
-                      F.round("aspect", 6).alias("aspect"))
+                      F.round("aspect", 6).alias("aspect"), "decode_status")
 
 
 @query("q80_frame_sample")
 def q59(spark, sf_dir):
     """Video frame-sampling plumbing: posexplode of generated frame
-    indices, no shuffle (operators/multimodal.py). Rows-only."""
+    indices, no shuffle (operators/multimodal.py). Synthetic payloads
+    -> explicit synthetic_fallback opt-in (real AVI sampling with
+    header-true counts is z106). Rows-only."""
     from .operators.multimodal import sample_frames, synthesize_media
 
     docs = load(spark, sf_dir, "documents")
     media = synthesize_media(spark, docs, "doc_id", "text")
-    return sample_frames(media, every_n=7, max_frames=3).select("media_id", "frame_index")
+    return sample_frames(
+        media, every_n=7, max_frames=3, synthetic_fallback=True
+    ).select("media_id", "frame_index")
 
 
 @query(
@@ -1773,17 +1779,20 @@ def q61(spark, sf_dir):
 
 @query("q82_audio_features")
 def q62(spark, sf_dir):
-    """Audio feature extraction over binary media (mapInPandas; decode
-    kernel STUBBED — deterministic synthetic waveform). Rows-only."""
+    """Audio feature extraction over binary media (mapInPandas).
+    Synthetic payloads -> explicit synthetic_fallback opt-in; every
+    row is labelled decode_status='synthetic' (z100 exercises the
+    real WAV/ADPCM/G.711/FLAC decoders, whose rows say 'decoded').
+    Rows-only."""
     from .operators.multimodal import audio_features, synthesize_media
 
     docs = load(spark, sf_dir, "documents")
     media = synthesize_media(spark, docs, "doc_id", "text")
-    return audio_features(media).select(
+    return audio_features(media, synthetic_fallback=True).select(
         "media_id", "sample_rate", "n_samples",
         F.round("duration_s", 6).alias("duration_s"),
         F.round("rms", 6).alias("rms"),
-        "zero_crossings",
+        "zero_crossings", "decode_status",
     )
 
 

@@ -1,6 +1,8 @@
 """Multimodal binary-column pipeline: schema, Arrow batching, and
-output contracts are real; the decode kernel is a deterministic stub
-(no codec libs in this container) — see operators/multimodal.py."""
+output contracts are real. Payloads here are synthetic (text bytes),
+so feature tests OPT IN to the labelled synthetic fallback; the
+strict default (NULL features + decode_status) has its own contract
+tests below — see operators/multimodal.py."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -28,10 +30,11 @@ def test_media_schema(media):
 
 def test_image_features(media):
     m, n = media
-    feats = image_features(m)
+    feats = image_features(m, synthetic_fallback=True)
     rows = feats.collect()
     assert len(rows) == n
     for r in rows[:20]:
+        assert r["decode_status"] == "synthetic"
         assert r["aspect"] == pytest.approx(r["width"] / r["height"])
         assert 0 <= r["mean_luma"] <= 255
         assert r["n_bytes"] > 0
@@ -39,14 +42,16 @@ def test_image_features(media):
 
 def test_image_features_deterministic(media):
     m, _ = media
-    a = {r["media_id"]: r["mean_luma"] for r in image_features(m).collect()}
-    b = {r["media_id"]: r["mean_luma"] for r in image_features(m).collect()}
+    a = {r["media_id"]: r["mean_luma"]
+         for r in image_features(m, synthetic_fallback=True).collect()}
+    b = {r["media_id"]: r["mean_luma"]
+         for r in image_features(m, synthetic_fallback=True).collect()}
     assert a == b
 
 
 def test_resize_images(media):
     m, n = media
-    thumbs = resize_images(m, max_side=8).collect()
+    thumbs = resize_images(m, max_side=8, synthetic_fallback=True).collect()
     assert len(thumbs) == n
     for r in thumbs[:20]:
         assert max(r["thumb_w"], r["thumb_h"]) <= 8
@@ -55,7 +60,7 @@ def test_resize_images(media):
 
 def test_sample_frames(media):
     m, n = media
-    frames = sample_frames(m, every_n=7, max_frames=3)
+    frames = sample_frames(m, every_n=7, max_frames=3, synthetic_fallback=True)
     agg = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n"), F.max("frame_index").alias("mx")
     )
@@ -95,9 +100,10 @@ def test_audio_features(media):
     from ezdata_spark.operators.multimodal import audio_features
 
     m, n = media
-    rows = audio_features(m).collect()
+    rows = audio_features(m, synthetic_fallback=True).collect()
     assert len(rows) == n
     for r in rows[:20]:
+        assert r["decode_status"] == "synthetic"
         assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"])
         assert 0 < r["rms"] < r["peak"]
         assert 0 <= r["zero_crossings"] < r["n_samples"]
@@ -259,6 +265,75 @@ def test_sample_frames_synthetic_fallback(spark):
         ),
         schema=IMAGE_SCHEMA,
     )
-    out = sample_frames(media, every_n=10, max_frames=5).collect()
+    out = sample_frames(
+        media, every_n=10, max_frames=5, synthetic_fallback=True
+    ).collect()
     assert len(out) >= 1
     assert all(r.frame_index % 10 == 0 for r in out)
+    # strict default: an unparseable container has no honest frame count
+    assert sample_frames(media, every_n=10, max_frames=5).count() == 0
+
+
+def test_decode_status_contract(spark):
+    """The decode_status contract (VERDICT r6 'What's wrong' #3): a
+    format with no codec yields NULL features + 'unsupported' (never
+    fabricated numbers); corrupt bytes of a KNOWN format yield 'error'
+    and keep their row; a real payload yields 'decoded' with true
+    features; the synthetic opt-in is labelled 'synthetic'."""
+    import numpy as np
+    import pandas as pd
+
+    from ezdata_spark.functions.media_codecs import encode_bmp, encode_wav
+    from ezdata_spark.operators.multimodal import (
+        IMAGE_SCHEMA,
+        audio_features,
+        image_features,
+        resize_images,
+    )
+
+    px = np.full((4, 4, 3), 128, dtype=np.uint8)
+    rows = [
+        {"media_id": 1, "data": encode_bmp(px),
+         "meta": {"format": "bmp", "width": 4, "height": 4, "channels": 3}},
+        {"media_id": 2, "data": b"\xff\xfb\x90\x00mp3-like-payload",
+         "meta": {"format": "mp3", "width": 4, "height": 4, "channels": 3}},
+        {"media_id": 3, "data": b"BM" + b"\x00" * 10,
+         "meta": {"format": "bmp", "width": 4, "height": 4, "channels": 3}},
+    ]
+    media = spark.createDataFrame(pd.DataFrame(rows), schema=IMAGE_SCHEMA)
+
+    img = {r.media_id: r for r in image_features(media).collect()}
+    assert img[1].decode_status == "decoded"
+    assert img[1].mean_luma == pytest.approx(128.0)
+    assert img[2].decode_status == "unsupported"
+    assert img[2].mean_luma is None and img[2].std_luma is None
+    assert img[3].decode_status == "error"
+    assert img[3].mean_luma is None
+    # metadata-derived columns stay present either way
+    assert img[2].n_bytes > 0 and img[2].width == 4
+
+    # opt-in fallback is labelled, never silent
+    img_s = {r.media_id: r for r in
+             image_features(media, synthetic_fallback=True).collect()}
+    assert img_s[1].decode_status == "decoded"       # real codec still wins
+    assert img_s[2].decode_status == "synthetic"
+    assert img_s[2].mean_luma is not None
+
+    th = {r.media_id: r for r in resize_images(media, max_side=2).collect()}
+    assert th[1].decode_status == "decoded" and th[1].thumb is not None
+    assert th[2].decode_status == "unsupported" and th[2].thumb is None
+
+    tone = (0.5 * np.sin(np.arange(800) / 10.0)).astype("float32")
+    arows = [
+        {"media_id": 1, "data": encode_wav(tone, 8000),
+         "meta": {"format": "wav", "width": 0, "height": 0, "channels": 1}},
+        {"media_id": 2, "data": b"\xff\xfb\x90\x00mp3-like-payload",
+         "meta": {"format": "mp3", "width": 0, "height": 0, "channels": 1}},
+        {"media_id": 3, "data": b"RIFF" + b"\x00" * 6,
+         "meta": {"format": "wav", "width": 0, "height": 0, "channels": 1}},
+    ]
+    amedia = spark.createDataFrame(pd.DataFrame(arows), schema=IMAGE_SCHEMA)
+    aud = {r.media_id: r for r in audio_features(amedia).collect()}
+    assert aud[1].decode_status == "decoded" and aud[1].sample_rate == 8000
+    assert aud[2].decode_status == "unsupported" and aud[2].rms is None
+    assert aud[3].decode_status == "error" and aud[3].rms is None
