@@ -78,6 +78,38 @@ HEADLINE = [
 ]
 
 
+def _tree_rss_mb() -> int:
+    """Resident-set total (MB) of this process tree — the Python
+    driver, the Spark JVM, and any Python workers. Logged per rep so a
+    cache / tempdir / handle leak across the rep loop shows up as a
+    rising series instead of going unnoticed until an executor OOMs at
+    scale (current VmRSS, not the monotonic getrusage high-water)."""
+    me = os.getpid()
+    pids = {me}
+    for _ in range(3):  # close transitivity: children of children
+        for p in os.listdir("/proc"):
+            if not p.isdigit() or int(p) in pids:
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as fh:
+                    ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError, IndexError):
+                continue
+            if ppid in pids:
+                pids.add(int(p))
+    total_kb = 0
+    for p in pids:
+        try:
+            with open(f"/proc/{p}/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        total_kb += int(line.split()[1])
+                        break
+        except (OSError, ValueError):
+            continue
+    return round(total_kb / 1024)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ezdata_spark.cache import release_caches
@@ -113,6 +145,7 @@ def main() -> None:
     # One broken query must never zero out the whole round's perf
     # signal: record its error, keep timing the rest.
     errors: dict[str, str] = {}
+    rss_series: list[int] = []
     for _ in range(reps):
         for name in HEADLINE:
             if name in errors:
@@ -134,6 +167,11 @@ def main() -> None:
             # accumulate across reps x queries
             release_caches()
             spark.catalog.clearCache()
+        # full GC first: a JVM grows its heap lazily toward Xmx, so raw
+        # RSS rises early without any leak — after System.gc() the
+        # series tracks RETAINED memory, which is what must stay flat
+        spark._jvm.System.gc()
+        rss_series.append(_tree_rss_mb())
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items() if ts
@@ -150,6 +188,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        # flat series = no cache/tempdir/handle accumulation across reps
+        "rss_mb_per_rep": rss_series,
     }
     if errors:
         out["errors"] = errors

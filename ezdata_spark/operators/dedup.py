@@ -540,8 +540,8 @@ def trigram_similarity_pairs(
     w = Window.partitionBy("id").orderBy("gc", "g")
     # Prefix length is EXACTLY ng - ceil(t*ng) + 1 (Bayardo et al. §3).
     # Computed as floor((1-t)*ng)+1 in floating point this comes out one
-    # gram SHORT whenever (1-t)*ng is integral (t=0.8, ng=5k: 0.2*10 ->
-    # 1.9999999999999996 -> floor 1, required 3) and silently drops
+    # gram SHORT whenever (1-t)*ng is integral (t=0.8, ng=10: 0.2*10 ->
+    # 1.9999999999999996 -> floor+1 = 2, required 3) and silently drops
     # qualifying pairs — so the ceil runs on t*ng nudged down by an
     # epsilon far below the 1-ulp scale of any realistic t*ng, which can
     # only lengthen the prefix (completeness-safe, never lossy).

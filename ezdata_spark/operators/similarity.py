@@ -179,13 +179,21 @@ def cosine_topk_lsh(
         qid_col, "qv", F.explode(_multi_buckets("qv", planes_list)).alias("tb")
     ).select(qid_col, "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    cand = (
+    # Score BEFORE deduplicating: a candidate found in several tables
+    # would otherwise ride the dedup shuffle carrying both vector
+    # arrays (~2 x dim doubles per row — measured as the dominant cost
+    # of the probe at 3M vectors). Scoring first reduces the shuffle to
+    # (qid, id, cosine) rows with map-side combine; the duplicate
+    # cosines are identical, max() just picks the one value, and the
+    # extra per-occurrence dot products stay in codegen.
+    scored = (
         c_b.join(F.broadcast(q_b), on=["tbl", "bucket"], how="inner")
-        .select(qid_col, id_col, "cv", "qv")
-        .dropDuplicates([qid_col, id_col])
-    )
-    scored = cand.withColumn(
-        "cosine", _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))),
+        )
+        .groupBy(qid_col, id_col)
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -302,8 +310,13 @@ def pairwise_near_dup(
     fewer planes and pruning fades — that regime is fundamental to
     hyperplane LSH, not an implementation limit.
 
-    Candidate pairs found by several tables are deduped BEFORE the
-    exact rescore, so each surviving pair is scored exactly once.
+    Candidate pairs are scored IN the join projection and
+    threshold-filtered before any shuffle: a dedup-first plan would
+    carry both vector arrays (~2 x dim doubles per pair) through the
+    duplicate-elimination exchange, which measures as the dominant
+    probe cost at corpus scale. Cross-table duplicates collapse in a
+    cheap (id_a, id_b, cosine) aggregate with map-side combine; the
+    duplicate cosines are identical, max() just picks the one value.
     """
     if dim is None:
         dim = len(df.select(vec).first()[0])
@@ -318,12 +331,13 @@ def pairwise_near_dup(
     return (
         a_side.join(b_side, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
         )
         .filter(F.col("cosine") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
         .select("id_a", "id_b", "cosine")
     )
 

@@ -334,7 +334,10 @@ def test_cache_hygiene_tracked_release(spark, sf_dir):
 
     release_caches()
     spark.catalog.clearCache()
-    assert persistent_rdds() == 0
+    # baseline, not zero: in a full-suite session MLlib (KMeans in the
+    # ANN tests) leaves internal RDD-API persists that clearCache cannot
+    # touch; this test owns only what OUR operators add on top
+    base = persistent_rdds()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
@@ -360,4 +363,4 @@ def test_cache_hygiene_tracked_release(spark, sf_dir):
         assert tracked_count() > 0  # the operator registered its persists
         release_caches()
         assert tracked_count() == 0
-        assert persistent_rdds() == 0, fn
+        assert persistent_rdds() == base, fn
