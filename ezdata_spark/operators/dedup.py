@@ -507,11 +507,17 @@ def trigram_similarity_pairs(
     the right call when the corpus (not the pair space) fits a
     broadcast, e.g. the 5k-doc bench corpus; leave False at 100 TB
     (AQE still broadcasts small verify sides from measured size).
-    ``hash_verify=True`` (default) intersects xxhash64'd gram arrays —
-    Spark's primitive-long array_intersect is 2x the string path; a
-    within-pair hash collision (probability ~|G|^2 / 2^64 ~ 1e-12 per
-    pair) would overcount the intersection by 1 — set False for
-    strictly-exact verification.
+    ``hash_verify=True`` (default) runs the WHOLE join on xxhash64'd
+    grams: the explode emits 8-byte longs instead of gram strings, so
+    the frequency aggregate, the per-doc rank window, the prefix
+    candidate join, and the verify arrays all shuffle primitive longs
+    (Spark's long hash aggregate / array_intersect are ~2x the string
+    path, and the shuffled bytes drop by the mean gram length). A
+    global collision between two distinct grams (probability
+    ~|vocab|^2 / 2^65 — ~1e-5 at 20M distinct grams) merges them
+    consistently in candidates and verification, overcounting one
+    intersection slot for pairs holding both; set False for
+    strictly-exact string-gram verification.
 
     ``unit`` picks the gram vocabulary (see ``_gram_set``): char
     trigrams for short strings; ``"word"`` or an int shingle width for
@@ -528,12 +534,16 @@ def trigram_similarity_pairs(
     exact); recall is complete for every pair in which either side
     retains one sub-cap prefix gram. Leave None (default) for the
     exact join."""
+    gs = _gram_set(text_col, unit)
+    if hash_verify:
+        # hash at the source: every downstream frame (frequency agg,
+        # rank window, prefix join, verify sets) carries 8-byte longs
+        # instead of gram strings — same collision contract either way
+        gs = F.transform(gs, lambda g: F.xxhash64(g))
     grams = (
         # _gram_set is array_distinct per doc, so (id, g) is already
         # unique — no global distinct shuffle needed
-        track(df.select(
-            F.col(id_col).alias("id"), F.explode(_gram_set(text_col, unit)).alias("g")
-        ))
+        track(df.select(F.col(id_col).alias("id"), F.explode(gs).alias("g")))
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
     gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gc"))
@@ -594,9 +604,8 @@ def trigram_similarity_pairs(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    gcol = F.xxhash64("g") if hash_verify else F.col("g")
     sets = track(
-        grams.select("id", gcol.alias("gv"))
+        grams.select("id", F.col("g").alias("gv"))
         .groupBy("id")
         .agg(F.collect_set("gv").alias("gs"))
     )

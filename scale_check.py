@@ -40,6 +40,11 @@ def make_fact(spark, n: int):
 
 
 def main() -> None:
+    # the 30M sweep runs real shuffles over ~100M-row exploded frames;
+    # the 8g bench default starves 32 concurrent tasks of execution
+    # memory (observed UNABLE_TO_ACQUIRE_MEMORY in the similarity join)
+    # — size the single local JVM like the executor fleet it stands for
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     from ezdata_spark.session import get_spark
     from ezdata_spark.table import EzTable
 
