@@ -462,12 +462,18 @@ def _gram_set(text_col: str, unit) -> Column:
     if unit == "word":
         return F.array_distinct(toks)
     n = int(unit)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    m = F.size(toks) - (n - 1)
+    # guard m >= 1: sequence(1, 0) is DESCENDING [1, 0] in Spark, which
+    # would fabricate partial shingles for docs shorter than n tokens —
+    # such docs have no n-shingles at all
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+        F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.expr("array()"))
     )
 
 

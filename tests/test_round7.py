@@ -156,6 +156,38 @@ def test_similarity_word_unit_equivalence(spark):
     assert got == want
 
 
+def test_similarity_shingle_unit(spark):
+    """Integer unit = word n-shingles; docs shorter than n tokens have
+    NO shingles (regression: sequence(1, 0) is descending in Spark and
+    fabricated partial shingles)."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import _gram_set, trigram_similarity_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="a b c d f"),
+            Row(doc_id=3, text="x y"),       # shorter than n=3: no shingles
+            Row(doc_id=4, text=""),
+        ]
+    )
+    g = {
+        r.doc_id: sorted(r.g)
+        for r in df.select("doc_id", _gram_set("text", 3).alias("g")).collect()
+    }
+    assert g[1] == ["a b c", "b c d", "c d e"]
+    assert g[2] == ["a b c", "b c d", "c d f"]
+    assert g[3] == [] and g[4] == []
+
+    out = trigram_similarity_pairs(df, threshold=0.6, unit=3).collect()
+    release_caches()
+    # docs 1,2 share 2 of 4 distinct shingles: jaccard 0.5 < 0.6 -> none
+    assert out == []
+    out2 = trigram_similarity_pairs(df, threshold=0.5, unit=3).collect()
+    release_caches()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out2] == [(1, 2, 0.5)]
+
+
 def test_similarity_gram_df_cap_recall_contract(spark):
     """max_gram_df drops ultra-frequent grams from candidate generation:
     pairs of docs made ENTIRELY of capped grams are missed (documented
