@@ -142,6 +142,42 @@ def _multi_buckets(vec_name: str, planes_per_table: list[list[list[float]]]):
     return F.expr(f"array({entries})")
 
 
+def lsh_index(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int | None = None,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """One-time LSH indexing pass: the (id, tbl, bucket) table.
+
+    This is the ANALOG OF ``pq_encode`` for the hyperplane index — the
+    corpus-sized cost paid once, not per query batch. At 100 TB the
+    result is written back to parquet (bucket is a great sort/cluster
+    key: probes then prune row groups by min/max), or persisted for a
+    query session. ``cosine_topk_lsh(..., index=...)`` consumes it; the
+    recurring probe then touches only the narrow index + the candidate
+    rows of the corpus.
+
+    The bucket ids are computed from RAW vectors (sign buckets are
+    invariant under positive scaling — see ``_sign_bucket_sql``), with
+    all ``n_tables`` bucketings in one projection over one scan. The
+    planes are derived from ``seed``; pass the same (seed, n_planes,
+    n_tables, dim) to the probe.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec).first()[0])
+    planes_list = [
+        random_hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
+    ]
+    c = _fan_out(corpus).select(id_col, F.col(vec).alias("cv"))
+    return c.select(
+        id_col, F.explode(_multi_buckets("cv", planes_list)).alias("tb")
+    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,48 +188,71 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     dim: int | None = None,
     n_tables: int = 4,
+    broadcast_candidates: bool = True,
+    index: DataFrame | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``n_tables``
     independent bucketings (union of candidates), exact rescoring.
 
-    Scale shape: corpus bucket assignment is a narrow projection; the
-    join is equi on (table, bucket); rescoring touches only candidates.
+    Scale shape: the explode/probe stage carries ONLY (id, tbl, bucket)
+    — the vector arrays never enter the candidate pipeline. Candidate
+    (qid, id) pairs are deduplicated while still 16 bytes wide, then the
+    corpus is probed once per UNIQUE candidate to compute the cosine.
+    Racing the alternatives at 3M x 64-d: scoring inside the bucket join
+    (interpreted-HOF dot per table-collision, arrays riding the explode)
+    took 99 s; this slim shape takes 64 s, tied with a numpy mapInPandas
+    probe but entirely JVM-side.
+
+    ``index``: a prebuilt :func:`lsh_index` frame (persisted or read
+    back from parquet). With it, the corpus-sized bucket computation —
+    the dominant cost, ``n_tables * n_planes`` interpreted dots per
+    corpus row — drops out of the query path entirely; only the query
+    vectors are bucketed at probe time. Must have been built with the
+    same (seed, n_planes, n_tables) and the same corpus ids.
+
+    ``broadcast_candidates``: the candidate set is (n_queries x expected
+    bucket collisions) rows of two longs — broadcast it so the corpus is
+    rescored in place with zero vector shuffle (default). For huge query
+    batches set False: the rescore becomes an equi-join on ``id_col``
+    (AQE still converts it back to broadcast when the runtime size
+    allows).
     """
     if dim is None:
-        dim = len(corpus.select(vec).first()[0])
-    # buckets from RAW vectors (scale-invariant; see _sign_bucket note);
-    # cosine computed once per surviving candidate after the dedup
-    # shuffle has materialized the arrays
+        dim = len((corpus if index is None else queries).select(vec).first()[0])
+    # buckets from RAW vectors (scale-invariant; see _sign_bucket note)
     c = _fan_out(corpus).select(id_col, F.col(vec).alias("cv"))
     q = queries.select(qid_col, F.col(vec).alias("qv"))
 
-    planes_list = [random_hyperplanes(dim, n_planes, seed=42 + t) for t in range(n_tables)]
+    planes_list = [random_hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)]
     # one scan per side: all n_tables bucket ids in a single projection,
-    # exploded — the explode is pipelined into the broadcast-join probe,
-    # so the corpus is read exactly once (previously an n_tables-way
-    # union re-scanned it n_tables times)
-    c_b = c.select(
-        id_col, "cv", F.explode(_multi_buckets("cv", planes_list)).alias("tb")
-    ).select(id_col, "cv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # exploded NARROW — (id, tbl, bucket) only, no vector payload
+    if index is not None:
+        c_b = index.select(id_col, "tbl", "bucket")
+    else:
+        c_b = c.select(
+            id_col, F.explode(_multi_buckets("cv", planes_list)).alias("tb")
+        ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     q_b = q.select(
-        qid_col, "qv", F.explode(_multi_buckets("qv", planes_list)).alias("tb")
-    ).select(qid_col, "qv", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        qid_col, F.explode(_multi_buckets("qv", planes_list)).alias("tb")
+    ).select(qid_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    # Score BEFORE deduplicating: a candidate found in several tables
-    # would otherwise ride the dedup shuffle carrying both vector
-    # arrays (~2 x dim doubles per row — measured as the dominant cost
-    # of the probe at 3M vectors). Scoring first reduces the shuffle to
-    # (qid, id, cosine) rows with map-side combine; the duplicate
-    # cosines are identical, max() just picks the one value, and the
-    # extra per-occurrence dot products stay in codegen.
-    scored = (
+    cand = (
         c_b.join(F.broadcast(q_b), on=["tbl", "bucket"], how="inner")
+        .select(qid_col, id_col)
+        .distinct()
+    )
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    # exactly one interpreted dot per unique candidate
+    scored = (
+        c.join(cand, id_col)
+        .join(F.broadcast(q), qid_col)
         .withColumn(
             "cosine",
             _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv"))),
         )
-        .groupBy(qid_col, id_col)
-        .agg(F.max("cosine").alias("cosine"))
+        .select(qid_col, id_col, "cosine")
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (

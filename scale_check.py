@@ -42,13 +42,21 @@ def make_fact(spark, n: int):
 def main() -> None:
     # the 30M sweep runs real shuffles over ~100M-row exploded frames;
     # the 8g bench default starves 32 concurrent tasks of execution
-    # memory (observed UNABLE_TO_ACQUIRE_MEMORY in the similarity join)
-    # — size the single local JVM like the executor fleet it stands for
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # memory (observed UNABLE_TO_ACQUIRE_MEMORY in the similarity join).
+    # 16g, NOT bigger: at 48g the interpreted-HOF scan tier (pq_topk
+    # 12.7->52s, lsh_probe 67->120s) pays a measured 3-4x GC penalty —
+    # G1 at large heaps handles the allocation-heavy ADC/dot loops far
+    # worse. The similarity joins' one oversized broadcast is disabled
+    # at runtime instead (see the sim_join rows below).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     from ezdata_spark.session import get_spark
     from ezdata_spark.table import EzTable
 
     n = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 30_000_000
+    # optional argv[2]: comma-separated op names — re-measure a subset
+    # without paying for the whole sweep (setup still runs; timers and
+    # materialization are skipped for filtered-out ops)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("ezdata-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -63,6 +71,8 @@ def main() -> None:
     from ezdata_spark.cache import release_caches
 
     def run(name: str, df, rows_in: int | None = None):
+        if only is not None and name not in only:
+            return
         rin = rows_in if rows_in is not None else n
         t0 = time.perf_counter()
         d = df() if callable(df) else df  # callables run build-time jobs
@@ -287,6 +297,7 @@ def main() -> None:
     # costs whose throughput must stay flat.
     from ezdata_spark.operators.similarity import (
         cosine_topk_lsh,
+        lsh_index,
         pq_encode,
         pq_topk,
         pq_train,
@@ -307,23 +318,38 @@ def main() -> None:
             " i -> pmod(xxhash64(id + 777, i), 2000) / 1000.0 - 1.0)"
         ).alias("embedding"),
     )
-    t0 = time.perf_counter()
-    cbs = pq_train(emb, m=8, k=16, sample_fraction=50_000 / vec_n, sample_rows=20_000)
-    train_s = round(time.perf_counter() - t0, 2)
-    results["pq_train_sampled"] = {
-        "sec": train_s, "rows_out": 8 * 16, "mrows_in_per_s": round(vec_n / train_s / 1e6, 3),
-    }
-    print(f"{'pq_train_sampled':24s} {train_s:7.2f}s  out={8 * 16:>10}  "
-          f"{vec_n / train_s / 1e6:8.1f} Mrows/s")
-    run("pq_encode", pq_encode(emb, cbs), rows_in=vec_n)
-    # the ADC scan's 100 TB shape reads a PERSISTED codes column —
-    # materialize the encoded corpus outside the timer (run() clears
-    # the cache after each op, so persist locally here)
-    enc_p = pq_encode(emb, cbs).persist()
-    enc_p.write.format("noop").mode("overwrite").save()
-    run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
-    enc_p.unpersist()
+    pq_sel = only is None or {"pq_train_sampled", "pq_encode", "pq_topk_adc"} & only
+    if pq_sel:
+        t0 = time.perf_counter()
+        cbs = pq_train(emb, m=8, k=16, sample_fraction=50_000 / vec_n, sample_rows=20_000)
+        train_s = round(time.perf_counter() - t0, 2)
+        if only is None or "pq_train_sampled" in only:
+            results["pq_train_sampled"] = {
+                "sec": train_s, "rows_out": 8 * 16,
+                "mrows_in_per_s": round(vec_n / train_s / 1e6, 3),
+            }
+            print(f"{'pq_train_sampled':24s} {train_s:7.2f}s  out={8 * 16:>10}  "
+                  f"{vec_n / train_s / 1e6:8.1f} Mrows/s")
+        run("pq_encode", pq_encode(emb, cbs), rows_in=vec_n)
+    if only is None or "pq_topk_adc" in only:
+        # the ADC scan's 100 TB shape reads a PERSISTED codes column —
+        # materialize the encoded corpus outside the timer (run() clears
+        # the cache after each op, so persist locally here)
+        enc_p = pq_encode(emb, cbs).persist()
+        enc_p.write.format("noop").mode("overwrite").save()
+        run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
+        enc_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
+    if only is None or "lsh_probe_indexed" in only:
+        # the recurring 100 TB shape: the (id, tbl, bucket) index is a
+        # one-time build (lsh_index ~ pq_encode) persisted/written back;
+        # the per-query-batch cost is candidate join + rescore only
+        idx_p = lsh_index(emb, dim=64).persist()
+        idx_p.write.format("noop").mode("overwrite").save()
+        run("lsh_probe_indexed",
+            cosine_topk_lsh(emb, qvecs, k=10, dim=64, index=idx_p),
+            rows_in=vec_n)
+        idx_p.unpersist()
 
     # Multimodal tier: REAL codec decode throughput (media_codecs.py) at
     # payload-corpus scale. Payload fabrication (the encoders) runs
@@ -383,24 +409,25 @@ def main() -> None:
                                  "meta": {"format": "flac", "width": 0, "height": 0, "channels": 1}})
             yield pd.DataFrame(rows)
 
-    media = (
-        spark.range(media_n)
-        .repartition(64)
-        .mapInPandas(_gen_media, IMAGE_SCHEMA)
-        .persist()
-    )
-    media.write.format("noop").mode("overwrite").save()  # materialize untimed
-    img_n = media_n * 2 // 5
-    run("image_decode_features",
-        image_features(media.filter(F.col("meta.format").isin("bmp", "gif"))),
-        rows_in=img_n)
-    # run() clears the cache; re-materialize for the audio pass
-    media.persist()
-    media.write.format("noop").mode("overwrite").save()
-    run("audio_decode_features",
-        audio_features(media.filter(F.col("meta.format").isin("adpcm", "g711", "flac"))),
-        rows_in=media_n - img_n)
-    media.unpersist()
+    if only is None or {"image_decode_features", "audio_decode_features"} & only:
+        media = (
+            spark.range(media_n)
+            .repartition(64)
+            .mapInPandas(_gen_media, IMAGE_SCHEMA)
+            .persist()
+        )
+        media.write.format("noop").mode("overwrite").save()  # materialize untimed
+        img_n = media_n * 2 // 5
+        run("image_decode_features",
+            image_features(media.filter(F.col("meta.format").isin("bmp", "gif"))),
+            rows_in=img_n)
+        # run() clears the cache; re-materialize for the audio pass
+        media.persist()
+        media.write.format("noop").mode("overwrite").save()
+        run("audio_decode_features",
+            audio_features(media.filter(F.col("meta.format").isin("adpcm", "g711", "flac"))),
+            rows_in=media_n - img_n)
+        media.unpersist()
 
     # Compressed-video frame sampling (MJPEG intra + CRAM inter
     # alternating): header-true sample_frames + per-frame codec decode.
@@ -427,14 +454,15 @@ def main() -> None:
                              "meta": {"format": "avi", "width": 16, "height": 16, "channels": 3}})
             yield pd.DataFrame(rows)
 
-    clips = (
-        spark.range(clip_n).repartition(64).mapInPandas(_gen_clips, IMAGE_SCHEMA).persist()
-    )
-    clips.write.format("noop").mode("overwrite").save()
-    run("video_frame_features",
-        frame_features(sample_frames(clips, every_n=1, max_frames=3)),
-        rows_in=clip_n * 3)
-    clips.unpersist()
+    if only is None or "video_frame_features" in only:
+        clips = (
+            spark.range(clip_n).repartition(64).mapInPandas(_gen_clips, IMAGE_SCHEMA).persist()
+        )
+        clips.write.format("noop").mode("overwrite").save()
+        run("video_frame_features",
+            frame_features(sample_frames(clips, every_n=1, max_frames=3)),
+            rows_in=clip_n * 3)
+        clips.unpersist()
 
     # round-6 analytic tier: graph census, association/entropy profile,
     # time-series grid + interpolation, skyline, transition matrix
@@ -487,6 +515,15 @@ def main() -> None:
     # missing SCALE.md rows (scd2 merge, pivot, rank windows, weighted
     # sample, melt, knn cone)
     from ezdata_spark.operators.dedup import trigram_similarity_pairs
+
+    # AQE would pick a broadcast build for the ~3M-row (id, ng) sizes
+    # frame (48 MB compressed, under the 64 MB threshold, but the
+    # DESERIALIZED driver-side build blows a right-sized local heap).
+    # On a real cluster the driver is provisioned for its broadcasts;
+    # here force the scale-safe sort-merge shape instead of paying a
+    # 48g heap (which costs the scan tier 3-4x in GC — header note).
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
 
     # (a) word-unit similarity self-join at corpus scale. Docs = 10
     # template words shared by ALL docs + 19 hash-words shared within a
@@ -556,6 +593,7 @@ def main() -> None:
         ),
         rows_in=ctri_n,
     )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
 
     from ezdata_spark.operators.sampling import weighted_sample
     from ezdata_spark.operators.scd import scd2_apply
@@ -620,6 +658,12 @@ def main() -> None:
             "n_rows": n, "ops": results}
     print(json.dumps(line))
 
+    if only is not None:
+        # subset re-measure: report JSON only, keep SCALE.md (the full
+        # sweep's table) intact — splice updated rows in by hand
+        spark.stop()
+        return
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALE.md"), "w") as fh:
         fh.write("# SCALE — flagship ops at {}M generated rows (local[32])\n\n".format(n // 1_000_000))
         fh.write("Generated by `scale_check.py` (spark.range fact table, no disk).\n")
@@ -638,7 +682,21 @@ def main() -> None:
             "  dependency-free JVM path stays. Recurring query cost is\n"
             "  `pq_topk_adc`: 16 queries scan 3M codes + exact rescore.\n"
             "- `lsh_probe_topk` buckets the corpus through 4x8 hyperplane\n"
-            "  signatures (one scan, candidates equi-joined per bucket).\n"
+            "  signatures (one scan, candidates equi-joined per bucket) —\n"
+            "  the ONE-SHOT cost, dominated by the corpus bucket pass\n"
+            "  (n_tables x n_planes interpreted-HOF dots per row).\n"
+            "- `lsh_probe_indexed` is the recurring 100 TB shape: the\n"
+            "  (id, tbl, bucket) table from `lsh_index()` is built once\n"
+            "  (analog of pq_encode) and persisted/written back; each\n"
+            "  query batch pays only the candidate equi-join + exact\n"
+            "  rescore of unique candidates (~17x less than inline).\n"
+            "- JVM sizing: the sweep runs at 16g ON PURPOSE. At 48g the\n"
+            "  interpreted-HOF scan tier pays a measured 3-4x G1 penalty\n"
+            "  (pq_topk_adc 12.7->52s, lsh_probe 67->120s in dedicated\n"
+            "  JVMs, idle machine); the similarity joins' one oversized\n"
+            "  broadcast is disabled at runtime instead, forcing the\n"
+            "  scale-safe sort-merge shape a real cluster would also\n"
+            "  accept (char3 row measured FASTER under SMJ: 76->55s).\n"
             "\nRound-6 rows:\n"
             "- `fuzzy_name_pairs` is OUTPUT-dominated (500k dense numeric IDs\n"
             "  -> 12.25M true distance-1 pairs); the Mrows-in/s metric\n"

@@ -191,6 +191,23 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_prebuilt_index_matches_inline(spark, sf_dir):
+    """cosine_topk_lsh(index=lsh_index(...)) must return exactly the
+    rows the inline (index-less) probe returns — the split only moves
+    the corpus bucket computation out of the query path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    from ezdata_spark.operators.similarity import cosine_topk_lsh, lsh_index
+
+    kw = dict(k=10, dim=64, n_planes=4, n_tables=8)
+    idx = lsh_index(emb, dim=64, n_planes=4, n_tables=8)
+    inline = {tuple(r) for r in cosine_topk_lsh(emb, qs, **kw).collect()}
+    via_index = {tuple(r) for r in cosine_topk_lsh(emb, qs, index=idx, **kw).collect()}
+    assert via_index == inline and len(inline) > 0
+
+
 def test_cosine_topk_self_is_top1(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
