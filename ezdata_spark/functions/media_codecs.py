@@ -1090,3 +1090,157 @@ def encode_wav_g711(
     data = codes.tobytes()
     body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------
+# MPEG audio (MP3/MP2/MP1) frame-header metadata — NO PCM decode.
+# Bitstream DECODE of Layer III needs spec table data (34 huffman
+# tables, the 512-tap synthesis window) that cannot be re-derived from
+# first principles; shipping half-remembered tables would decode real
+# files silently WRONG, which is worse than decode_status='unsupported'
+# (operators/multimodal.py keeps that contract). The frame HEADERS,
+# however, are fully formula+small-table defined (ISO 11172-3 §2.4.1 /
+# 13818-3), so duration / bitrate / VBR profiling of an MP3 corpus is
+# exact without any DSP — the metadata-scan path a 100 TB audio
+# pipeline runs before deciding what to transcode.
+# ---------------------------------------------------------------------
+
+_MPEG_BITRATES = {
+    # (version_group, layer) -> kbps by index 1..14; index 0 = free format
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MPEG_RATES = {  # version bits -> sample rates by index 0..2
+    3: (44100, 48000, 32000),   # MPEG-1
+    2: (22050, 24000, 16000),   # MPEG-2
+    0: (11025, 12000, 8000),    # MPEG-2.5
+}
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    return 10 + sz + (10 if data[5] & 0x10 else 0)  # footer flag
+
+
+def _parse_mpeg_header(h: int):
+    """Decode one 32-bit MPEG audio frame header; None if invalid."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    vbits = (h >> 19) & 3          # 0=2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
+    lbits = (h >> 17) & 3          # 1=III, 2=II, 3=I
+    if vbits == 1 or lbits == 0:
+        return None
+    layer = 4 - lbits
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx == 0xF or sr_idx == 3:
+        return None
+    version = {3: "1", 2: "2", 0: "2.5"}[vbits]
+    rate = _MPEG_RATES[vbits][sr_idx]
+    if br_idx == 0:
+        kbps = None  # free format: frame length defined by the stream
+    else:
+        kbps = _MPEG_BITRATES[("1" if vbits == 3 else "2", layer)][br_idx - 1]
+    padding = (h >> 9) & 1
+    mode = (h >> 6) & 3            # 0 stereo, 1 joint, 2 dual, 3 mono
+    crc = not ((h >> 16) & 1)      # protection bit 0 => 16-bit CRC follows
+    if layer == 1:
+        samples, slot = 384, 4
+        nbytes = None if kbps is None else (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        samples = 576 if (layer == 3 and vbits != 3) else 1152
+        slot = 1
+        coef = samples // 8  # 144 for 1152-sample frames, 72 for 576
+        nbytes = None if kbps is None else coef * kbps * 1000 // rate + padding * slot
+    return {
+        "version": version, "layer": layer, "kbps": kbps, "sample_rate": rate,
+        "channels": 1 if mode == 3 else 2, "mode": mode, "crc": crc,
+        "samples": samples, "frame_bytes": nbytes,
+    }
+
+
+def mpeg_audio_meta(data: bytes, max_frames: int | None = None) -> dict:
+    """Walk every MPEG audio frame header: exact duration, frame count,
+    mean bitrate, VBR flag, and the Xing/Info/VBRI tag if present.
+
+    Resync-safe: a false sync inside payload bytes is rejected because
+    the walk lands on real frame boundaries (each header's length field
+    takes it to the next header); leading garbage is scanned past
+    byte-by-byte until two consecutive valid headers agree on
+    version/layer/samplerate.
+    """
+    tag_skip = _id3v2_size(data)
+    pos, n = tag_skip, len(data)
+    first = None
+    # find first sync confirmed by a consistent follower frame
+    while pos + 4 <= n:
+        h = _parse_mpeg_header(int.from_bytes(data[pos:pos + 4], "big"))
+        if h and h["frame_bytes"]:
+            nxt = pos + h["frame_bytes"]
+            if nxt + 4 > n:
+                first = h
+                break
+            h2 = _parse_mpeg_header(int.from_bytes(data[nxt:nxt + 4], "big"))
+            if h2 and (h2["version"], h2["layer"], h2["sample_rate"]) == (
+                h["version"], h["layer"], h["sample_rate"]
+            ):
+                first = h
+                break
+        pos += 1
+    if first is None:
+        raise ValueError("no MPEG audio frames found")
+
+    # Xing/Info (VBR/CBR tag) lives after the Layer III side info of
+    # the first frame; VBRI at fixed offset 32
+    xing = None
+    if first["layer"] == 3:
+        side = (17 if first["channels"] == 1 else 32) if first["version"] == "1" \
+            else (9 if first["channels"] == 1 else 17)
+        off = pos + 4 + (2 if first["crc"] else 0) + side
+        tag = data[off:off + 4]
+        if tag in (b"Xing", b"Info"):
+            flags = int.from_bytes(data[off + 4:off + 8], "big")
+            xing = {"tag": tag.decode(), "frames": None, "bytes": None}
+            p = off + 8
+            if flags & 1:
+                xing["frames"] = int.from_bytes(data[p:p + 4], "big"); p += 4
+            if flags & 2:
+                xing["bytes"] = int.from_bytes(data[p:p + 4], "big")
+        elif data[pos + 4 + 32:pos + 4 + 36] == b"VBRI":
+            v = pos + 4 + 32
+            xing = {"tag": "VBRI",
+                    "bytes": int.from_bytes(data[v + 10:v + 14], "big"),
+                    "frames": int.from_bytes(data[v + 14:v + 18], "big")}
+
+    frames, kbps_sum, kbps_set = 0, 0, set()
+    while pos + 4 <= n:
+        h = _parse_mpeg_header(int.from_bytes(data[pos:pos + 4], "big"))
+        if not h or h["frame_bytes"] is None:
+            break  # trailing tag (ID3v1/APE) or free-format: stop at last valid frame
+        if (h["version"], h["layer"], h["sample_rate"]) != (
+            first["version"], first["layer"], first["sample_rate"]
+        ):
+            break
+        frames += 1
+        kbps_sum += h["kbps"]
+        kbps_set.add(h["kbps"])
+        pos += h["frame_bytes"]
+        if max_frames is not None and frames >= max_frames:
+            break
+    dur = frames * first["samples"] / first["sample_rate"]
+    return {
+        "format": f"mpeg{first['version']}-layer{first['layer']}",
+        "sample_rate": first["sample_rate"], "channels": first["channels"],
+        "frames": frames, "samples_per_frame": first["samples"],
+        "duration_s": dur,
+        "mean_kbps": (kbps_sum / frames) if frames else None,
+        "vbr": len(kbps_set) > 1 or (xing is not None and xing["tag"] in ("Xing", "VBRI")),
+        "xing": xing, "id3v2_bytes": tag_skip,
+    }

@@ -232,6 +232,93 @@ AUDIO_FEATURE_SCHEMA = (
     "rms double, peak double, zero_crossings long, decode_status string"
 )
 
+AUDIO_META_SCHEMA = (
+    "media_id long, container string, sample_rate int, channels int, "
+    "duration_s double, n_frames long, bitrate_kbps double, vbr boolean, "
+    "meta_status string"
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Header-only audio metadata: duration / rate / channels / bitrate
+    WITHOUT decoding any PCM — the scan a 100 TB audio corpus runs
+    before deciding what to transcode or sample.
+
+    Covers MPEG audio (MP1/MP2/MP3, all three MPEG versions — exact
+    per-frame header walk incl. ID3v2 skip, Xing/Info/VBRI tags and
+    VBR detection via ``functions.media_codecs.mpeg_audio_meta``; this
+    is the metadata path for the formats whose PCM decode is
+    ``decode_status='unsupported'``), RIFF/WAVE (fmt + data chunks)
+    and FLAC (STREAMINFO block). Unknown payloads keep their row with
+    ``meta_status='unsupported'``; corrupt ones ``'error'``.
+    """
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from struct import unpack_from
+
+        from ..functions.media_codecs import _id3v2_size, mpeg_audio_meta
+
+        def one(data: bytes) -> dict:
+            if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                pos, rate, ch, bits, nbytes = 12, None, None, None, None
+                while pos + 8 <= len(data):
+                    tag = data[pos:pos + 4]
+                    ln = unpack_from("<I", data, pos + 4)[0]
+                    if tag == b"fmt ":
+                        _, ch, rate = unpack_from("<HHI", data, pos + 8)
+                        bits = unpack_from("<H", data, pos + 22)[0]
+                    elif tag == b"data":
+                        nbytes = ln
+                    pos += 8 + ln + (ln & 1)
+                if rate is None:
+                    raise ValueError("no fmt chunk")
+                dur = None
+                if nbytes is not None and bits:
+                    dur = nbytes / (rate * ch * max(bits, 8) // 8)
+                return {"container": "wav", "sample_rate": rate, "channels": ch,
+                        "duration_s": dur, "n_frames": None,
+                        "bitrate_kbps": rate * ch * bits / 1000.0 if bits else None,
+                        "vbr": False}
+            if data[:4] == b"fLaC":
+                # STREAMINFO is always the first metadata block: 4-byte
+                # block header then 34 bytes; rate/channels/total in the
+                # 8 bytes at offset 10 of the block body
+                b = data[8:8 + 34]
+                word = int.from_bytes(b[10:18], "big")
+                rate = (word >> 44) & 0xFFFFF
+                ch = ((word >> 41) & 0x7) + 1
+                total = word & ((1 << 36) - 1)
+                return {"container": "flac", "sample_rate": rate, "channels": ch,
+                        "duration_s": total / rate if total and rate else None,
+                        "n_frames": None, "bitrate_kbps": None, "vbr": True}
+            if data[:3] == b"ID3" or (
+                len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+            ) or _id3v2_size(bytes(data)):
+                m = mpeg_audio_meta(bytes(data))
+                return {"container": m["format"], "sample_rate": m["sample_rate"],
+                        "channels": m["channels"], "duration_s": m["duration_s"],
+                        "n_frames": m["frames"], "bitrate_kbps": m["mean_kbps"],
+                        "vbr": m["vbr"]}
+            raise LookupError("unknown container")
+
+        empty = {"container": None, "sample_rate": None, "channels": None,
+                 "duration_s": None, "n_frames": None, "bitrate_kbps": None,
+                 "vbr": None}
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                data = row["data"] or b""
+                try:
+                    rec = one(bytes(data)) | {"meta_status": "parsed"}
+                except LookupError:
+                    rec = empty | {"meta_status": "unsupported"}
+                except Exception:  # noqa: BLE001 - corrupt payload keeps its row
+                    rec = empty | {"meta_status": "error"}
+                out.append({"media_id": row["media_id"], **rec})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_meta, AUDIO_META_SCHEMA)
+
 
 def audio_features(
     media: DataFrame, sample_rate: int = 16000, synthetic_fallback: bool = False

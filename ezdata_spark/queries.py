@@ -3766,3 +3766,83 @@ def q132(spark, sf_dir):
     # autoBroadcastJoinThreshold, AQE broadcasts the verify side anyway
     # from its MEASURED runtime size; at 100 TB the same code shuffles.
     return trigram_similarity_pairs(docs, threshold=0.8)
+
+
+@query("z133_audio_metadata")
+def q133(spark, sf_dir):
+    """Header-only audio corpus profiling (operators/multimodal.py::
+    audio_metadata): duration / sample rate / bitrate / VBR flag from
+    container headers alone — MPEG frame-header walk (incl. ID3v2 skip
+    and Xing/VBRI tags), RIFF/WAVE fmt chunk, FLAC STREAMINFO — with
+    zero PCM decode, the scan a 100 TB audio lake runs before deciding
+    what to transcode. Payloads are genuine file bytes fabricated
+    executor-side (real WAV/FLAC encoders; MPEG streams are valid
+    zero-payload CBR frames — the metadata path never reads payload
+    bits). Rows-only: binary parsing is not SQL-expressible;
+    ground truth is pinned by tests/test_audio_meta.py incl. a
+    real-world MPEG-2 Layer III fixture."""
+    import struct
+
+    import pandas as pd
+
+    from .functions.flac_codec import encode_flac
+    from .functions.media_codecs import encode_wav
+    from .operators.multimodal import audio_metadata
+
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    ).limit(150)
+
+    def gen(batches):
+        import numpy as np
+
+        brs = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+        def mpeg_frames(rng, n_frames):
+            out = []
+            for i in range(n_frames):
+                br_idx = int(rng.randint(1, 15))
+                kbps, rate_idx = brs[br_idx - 1], int(rng.randint(0, 3))
+                rate = (44100, 48000, 32000)[rate_idx]
+                pad = int(rng.randint(0, 2))
+                h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                h |= (br_idx << 12) | (rate_idx << 10) | (pad << 9)
+                # one sample-rate per stream: pin rate_idx after frame 0
+                if i == 0:
+                    first_rate_idx = rate_idx
+                else:
+                    h = (h & ~(3 << 10)) | (first_rate_idx << 10)
+                    rate = (44100, 48000, 32000)[first_rate_idx]
+                n = 144 * kbps * 1000 // rate + pad
+                out.append(struct.pack(">I", h) + b"\x00" * (n - 4))
+            return b"".join(out)
+
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                rng = np.random.RandomState(int(mid) % (2**31))
+                sr = int((8000, 16000, 22050)[int(mid) % 3])
+                n = int(rng.randint(sr // 4, sr))
+                wav = (np.sin(np.linspace(0, 300.0, n)) * 2**13).astype("int16")
+                rows.append({"media_id": int(mid), "data": encode_wav(wav, sr)})
+                rows.append({"media_id": int(mid) + 2_000_000,
+                             "data": encode_flac(wav, sample_rate=sr)})
+                rows.append({"media_id": int(mid) + 4_000_000,
+                             "data": mpeg_frames(rng, int(rng.randint(3, 12)))})
+                if int(mid) % 17 == 0:
+                    rows.append({"media_id": int(mid) + 6_000_000,
+                                 "data": b"not an audio payload"})
+            yield pd.DataFrame(rows)
+
+    media = ids.repartition(8).mapInPandas(gen, "media_id long, data binary")
+    return (
+        audio_metadata(media)
+        .groupBy("container", "meta_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+            F.round(F.avg("bitrate_kbps"), 2).alias("avg_kbps"),
+            F.sum(F.when(F.col("vbr"), 1).otherwise(0)).alias("n_vbr"),
+        )
+        .orderBy("container", "meta_status")
+    )
