@@ -142,6 +142,43 @@ def _multi_buckets(vec_name: str, planes_per_table: list[list[list[float]]]):
     return F.expr(f"array({entries})")
 
 
+def _multi_probe_buckets(
+    vec_name: str, planes_per_table: list[list[list[float]]], n_probes: int
+):
+    """Query-side MULTIPROBE bucket expansion (Lv et al., VLDB'07): per
+    table, the base sign bucket plus the ``n_probes - 1`` buckets
+    reached by flipping the sign bits with the smallest |dot| margin —
+    the neighbouring buckets a near-duplicate most plausibly fell into.
+    Flattened array of (tbl, bucket) structs, ``n_tables * n_probes``
+    entries (fewer if ``n_probes > n_planes + 1``).
+
+    The dots are bound once through a 1-element-array lambda (Catalyst
+    does not CSE inside HOFs — same trick as ``_normalize_sql``); the
+    flip order comes from ``array_sort`` over (|dot|, plane) structs.
+    Corpus-side buckets are untouched, so one :func:`lsh_index` build
+    serves every probe width."""
+    per_table = []
+    for t, planes in enumerate(planes_per_table):
+        dots = f"transform({_matrix_sql(planes)}, p -> {_dot_sql(vec_name, 'p')})"
+        base = (
+            "aggregate(transform(ds, (d, i) -> IF(d > 0, shiftleft(1L, i), 0L)),"
+            " 0L, (a, x) -> a + x)"
+        )
+        flips = (
+            "slice(array_sort(transform(ds, (d, i) ->"
+            f" struct(abs(d) AS m, i AS i))), 1, {n_probes - 1})"
+        )
+        per_table.append(
+            f"element_at(transform(array({dots}), ds ->"
+            f" element_at(transform(array({base}), bkt ->"
+            f"  concat(array(struct({t} AS tbl, bkt AS bucket)),"
+            f"   transform({flips}, f ->"
+            f"    struct({t} AS tbl, bkt ^ shiftleft(1L, f.i) AS bucket)))"
+            f" ), 1)), 1)"
+        )
+    return F.expr("concat(" + ",".join(per_table) + ")")
+
+
 def lsh_index(
     corpus: DataFrame,
     vec: str = "embedding",
@@ -191,9 +228,19 @@ def cosine_topk_lsh(
     broadcast_candidates: bool = True,
     index: DataFrame | None = None,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``n_tables``
     independent bucketings (union of candidates), exact rescoring.
+
+    ``n_probes``: multiprobe width (Lv et al., VLDB'07). Each query
+    additionally probes, per table, the ``n_probes - 1`` buckets whose
+    sign differs only in the lowest-|margin| planes. Probe expansion is
+    QUERY-side only — the corpus index (inline or prebuilt) is
+    identical for every probe width — so at 100 TB it trades a little
+    candidate volume for recall without touching the index, the
+    standard way to shrink ``n_tables`` (and the index) at equal
+    recall.
 
     Scale shape: the explode/probe stage carries ONLY (id, tbl, bucket)
     — the vector arrays never enter the candidate pipeline. Candidate
@@ -233,9 +280,14 @@ def cosine_topk_lsh(
         c_b = c.select(
             id_col, F.explode(_multi_buckets("cv", planes_list)).alias("tb")
         ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    q_b = q.select(
-        qid_col, F.explode(_multi_buckets("qv", planes_list)).alias("tb")
-    ).select(qid_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    q_buckets = (
+        _multi_buckets("qv", planes_list)
+        if n_probes <= 1
+        else _multi_probe_buckets("qv", planes_list, n_probes)
+    )
+    q_b = q.select(qid_col, F.explode(q_buckets).alias("tb")).select(
+        qid_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
 
     cand = (
         c_b.join(F.broadcast(q_b), on=["tbl", "bucket"], how="inner")

@@ -429,6 +429,47 @@ def main() -> None:
             rows_in=media_n - img_n)
         media.unpersist()
 
+    if only is None or "audio_metadata_scan" in only:
+        # header-only MPEG profiling (no PCM decode): the walk cost is
+        # per-frame, so the row measures clips x frames header steps
+        from ezdata_spark.operators.multimodal import audio_metadata
+
+        meta_n = max(n // 100, 100_000)
+
+        def _gen_mpeg(batches):
+            import struct
+
+            import numpy as np
+            import pandas as pd
+
+            brs = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+            for b in batches:
+                rows = []
+                for mid in b["id"]:
+                    mid = int(mid)
+                    rng = np.random.RandomState(mid % (2**31))
+                    rate_idx = mid % 3
+                    rate = (44100, 48000, 32000)[rate_idx]
+                    frames = []
+                    for _ in range(20):
+                        br_idx = int(rng.randint(1, 15))
+                        kbps, pad = brs[br_idx - 1], int(rng.randint(0, 2))
+                        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+                        h |= (br_idx << 12) | (rate_idx << 10) | (pad << 9)
+                        nb = 144 * kbps * 1000 // rate + pad
+                        frames.append(struct.pack(">I", h) + b"\x00" * (nb - 4))
+                    rows.append({"media_id": mid, "data": b"".join(frames)})
+                yield pd.DataFrame(rows)
+
+        clips_meta = (
+            spark.range(meta_n).repartition(64)
+            .mapInPandas(_gen_mpeg, "media_id long, data binary")
+            .persist()
+        )
+        clips_meta.write.format("noop").mode("overwrite").save()
+        run("audio_metadata_scan", audio_metadata(clips_meta), rows_in=meta_n * 20)
+        clips_meta.unpersist()
+
     # Compressed-video frame sampling (MJPEG intra + CRAM inter
     # alternating): header-true sample_frames + per-frame codec decode.
     # Clip count is smaller (each clip fabricates 3 encoded frames) but
@@ -707,6 +748,9 @@ def main() -> None:
             "  rows_in counts FRAMES decoded.\n"
             "- media decode rows measure the mapInPandas decode+feature\n"
             "  stage over persisted payloads; fabrication is untimed.\n"
+            "- `audio_metadata_scan` (round 7) profiles 300k MPEG streams\n"
+            "  (20 frames each) header-only — rows_in counts the 6M frame\n"
+            "  headers walked; no PCM is decoded.\n"
             "\nRound-6 analytic tier:\n"
             "- `triangle_census` counts 30M edges over 3M nodes; the\n"
             "  degree-ordered orientation bounds the wedge join (~45\n"

@@ -208,6 +208,50 @@ def test_lsh_prebuilt_index_matches_inline(spark, sf_dir):
     assert via_index == inline and len(inline) > 0
 
 
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multiprobe (query-side bucket expansion) must (a) expand every
+    query's candidate set to a superset of the single-probe candidates
+    over the SAME index, and (b) lift recall vs exact top-k on a table
+    budget too small for plain LSH."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("qid"), "embedding")
+    from ezdata_spark.operators.similarity import (
+        _multi_buckets,
+        _multi_probe_buckets,
+        cosine_topk,
+        cosine_topk_lsh,
+        random_hyperplanes,
+    )
+
+    # (a) probe-bucket sets are supersets: base bucket always included,
+    # n_probes=1 expansion identical to _multi_buckets
+    planes = [random_hyperplanes(64, 4, seed=42 + t) for t in range(2)]
+    rows = qs.select(
+        _multi_buckets("embedding", planes).alias("single"),
+        _multi_probe_buckets("embedding", planes, 3).alias("multi"),
+    ).collect()
+    for r in rows:
+        single = {(x.tbl, x.bucket) for x in r.single}
+        multi = {(x.tbl, x.bucket) for x in r.multi}
+        assert single <= multi and len(multi) == 6  # 2 tables x 3 probes
+
+    # (b) recall is monotone in probe width and the full single-bit
+    # neighbourhood lifts it substantially on a deliberately starved
+    # config (1 table; uniform-random embeddings are the hardest case
+    # for hyperplane LSH — measured 0.175 -> 0.312 over p=1..7)
+    exact = {(r.qid, r.vec_id) for r in cosine_topk(emb, qs, k=10).collect()}
+    kw = dict(k=10, dim=64, n_planes=6, n_tables=1)
+    recalls = []
+    for p in (1, 4, 7):
+        got = {(r.qid, r.vec_id) for r in
+               cosine_topk_lsh(emb, qs, n_probes=p, **kw).collect()}
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone in probes: {recalls}"
+    assert recalls[-1] >= recalls[0] + 0.1, f"multiprobe lift too small: {recalls}"
+
+
 def test_cosine_topk_self_is_top1(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
