@@ -321,15 +321,23 @@ def ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    assign: str = "auto",
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantization: KMeans centroids (trained on a sample),
     each corpus vector assigned to its nearest cell.
 
     Scale shape: training touches a driver-bounded sample; assignment is
     one scan with the centroid table folded into the plan (broadcast by
-    construction — it is n_cells x dim literals); the index is just an
-    extra int column, so it can be written back to parquet partitioned
-    by cell for pruned reads.
+    construction); the index is just an extra int column, so it can be
+    written back to parquet partitioned by cell for pruned reads.
+
+    ``assign``: ``'jvm'`` keeps assignment in SQL higher-order
+    functions (dependency-free, fine for small cell counts); ``'numpy'``
+    runs one Arrow-batched matmul + argmax per batch — the assignment
+    is n_cells x dim multiplies PER ROW, and interpreted HOFs price
+    that at ~1.3M mult/s/core, so at 256 cells x 64 dims the numpy path
+    is ~50x faster (measured 315 s -> 7 s for 3M rows). ``'auto'``
+    (default) picks numpy when n_cells * dim >= 2048.
     Returns (indexed_corpus, centroids).
     """
     from pyspark.ml.clustering import KMeans
@@ -340,16 +348,41 @@ def ivf_index(
     km = KMeans(k=n_cells, seed=seed, featuresCol="features")
     model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
-    # cell assignment from the RAW vector: argmax dot(v/|v|, c) ==
-    # argmax dot(v, c), and the inlined normalize would otherwise be
-    # re-evaluated once per centroid inside the HOF (no lambda CSE);
-    # the normalized "v" itself is evaluated once (single array expr)
     raw = _fan_out(df).select(id_col, F.col(vec).alias("rawv"))
-    indexed = raw.select(
-        id_col,
-        F.element_at(_nearest_cells("rawv", centroids, 1), 1).alias("cell"),
-        F.expr(_normalize_sql("rawv")).alias("v"),
-    )
+    dim = len(centroids[0])
+    if assign == "numpy" or (assign == "auto" and n_cells * dim >= 2048):
+        import pandas as pd
+
+        C = np.asarray(centroids, dtype=np.float64)  # (n_cells, dim)
+
+        def _assign(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                V = np.stack(b["rawv"].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(V, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                Vn = V / nrm
+                # argmax dot(v_n, c): same rule as the JVM path
+                cell = np.argmax(Vn @ C.T, axis=1).astype(np.int32)
+                yield pd.DataFrame(
+                    {id_col: b[id_col], "cell": cell, "v": list(Vn)}
+                )
+
+        id_type = dict(raw.dtypes)[id_col]
+        indexed = raw.mapInPandas(
+            _assign, f"{id_col} {id_type}, cell int, v array<double>"
+        )
+    else:
+        # cell assignment from the RAW vector: argmax dot(v/|v|, c) ==
+        # argmax dot(v, c), and the inlined normalize would otherwise be
+        # re-evaluated once per centroid inside the HOF (no lambda CSE);
+        # the normalized "v" itself is evaluated once (single array expr)
+        indexed = raw.select(
+            id_col,
+            F.element_at(_nearest_cells("rawv", centroids, 1), 1).alias("cell"),
+            F.expr(_normalize_sql("rawv")).alias("v"),
+        )
     return indexed, centroids
 
 
@@ -393,6 +426,117 @@ def ivf_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec: str = "embedding",
+    left_id: str = "doc_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """Embedding k-NN JOIN: for EVERY left row, its top-``k`` cosine
+    neighbours in an :func:`ivf_index`-ed corpus. The table-scale
+    sibling of :func:`ivf_topk` (which broadcasts a small query batch):
+    here BOTH sides are large — semantic retrieval joins, per-document
+    nearest-neighbour decontamination, embedding-join enrichment.
+
+    Scale shape: the left side explodes to its ``nprobe`` nearest cells
+    and COGROUPS with the corpus on ``cell`` — never a cross join; the
+    candidate volume is sum(|L_c| * |R_c|) over probed cells
+    (~|L||R| * nprobe / n_cells balanced), and each corpus row lives in
+    exactly ONE cell so (left, right) candidates are unique without a
+    dedup shuffle even at nprobe > 1.
+
+    Scoring runs as ONE BLAS matmul per cell inside a cogrouped
+    applyInPandas, emitting only each left row's per-cell top-``k``
+    (so at most k * nprobe narrow rows per left reach the final global
+    window). A join + interpreted-HOF-dot variant prices the same
+    arithmetic at ~1.3M mult/s/core — 35 min for 30k x 3M x 4/256
+    probes vs under a minute vectorized; this is the one similarity
+    stage where arithmetic intensity genuinely demands the Arrow
+    boundary. Per-cell working set is |L_c| x |R_c| doubles — bound it
+    with ``n_cells`` ~ sqrt(corpus) at real scale; AQE splits skewed
+    cells before the cogroup exchange.
+    Output: (left_id, right_id, cosine, rank<=k).
+    """
+    import pandas as pd
+
+    lf = _fan_out(left).select(left_id, F.col(vec).alias("qv"))
+    probes = lf.select(
+        left_id, "qv", F.explode(_nearest_cells("qv", centroids, nprobe)).alias("cell")
+    )
+    right = indexed_corpus.select("cell", right_id, "v")
+    lid_t = dict(probes.dtypes)[left_id]
+    rid_t = dict(right.dtypes)[right_id]
+    out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, cosine double"
+
+    def _score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({left_id: [], right_id: [], "cosine": []})
+        # sort the cell's corpus rows by id so the stable argsort below
+        # breaks exact-cosine ties by ascending right_id — deterministic
+        # across shuffle arrival orders
+        rpdf = rpdf.sort_values(right_id)
+        L = np.stack(lpdf["qv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(L, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        L = L / nrm
+        R = np.stack(rpdf["v"].to_numpy()).astype(np.float64)  # pre-normalized
+        rids = rpdf[right_id].to_numpy()
+        k_eff = min(k, R.shape[0])
+        # BLOCKED matmul + running top-k: KMeans cells over weakly
+        # clustered corpora skew hard, and a single |L_c| x |R_c| cosine
+        # matrix for a hot cell is unbounded (a 20k x 500k cell = 80 GB
+        # — observed OOM). Blocks bound peak memory at LB*RB doubles
+        # while each block still runs as one BLAS call; the per-row
+        # Python lexsort alternative measured 6x the matmul itself.
+        LB, RB = 2048, 16384
+        out_l, out_r, out_c = [], [], []
+        for ls in range(0, L.shape[0], LB):
+            Lb = L[ls:ls + LB]
+            best_c = None  # (nb, <=k_eff) running top-k across R blocks
+            best_r = None
+            for rs in range(0, R.shape[0], RB):
+                cos = Lb @ R[rs:rs + RB].T
+                kb = min(k_eff, cos.shape[1])
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :kb]
+                bc = np.take_along_axis(cos, top, axis=1)
+                br = rids[rs:rs + RB][top]
+                if best_c is not None:
+                    bc = np.concatenate([best_c, bc], axis=1)
+                    br = np.concatenate([best_r, br], axis=1)
+                # merge: re-rank the <=2k kept candidates; stable sort +
+                # ascending-rid blocks keeps the deterministic tiebreak
+                mtop = np.argsort(-bc, axis=1, kind="stable")[:, :k_eff]
+                best_c = np.take_along_axis(bc, mtop, axis=1)
+                best_r = np.take_along_axis(br, mtop, axis=1)
+            nk = best_c.shape[1]
+            out_l.append(np.repeat(lpdf[left_id].to_numpy()[ls:ls + LB], nk))
+            out_r.append(best_r.ravel())
+            out_c.append(best_c.ravel())
+        return pd.DataFrame(
+            {
+                left_id: np.concatenate(out_l),
+                right_id: np.concatenate(out_r),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    part = (
+        probes.groupBy("cell")
+        .cogroup(right.groupBy("cell"))
+        .applyInPandas(_score, out_schema)
+    )
+    w = Window.partitionBy(left_id).orderBy(F.col("cosine").desc(), F.col(right_id).asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(left_id, right_id, "cosine", "rank")
     )
 
 

@@ -339,6 +339,31 @@ def main() -> None:
         enc_p.write.format("noop").mode("overwrite").save()
         run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
         enc_p.unpersist()
+    if only is None or "knn_join_ivf" in only:
+        # embedding kNN JOIN: large left x large right through the IVF
+        # cell equi-join (never a cross join). Candidate volume is
+        # |L| * |R| * nprobe / n_cells — the knob a 100 TB deployment
+        # tunes (finer cells / PQ-compressed scoring); at 30k x 3M with
+        # 256 cells the timed join scores ~1.4G interpreted dots, which
+        # IS the work (not plan waste)
+        from ezdata_spark.operators.similarity import ivf_index, knn_join
+
+        knn_left = spark.range(vec_n // 100).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "transform(sequence(1, 64),"
+                " i -> pmod(xxhash64(id + 555, i), 2000) / 1000.0 - 1.0)"
+            ).alias("embedding"),
+        )
+        idx_t0 = time.perf_counter()
+        ivf_corpus, cents = ivf_index(emb, n_cells=256, sample_fraction=50_000 / vec_n)
+        ivf_p = ivf_corpus.persist()
+        ivf_p.write.format("noop").mode("overwrite").save()  # build untimed
+        print(f"{'(ivf_index build)':24s} {time.perf_counter() - idx_t0:7.2f}s")
+        run("knn_join_ivf",
+            knn_join(knn_left, ivf_p, cents, k=10, nprobe=4),
+            rows_in=vec_n // 100)
+        ivf_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
     if only is None or "lsh_probe_indexed" in only:
         # the recurring 100 TB shape: the (id, tbl, bucket) index is a

@@ -252,6 +252,32 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     assert recalls[-1] >= recalls[0] + 0.1, f"multiprobe lift too small: {recalls}"
 
 
+def test_knn_join_recall_vs_exact(spark, sf_dir):
+    """knn_join (IVF-cell candidate join) vs the exact broadcast top-k
+    with the left table as the query set: full-probe must be EXACT (all
+    cells searched), partial probe keeps high recall."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    from ezdata_spark.operators.similarity import cosine_topk, ivf_index, knn_join
+
+    n_cells = 8
+    indexed, cents = ivf_index(emb, n_cells=n_cells)
+    exact = {(r.qid, r.vec_id) for r in
+             cosine_topk(emb, left.withColumnRenamed("doc_id", "qid"),
+                         k=5, qid_col="qid").collect()}
+    full = {(r.doc_id, r.vec_id) for r in
+            knn_join(left, indexed, cents, k=5, nprobe=n_cells).collect()}
+    assert full == exact  # probing every cell is the exact join
+    part = {(r.doc_id, r.vec_id) for r in
+            knn_join(left, indexed, cents, k=5, nprobe=4).collect()}
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.7, f"knn_join nprobe=4/8 recall too low: {recall}"
+
+
 def test_cosine_topk_self_is_top1(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
