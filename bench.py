@@ -75,6 +75,7 @@ HEADLINE = [
     "q130_cohort_retention", # first-month cohort retention matrix
     "q131_pareto_contribution", # distributed prefix-sum 80/20 analysis
     "q132_trigram_similarity",  # AllPairs+PPJoin exact similarity join
+    "q134_knn_join",         # IVF cell equi-join + cogrouped BLAS kNN
 ]
 
 

@@ -438,6 +438,7 @@ def knn_join(
     vec: str = "embedding",
     left_id: str = "doc_id",
     right_id: str = "vec_id",
+    round_ndigits: int | None = None,
 ) -> DataFrame:
     """Embedding k-NN JOIN: for EVERY left row, its top-``k`` cosine
     neighbours in an :func:`ivf_index`-ed corpus. The table-scale
@@ -462,6 +463,12 @@ def knn_join(
     boundary. Per-cell working set is |L_c| x |R_c| doubles — bound it
     with ``n_cells`` ~ sqrt(corpus) at real scale; AQE splits skewed
     cells before the cogroup exchange.
+
+    ``round_ndigits``: when set, cosines are rounded HALF-AWAY (SQL
+    ROUND semantics, matching Spark's own ``F.round``) before any
+    ranking, and ties break by ascending ``right_id`` — the same
+    cross-engine-stable ranking contract as ``knn_cone``'s rounded
+    separation, so full-probe results hash-match a SQL oracle exactly.
     Output: (left_id, right_id, cosine, rank<=k).
     """
     import pandas as pd
@@ -503,6 +510,12 @@ def knn_join(
             best_r = None
             for rs in range(0, R.shape[0], RB):
                 cos = Lb @ R[rs:rs + RB].T
+                if round_ndigits is not None:
+                    # half-away (SQL ROUND), not numpy's half-even: the
+                    # rounded value is what the global window ranks on,
+                    # so it must equal the oracle's ROUND() bit-for-bit
+                    p = 10.0 ** round_ndigits
+                    cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
                 kb = min(k_eff, cos.shape[1])
                 top = np.argsort(-cos, axis=1, kind="stable")[:, :kb]
                 bc = np.take_along_axis(cos, top, axis=1)

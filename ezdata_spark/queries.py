@@ -3846,3 +3846,43 @@ def q133(spark, sf_dir):
         )
         .orderBy("container", "meta_status")
     )
+
+
+@query(
+    "q134_knn_join",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS doc_id, b.vec_id AS vec_id,
+             ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a CROSS JOIN e b),
+    ranked AS (
+      SELECT doc_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT doc_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q134(spark, sf_dir):
+    """Embedding k-NN self-join (operators/similarity.py::knn_join) —
+    every document's 5 nearest neighbours over the whole corpus, both
+    sides large: the IVF cell equi-join + cogrouped BLAS scoring path,
+    never a cross join. Probing ALL cells makes the join exact (each
+    corpus row lives in exactly one cell), which is what the oracle's
+    brute-force all-pairs form checks; production sets nprobe <<
+    n_cells for the approximate fast path whose recall is pinned by
+    tests/test_operators.py::test_knn_join_recall_vs_exact. Ranking
+    uses round_ndigits=6 (rounded-cosine, right-id tiebreak) — the
+    same cross-engine-stable contract as q129's rounded separation."""
+    from .operators.similarity import ivf_index, knn_join
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    n_cells = 8
+    indexed, cents = ivf_index(emb, n_cells=n_cells)
+    return knn_join(left, indexed, cents, k=5, nprobe=n_cells, round_ndigits=6)
