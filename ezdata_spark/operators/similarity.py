@@ -179,6 +179,63 @@ def _multi_probe_buckets(
     return F.expr("concat(" + ",".join(per_table) + ")")
 
 
+def _bucket_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes_list: list[list[list[float]]],
+    assign: str = "auto",
+) -> DataFrame:
+    """(id, tbl, bucket) rows: every hash table's sign bucket for every
+    row — the corpus-sized stage shared by :func:`lsh_index` and the
+    inline path of :func:`cosine_topk_lsh`.
+
+    ``assign`` mirrors :func:`ivf_index`: ``'jvm'`` evaluates the sign
+    dots as SQL higher-order functions (dependency-free); ``'numpy'``
+    computes ALL ``n_tables * n_planes`` dots as one Arrow-batched BLAS
+    matmul and packs the sign bits per table. The interpreted evaluator
+    prices HOF dots at ~1.3M mult/s/core, so at the standard 4x8x64
+    configuration (2048 mults/row) the matmul path is ~10x faster on a
+    corpus-sized scan; ``'auto'`` picks it at that size. Sign rule is
+    strictly ``dot > 0`` in both paths; a dot within one ulp of zero
+    may bucket differently between them (measure-zero for real data,
+    and only moves a vector to a neighbouring bucket of an already
+    approximate index)."""
+    n_tables = len(planes_list)
+    n_planes = len(planes_list[0])
+    dim = len(planes_list[0][0])
+    src = df.select(id_col, F.col(vec_col).alias("bv"))
+    if assign == "jvm" or (assign == "auto" and n_tables * n_planes * dim < 2048):
+        return src.select(
+            id_col, F.explode(_multi_buckets("bv", planes_list)).alias("tb")
+        ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    import pandas as pd
+
+    P = np.concatenate([np.asarray(p, dtype=np.float64) for p in planes_list])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    tbls = np.arange(n_tables, dtype=np.int32)
+
+    def _buck(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["bv"].to_numpy()).astype(np.float64)
+            D = (V @ P.T) > 0  # (n, n_tables * n_planes) sign bits
+            buckets = np.empty((len(b), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                buckets[:, t] = D[:, t * n_planes:(t + 1) * n_planes] @ weights
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(b[id_col].to_numpy(), n_tables),
+                    "tbl": np.tile(tbls, len(b)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    id_t = dict(src.dtypes)[id_col]
+    return src.mapInPandas(_buck, f"{id_col} {id_t}, tbl int, bucket bigint")
+
+
 def lsh_index(
     corpus: DataFrame,
     vec: str = "embedding",
@@ -187,6 +244,7 @@ def lsh_index(
     dim: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
+    assign: str = "auto",
 ) -> DataFrame:
     """One-time LSH indexing pass: the (id, tbl, bucket) table.
 
@@ -209,10 +267,7 @@ def lsh_index(
     planes_list = [
         random_hyperplanes(dim, n_planes, seed=seed + t) for t in range(n_tables)
     ]
-    c = _fan_out(corpus).select(id_col, F.col(vec).alias("cv"))
-    return c.select(
-        id_col, F.explode(_multi_buckets("cv", planes_list)).alias("tb")
-    ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    return _bucket_frame(_fan_out(corpus), id_col, vec, planes_list, assign=assign)
 
 
 def cosine_topk_lsh(
@@ -229,6 +284,7 @@ def cosine_topk_lsh(
     index: DataFrame | None = None,
     seed: int = 42,
     n_probes: int = 1,
+    assign: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``n_tables``
     independent bucketings (union of candidates), exact rescoring.
@@ -277,9 +333,9 @@ def cosine_topk_lsh(
     if index is not None:
         c_b = index.select(id_col, "tbl", "bucket")
     else:
-        c_b = c.select(
-            id_col, F.explode(_multi_buckets("cv", planes_list)).alias("tb")
-        ).select(id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        # corpus-sized bucket pass: numpy matmul path at the standard
+        # table sizes (see _bucket_frame) — the dominant one-shot cost
+        c_b = _bucket_frame(c, id_col, "cv", planes_list, assign=assign)
     q_buckets = (
         _multi_buckets("qv", planes_list)
         if n_probes <= 1
@@ -439,6 +495,7 @@ def knn_join(
     left_id: str = "doc_id",
     right_id: str = "vec_id",
     round_ndigits: int | None = None,
+    shard_corpus: int = 1,
 ) -> DataFrame:
     """Embedding k-NN JOIN: for EVERY left row, its top-``k`` cosine
     neighbours in an :func:`ivf_index`-ed corpus. The table-scale
@@ -469,6 +526,16 @@ def knn_join(
     ranking, and ties break by ascending ``right_id`` — the same
     cross-engine-stable ranking contract as ``knn_cone``'s rounded
     separation, so full-probe results hash-match a SQL oracle exactly.
+
+    ``shard_corpus``: split every cell's corpus rows into this many
+    hash sub-shards (left probes fan out to all of them). KMeans cells
+    over weakly clustered data SKEW — a cogroup cannot split a hot
+    group, so one popular cell serializes the whole join on a single
+    task. Sharding bounds each task at |R_c|/s corpus rows; per-shard
+    top-k rows are merged exactly by the final global window (union of
+    shards == the cell), at the cost of shipping each probe row ``s``
+    times. Set ``s`` ~ max-cell-rows / 250k at scale; 1 (default)
+    keeps the narrow single-task-per-cell shape for balanced indexes.
     Output: (left_id, right_id, cosine, rank<=k).
     """
     import pandas as pd
@@ -478,6 +545,15 @@ def knn_join(
         left_id, "qv", F.explode(_nearest_cells("qv", centroids, nprobe)).alias("cell")
     )
     right = indexed_corpus.select("cell", right_id, "v")
+    keys = ["cell"]
+    if shard_corpus > 1:
+        right = right.withColumn(
+            "shard", F.pmod(F.xxhash64(right_id), F.lit(shard_corpus)).cast("int")
+        )
+        probes = probes.withColumn(
+            "shard", F.explode(F.sequence(F.lit(0), F.lit(shard_corpus - 1)))
+        )
+        keys = ["cell", "shard"]
     lid_t = dict(probes.dtypes)[left_id]
     rid_t = dict(right.dtypes)[right_id]
     out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, cosine double"
@@ -541,8 +617,8 @@ def knn_join(
         )
 
     part = (
-        probes.groupBy("cell")
-        .cogroup(right.groupBy("cell"))
+        probes.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
         .applyInPandas(_score, out_schema)
     )
     w = Window.partitionBy(left_id).orderBy(F.col("cosine").desc(), F.col(right_id).asc())
@@ -771,6 +847,94 @@ def pq_encode(
     return n.withColumn("codes", F.expr(_pq_codes_sql("v", codebooks)))
 
 
+def _pq_topk_numpy(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    qn: DataFrame,
+    k: int,
+    oversample: int,
+    id_col: str,
+    qid_col: str,
+    rescore: bool,
+) -> DataFrame:
+    """Arrow-batched ADC scan (see ``pq_topk(scan=...)``). Queries are
+    collected driver-side — they are broadcast-sized by the operator's
+    contract — and their LUTs ride the mapInPandas closure; each batch
+    emits only its per-query top-K under (adc desc, id asc), which the
+    global window reduces to the exact same candidate set the full
+    scan would rank."""
+    import pandas as pd
+
+    qrows = qn.collect()
+    if not qrows:
+        from pyspark.sql import types as T
+
+        fields = [
+            T.StructField(qid_col, qn.schema[qid_col].dataType),
+            T.StructField(id_col, encoded.schema[id_col].dataType),
+            T.StructField("cosine" if rescore else "score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+        return encoded.sparkSession.createDataFrame([], T.StructType(fields))
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    m, dsub = CB.shape[0], CB.shape[2]
+    LUT = np.einsum("qjd,jcd->qjc", Q.reshape(len(qids), m, dsub), CB)
+    K = k * (oversample if rescore else 1)
+    nq = len(qids)
+    qid_arr = np.asarray(qids)
+    id_t = dict(encoded.dtypes)[id_col]
+    qid_t = dict(qn.dtypes)[qid_col]
+
+    def _adc(batches):
+        for b in batches:
+            n = len(b)
+            if not n:
+                continue
+            codes = np.stack(b["codes"].to_numpy()).astype(np.intp)  # (n, m)
+            ids = b[id_col].to_numpy()
+            s = LUT[:, 0, codes[:, 0]]
+            for j in range(1, m):
+                s = s + LUT[:, j, codes[:, j]]  # (nq, n) gather-sum
+            kb = min(K, n)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                idx = np.lexsort((ids, -s[qi]))[:kb]
+                out_q.append(np.full(kb, qi))
+                out_i.append(ids[idx])
+                out_s.append(s[qi][idx])
+            yield pd.DataFrame(
+                {
+                    qid_col: qid_arr[np.concatenate(out_q)],
+                    id_col: np.concatenate(out_i),
+                    "adc": np.concatenate(out_s),
+                }
+            )
+
+    cand0 = encoded.select(id_col, "codes").mapInPandas(
+        _adc, f"{qid_col} {qid_t}, {id_col} {id_t}, adc double"
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("adc").desc(), F.col(id_col).asc())
+    cand = cand0.withColumn("arank", F.row_number().over(w)).filter(F.col("arank") <= K)
+    if not rescore:
+        return cand.select(
+            qid_col, id_col, F.col("adc").alias("score"), F.col("arank").alias("rank")
+        )
+    exact = (
+        encoded.select(id_col, "v")
+        .join(F.broadcast(cand.select(qid_col, id_col)), id_col)
+        .join(F.broadcast(qn), qid_col)
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")))
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],
@@ -781,6 +945,7 @@ def pq_topk(
     id_col: str = "vec_id",
     qid_col: str = "qid",
     rescore: bool = True,
+    scan: str = "auto",
 ) -> DataFrame:
     """ADC (asymmetric distance) top-k: per query, build the m x k
     lookup table of subspace dot products ONCE, score every code word
@@ -790,10 +955,25 @@ def pq_topk(
     Scale shape: queries (with their LUTs) broadcast; the corpus scan
     reads only (id, codes) — the compressed column — and the exact
     rescore joins back just k*oversample rows per query.
+
+    ``scan``: ``'numpy'`` (and ``'auto'``, the default) runs the ADC
+    scan as an Arrow-batched LUT gather emitting only each batch's
+    per-query top-K — per-batch selection under the same total order
+    (adc desc, id asc) is a monotone filter, so the global candidate
+    set is IDENTICAL to the full scan's; the global window then ranks
+    ~batches*K narrow rows instead of |corpus| * n_queries (the
+    interpreted HOF prices the scan at ~1.3M lookups/s/core, and the
+    all-pairs window sort dominated the rest). ``'jvm'`` keeps the
+    dependency-free SQL path. Query LUTs differ between the two
+    engines only in last-ulp summation order.
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     qn = normalize(_fan_out(queries), vec, "qv").select(qid_col, "qv")
+    if scan != "jvm":
+        return _pq_topk_numpy(
+            encoded, codebooks, qn, k, oversample, id_col, qid_col, rescore
+        )
     # LUT[j][c] = dot(q_j, codebook[j][c]) — dot LUT approximates cosine
     # on normalized vectors
     lut_parts = []

@@ -360,8 +360,13 @@ def main() -> None:
         ivf_p = ivf_corpus.persist()
         ivf_p.write.format("noop").mode("overwrite").save()  # build untimed
         print(f"{'(ivf_index build)':24s} {time.perf_counter() - idx_t0:7.2f}s")
+        # shard_corpus=8: KMeans cells over uniform-random vectors skew
+        # hard, and a cogroup cannot split a hot group — unsharded, one
+        # popular cell serializes the join on a single task (measured
+        # 341 s; sharded below). Per-shard top-k merges exactly in the
+        # global window.
         run("knn_join_ivf",
-            knn_join(knn_left, ivf_p, cents, k=10, nprobe=4),
+            knn_join(knn_left, ivf_p, cents, k=10, nprobe=4, shard_corpus=8),
             rows_in=vec_n // 100)
         ivf_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)

@@ -208,6 +208,22 @@ def test_lsh_prebuilt_index_matches_inline(spark, sf_dir):
     assert via_index == inline and len(inline) > 0
 
 
+def test_lsh_bucket_engines_agree(spark, sf_dir):
+    """_bucket_frame's numpy matmul path must produce bit-identical
+    (id, tbl, bucket) rows to the JVM higher-order-function path — the
+    sign rule (strictly dot > 0) is the whole contract."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    from ezdata_spark.operators.similarity import lsh_index
+
+    jvm = {tuple(r) for r in
+           lsh_index(emb, dim=64, n_planes=8, n_tables=4, assign="jvm").collect()}
+    np_ = {tuple(r) for r in
+           lsh_index(emb, dim=64, n_planes=8, n_tables=4, assign="numpy").collect()}
+    assert jvm == np_ and len(jvm) > 0
+
+
 def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     """Multiprobe (query-side bucket expansion) must (a) expand every
     query's candidate set to a superset of the single-probe candidates
@@ -276,6 +292,12 @@ def test_knn_join_recall_vs_exact(spark, sf_dir):
             knn_join(left, indexed, cents, k=5, nprobe=4).collect()}
     recall = len(exact & part) / len(exact)
     assert recall >= 0.7, f"knn_join nprobe=4/8 recall too low: {recall}"
+    # corpus sharding is a pure execution-shape knob: per-shard top-k
+    # unioned through the global window must equal the unsharded join
+    sharded = {(r.doc_id, r.vec_id) for r in
+               knn_join(left, indexed, cents, k=5, nprobe=n_cells,
+                        shard_corpus=4).collect()}
+    assert sharded == exact
 
 
 def test_cosine_topk_self_is_top1(spark, sf_dir):
@@ -1187,6 +1209,13 @@ def test_pq_recall_vs_exact(spark, sf_dir):
     # ADC-only (no rescore): the query's own code word maximizes the LUT sum
     adc = pq_topk(enc, books, qs, k=1, rescore=False).collect()
     assert all(r.qid == r.vec_id for r in adc), [(r.qid, r.vec_id) for r in adc]
+
+    # scan engines agree: the Arrow LUT-gather path's per-batch top-K
+    # under (adc desc, id asc) is a monotone filter, so the rescored
+    # result must match the full JVM scan pair-for-pair
+    jvm = {(r.qid, r.vec_id) for r in
+           pq_topk(enc, books, qs, k=10, oversample=8, scan="jvm").collect()}
+    assert jvm == approx
     enc.unpersist()
 
 
