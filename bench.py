@@ -76,6 +76,7 @@ HEADLINE = [
     "q131_pareto_contribution", # distributed prefix-sum 80/20 analysis
     "q132_trigram_similarity",  # AllPairs+PPJoin exact similarity join
     "q134_knn_join",         # IVF cell equi-join + cogrouped BLAS kNN
+    "q135_heavy_hitters",    # Misra-Gries candidates -> exact top-k
 ]
 
 

@@ -3886,3 +3886,32 @@ def q134(spark, sf_dir):
     n_cells = 8
     indexed, cents = ivf_index(emb, n_cells=n_cells)
     return knn_join(left, indexed, cents, k=5, nprobe=n_cells, round_ndigits=6)
+
+
+@query(
+    "q135_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS value
+                 FROM documents)
+    SELECT value, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY value ORDER BY n DESC, value LIMIT 25
+    """,
+)
+def q135(spark, sf_dir):
+    """Exact top-25 corpus tokens (operators/frequent.py::
+    heavy_hitters): per-partition mergeable Misra-Gries summaries
+    bound the shuffle at candidates-only size (one zero-shuffle scan +
+    one candidate-set aggregate), with a runtime guarantee check that
+    the k-th candidate strictly beats every possible non-candidate —
+    so the result is the EXACT top-k the oracle's full GROUP BY
+    computes, at a shuffle cost independent of vocabulary size."""
+    from .operators.frequent import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("value")
+    )
+    return heavy_hitters(toks, "value", k=25)

@@ -724,6 +724,26 @@ def main() -> None:
         rows_in=sky_n + cat_n,
     )
 
+    if only is None or "heavy_hitters" in only:
+        from ezdata_spark.operators.frequent import heavy_hitters
+
+        # zipf(1.5)-tailed values (P[v >= t] ~ t^-0.5): realistic
+        # token-frequency shape — a handful of ultra-frequent values
+        # over a ~sqrt(n)-sized distinct tail, the regime where the
+        # MG candidate filter beats a full groupBy
+        hh = spark.range(n).select(
+            F.floor(
+                F.pow(
+                    (F.pmod(F.xxhash64("id", F.lit(77)), F.lit(1_000_000)) + 1)
+                    / 1_000_001.0,
+                    F.lit(-2.0),
+                )
+            ).cast("bigint").alias("value")
+        )
+        # callable: heavy_hitters runs its two passes eagerly (the
+        # guarantee check is an action), so the timed region is the call
+        run("heavy_hitters", lambda: heavy_hitters(hh, "value", k=20))
+
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",
             "n_rows": n, "ops": results}
