@@ -399,8 +399,12 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n = normalize(df, vec, "v").select(id_col, "v")
-    train = n if sample_fraction is None else n.sample(sample_fraction, seed=seed)
+    # sample BEFORE the normalize projection: Catalyst does not commute
+    # Sample below Project, so sampling the normalized frame evaluates
+    # the per-row dot + divides for EVERY corpus row just to keep 1/N
+    # of them — sampling the raw frame first normalizes only kept rows
+    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    train = normalize(src, vec, "v").select("v")
     km = KMeans(k=n_cells, seed=seed, featuresCol="features")
     model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
     centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
@@ -485,6 +489,40 @@ def ivf_topk(
     )
 
 
+def _select_topk_desc(cos: np.ndarray, kb: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row top-``kb`` of a score matrix under (value desc,
+    column asc), WITHOUT a full-width sort.
+
+    ``np.argsort(kind='stable')`` over the whole block is ~14
+    cache-hostile passes and measured 2/3 of knn_join's entire runtime
+    at 3M corpus rows (206 s of 313 s). ``argpartition`` is O(width)
+    but UNSTABLE: at the k-th-value boundary it keeps an arbitrary
+    subset of the tied columns, which would break the deterministic
+    ascending-rid tiebreak the oracle contract ranks on. So: partition
+    for the k-th VALUE only, then rebuild the kept set exactly — every
+    column strictly above the boundary value, plus the FIRST (lowest
+    column = lowest rid) tied columns up to ``kb`` — with vectorized
+    masks (~5 linear passes). Columns must be in ascending-rid order.
+    """
+    n = cos.shape[1]
+    if kb >= n:
+        top = np.argsort(-cos, axis=1, kind="stable")
+        return np.take_along_axis(cos, top, axis=1), top
+    # partition VALUES, not indices: argpartition's indirect introselect
+    # drags a full int64 index matrix through cache and measured 5x the
+    # direct value partition; only the k-th value itself is needed
+    vk = np.partition(cos, n - kb, axis=1)[:, n - kb, None]
+    gt = cos > vk
+    need = kb - gt.sum(axis=1)  # ties at vk still needed per row
+    eq = cos == vk
+    keep = gt | (eq & (np.cumsum(eq, axis=1, dtype=np.int32) <= need[:, None]))
+    # np.nonzero is row-major and each row keeps exactly kb columns
+    cols = np.nonzero(keep)[1].reshape(-1, kb)
+    vals = np.take_along_axis(cos, cols, axis=1)
+    o = np.argsort(-vals, axis=1, kind="stable")  # kb-wide: cheap
+    return np.take_along_axis(vals, o, axis=1), np.take_along_axis(cols, o, axis=1)
+
+
 def knn_join(
     left: DataFrame,
     indexed_corpus: DataFrame,
@@ -496,6 +534,7 @@ def knn_join(
     right_id: str = "vec_id",
     round_ndigits: int | None = None,
     shard_corpus: int = 1,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """Embedding k-NN JOIN: for EVERY left row, its top-``k`` cosine
     neighbours in an :func:`ivf_index`-ed corpus. The table-scale
@@ -536,6 +575,13 @@ def knn_join(
     shards == the cell), at the cost of shipping each probe row ``s``
     times. Set ``s`` ~ max-cell-rows / 250k at scale; 1 (default)
     keeps the narrow single-task-per-cell shape for balanced indexes.
+
+    ``score_dtype``: ``'float32'`` halves the matmul's memory traffic
+    and doubles its SIMD width (measured ~2x on the scoring stage) at
+    ~1e-7 relative cosine error — ranking can flip only between
+    near-exact ties, noise far below IVF's own nprobe approximation.
+    Ignored (kept float64) when ``round_ndigits`` is set: the rounded
+    path is the bit-exact oracle contract.
     Output: (left_id, right_id, cosine, rank<=k).
     """
     import pandas as pd
@@ -558,27 +604,31 @@ def knn_join(
     rid_t = dict(right.dtypes)[right_id]
     out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, cosine double"
 
+    dt = np.float64 if round_ndigits is not None or score_dtype == "float64" else np.float32
+
     def _score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
             return pd.DataFrame({left_id: [], right_id: [], "cosine": []})
-        # sort the cell's corpus rows by id so the stable argsort below
-        # breaks exact-cosine ties by ascending right_id — deterministic
-        # across shuffle arrival orders
+        # sort the cell's corpus rows by id so the boundary-exact
+        # selection below breaks exact-cosine ties by ascending
+        # right_id — deterministic across shuffle arrival orders
         rpdf = rpdf.sort_values(right_id)
-        L = np.stack(lpdf["qv"].to_numpy()).astype(np.float64)
+        L = np.stack(lpdf["qv"].to_numpy()).astype(dt)
         nrm = np.linalg.norm(L, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         L = L / nrm
-        R = np.stack(rpdf["v"].to_numpy()).astype(np.float64)  # pre-normalized
+        R = np.stack(rpdf["v"].to_numpy()).astype(dt)  # pre-normalized
         rids = rpdf[right_id].to_numpy()
         k_eff = min(k, R.shape[0])
-        # BLOCKED matmul + running top-k: KMeans cells over weakly
-        # clustered corpora skew hard, and a single |L_c| x |R_c| cosine
-        # matrix for a hot cell is unbounded (a 20k x 500k cell = 80 GB
-        # — observed OOM). Blocks bound peak memory at LB*RB doubles
-        # while each block still runs as one BLAS call; the per-row
-        # Python lexsort alternative measured 6x the matmul itself.
-        LB, RB = 2048, 16384
+        # BLOCKED matmul + running top-k. Block geometry is CACHE-SIZED
+        # on purpose: the selection passes over the cos block are pure
+        # memory streaming, and with 32 concurrent Python workers a
+        # 2048x16384 block (134 MB) runs each pass through DRAM — the
+        # measured in-worker cost was 10x the single-thread microbench
+        # (bandwidth saturation, not CPU). At 256x4096 (4 MB f32) the
+        # block stays cache-resident across passes; the same kernel
+        # measured 6x faster single-thread and scales with cores.
+        LB, RB = 256, 4096
         out_l, out_r, out_c = [], [], []
         for ls in range(0, L.shape[0], LB):
             Lb = L[ls:ls + LB]
@@ -593,8 +643,39 @@ def knn_join(
                     p = 10.0 ** round_ndigits
                     cos = np.sign(cos) * np.floor(np.abs(cos) * p + 0.5) / p
                 kb = min(k_eff, cos.shape[1])
-                top = np.argsort(-cos, axis=1, kind="stable")[:, :kb]
-                bc = np.take_along_axis(cos, top, axis=1)
+                if best_c is not None and best_c.shape[1] == k_eff:
+                    # RUNNING THRESHOLD: once k candidates are held, a
+                    # later-block entry matters only if STRICTLY above
+                    # the current k-th value — equal-valued later rids
+                    # can never displace kept entries under the
+                    # (value desc, rid asc) order, so the strict filter
+                    # is exact, and the whole block costs one compare +
+                    # one nonzero pass instead of a full selection
+                    ri, ci = np.nonzero(cos > best_c[:, -1][:, None])
+                    if len(ri) * 4 > cos.size:
+                        # dense improvements (ascending-quality corpus
+                        # order): per-row merging would degenerate —
+                        # take the vectorized full-selection path
+                        bc, top = _select_topk_desc(cos, kb)
+                        br = rids[rs:rs + RB][top]
+                        bc = np.concatenate([best_c, bc], axis=1)
+                        br = np.concatenate([best_r, br], axis=1)
+                        mtop = np.argsort(-bc, axis=1, kind="stable")[:, :k_eff]
+                        best_c = np.take_along_axis(bc, mtop, axis=1)
+                        best_r = np.take_along_axis(br, mtop, axis=1)
+                    elif len(ri):
+                        rblk = rids[rs:rs + RB]
+                        rows, first = np.unique(ri, return_index=True)
+                        bounds = np.append(first, len(ri))
+                        for j, r in enumerate(rows):
+                            sel = ci[first[j]:bounds[j + 1]]
+                            bc = np.concatenate([best_c[r], cos[r, sel]])
+                            br = np.concatenate([best_r[r], rblk[sel]])
+                            m = np.argsort(-bc, kind="stable")[:k_eff]
+                            best_c[r] = bc[m]
+                            best_r[r] = br[m]
+                    continue
+                bc, top = _select_topk_desc(cos, kb)
                 br = rids[rs:rs + RB][top]
                 if best_c is not None:
                     bc = np.concatenate([best_c, bc], axis=1)

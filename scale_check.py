@@ -308,14 +308,14 @@ def main() -> None:
         F.col("id").alias("vec_id"),
         F.expr(
             "transform(sequence(1, 64),"
-            " i -> pmod(xxhash64(id, i), 2000) / 1000.0 - 1.0)"
+            " i -> pmod(xxhash64(id, i), 2000) / 1000.0D - 1.0D)"
         ).alias("embedding"),
     )
     qvecs = spark.range(16).select(
         F.col("id").alias("qid"),
         F.expr(
             "transform(sequence(1, 64),"
-            " i -> pmod(xxhash64(id + 777, i), 2000) / 1000.0 - 1.0)"
+            " i -> pmod(xxhash64(id + 777, i), 2000) / 1000.0D - 1.0D)"
         ).alias("embedding"),
     )
     pq_sel = only is None or {"pq_train_sampled", "pq_encode", "pq_topk_adc"} & only
@@ -341,18 +341,18 @@ def main() -> None:
         enc_p.unpersist()
     if only is None or "knn_join_ivf" in only:
         # embedding kNN JOIN: large left x large right through the IVF
-        # cell equi-join (never a cross join). Candidate volume is
-        # |L| * |R| * nprobe / n_cells — the knob a 100 TB deployment
-        # tunes (finer cells / PQ-compressed scoring); at 30k x 3M with
-        # 256 cells the timed join scores ~1.4G interpreted dots, which
-        # IS the work (not plan waste)
+        # cell equi-join (never a cross join). Balanced candidate
+        # volume would be |L| * |R| * nprobe / n_cells (~1.4G dots at
+        # 30k x 3M, 4/256); KMeans cells over this corpus skew to a
+        # MEASURED 9.8e9 dots (7x) — the row prices that reality
+        # through the cache-blocked BLAS + running-threshold kernel
         from ezdata_spark.operators.similarity import ivf_index, knn_join
 
         knn_left = spark.range(vec_n // 100).select(
             F.col("id").alias("doc_id"),
             F.expr(
                 "transform(sequence(1, 64),"
-                " i -> pmod(xxhash64(id + 555, i), 2000) / 1000.0 - 1.0)"
+                " i -> pmod(xxhash64(id + 555, i), 2000) / 1000.0D - 1.0D)"
             ).alias("embedding"),
         )
         idx_t0 = time.perf_counter()
@@ -365,8 +365,12 @@ def main() -> None:
         # popular cell serializes the join on a single task (measured
         # 341 s; sharded below). Per-shard top-k merges exactly in the
         # global window.
+        # score_dtype f32: the approximate-path production default —
+        # ~1e-7 cosine error vs nprobe's own approximation; the f64
+        # path is reserved for the rounded-oracle contract (q134)
         run("knn_join_ivf",
-            knn_join(knn_left, ivf_p, cents, k=10, nprobe=4, shard_corpus=8),
+            knn_join(knn_left, ivf_p, cents, k=10, nprobe=4, shard_corpus=8,
+                     score_dtype="float32"),
             rows_in=vec_n // 100)
         ivf_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)

@@ -298,6 +298,35 @@ def test_knn_join_recall_vs_exact(spark, sf_dir):
                knn_join(left, indexed, cents, k=5, nprobe=n_cells,
                         shard_corpus=4).collect()}
     assert sharded == exact
+    # float32 scoring is an execution-precision knob for the
+    # approximate path: identical neighbour sets here (ties are far
+    # wider than the ~1e-7 f32 cosine error on this fixture)
+    f32 = {(r.doc_id, r.vec_id) for r in
+           knn_join(left, indexed, cents, k=5, nprobe=n_cells,
+                    score_dtype="float32").collect()}
+    assert f32 == exact
+
+
+def test_select_topk_desc_matches_stable_argsort():
+    """The argpartition-based selection must match the full stable
+    argsort contract — (value desc, column asc) — exactly, including
+    heavy boundary ties (the case plain argpartition gets wrong)."""
+    import numpy as np
+
+    from ezdata_spark.operators.similarity import _select_topk_desc
+
+    rng = np.random.RandomState(3)
+    for trial in range(25):
+        ncol = int(rng.randint(1, 40))
+        kb = int(rng.randint(1, 12))
+        m = rng.randint(0, 4, size=(8, ncol)) / 2.0  # many exact ties
+        if trial % 2:
+            m = rng.randn(8, ncol)  # continuous: no ties
+        ref_top = np.argsort(-m, axis=1, kind="stable")[:, : min(kb, ncol)]
+        ref_val = np.take_along_axis(m, ref_top, axis=1)
+        vals, cols = _select_topk_desc(m, min(kb, ncol))
+        assert np.array_equal(vals, ref_val), (trial, kb, ncol)
+        assert np.array_equal(cols, ref_top), (trial, kb, ncol)
 
 
 def test_cosine_topk_self_is_top1(spark, sf_dir):
