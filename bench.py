@@ -75,9 +75,18 @@ HEADLINE = [
     "q130_cohort_retention", # first-month cohort retention matrix
     "q131_pareto_contribution", # distributed prefix-sum 80/20 analysis
     "q132_trigram_similarity",  # AllPairs+PPJoin exact similarity join
-    "q134_knn_join",         # IVF cell equi-join + cogrouped BLAS kNN
-    "q135_heavy_hitters",    # Misra-Gries candidates -> exact top-k
+    "q50a_knn_join",         # IVF cell equi-join + cogrouped BLAS kNN
+    "q50b_knn_join_pq",      # PQ-compressed kNN join (ADC + exact rescore)
+    "q59a_heavy_hitters",    # Misra-Gries candidates -> exact top-k
 ]
+
+# Fixed reference for cross-run normalization: q01 is untouched since
+# round 1 and dominated by scan+filter+codegen (no Python boundary), so
+# its same-run median tracks ambient machine speed. BASELINE.md and
+# round-over-round comparisons should read `queries_normalized`
+# (sec / ref_sec) when the ±20-30 % ambient drift documented in
+# BASELINE.md would otherwise swamp per-query deltas.
+REF_QUERY = "q01_selectwhere"
 
 
 def _tree_rss_mb() -> int:
@@ -183,6 +192,7 @@ def main() -> None:
         sf = float(sf_raw)
     except ValueError:
         sf = None  # non-standard dir name: still emit the JSON line
+    ref_sec = timings.get(REF_QUERY)
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -192,6 +202,18 @@ def main() -> None:
         "reps": reps,
         # flat series = no cache/tempdir/handle accumulation across reps
         "rss_mb_per_rep": rss_series,
+        # measurement-hygiene fields: ratios to the fixed reference
+        # query self-normalize ambient machine drift out of
+        # round-over-round comparisons; the load averages say whether
+        # the host was busy while this run timed queries
+        "ref_query": REF_QUERY,
+        "ref_sec": ref_sec,
+        "queries_normalized": (
+            {n: round(s / ref_sec, 2) for n, s in timings.items()}
+            if ref_sec
+            else None
+        ),
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors

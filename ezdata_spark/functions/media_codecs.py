@@ -1220,6 +1220,11 @@ def mpeg_audio_meta(data: bytes, max_frames: int | None = None) -> dict:
                     "frames": int.from_bytes(data[v + 14:v + 18], "big")}
 
     frames, kbps_sum, kbps_set = 0, 0, set()
+    if xing is not None and first["frame_bytes"]:
+        # the Xing/Info/VBRI tag frame carries no audio payload —
+        # standard decoders exclude it from frame/duration/bitrate
+        # accounting, so the walk starts at the second frame
+        pos += first["frame_bytes"]
     while pos + 4 <= n:
         h = _parse_mpeg_header(int.from_bytes(data[pos:pos + 4], "big"))
         if not h or h["frame_bytes"] is None:
@@ -1234,7 +1239,13 @@ def mpeg_audio_meta(data: bytes, max_frames: int | None = None) -> dict:
         pos += h["frame_bytes"]
         if max_frames is not None and frames >= max_frames:
             break
-    dur = frames * first["samples"] / first["sample_rate"]
+    # prefer the tag's declared audio-frame count for duration when
+    # present and the walk was not deliberately capped — it is what
+    # standard decoders report, and it survives truncated payloads
+    n_dur = frames
+    if xing is not None and xing.get("frames") and max_frames is None:
+        n_dur = xing["frames"]
+    dur = n_dur * first["samples"] / first["sample_rate"]
     return {
         "format": f"mpeg{first['version']}-layer{first['layer']}",
         "sample_rate": first["sample_rate"], "channels": first["channels"],

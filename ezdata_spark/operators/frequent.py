@@ -46,6 +46,7 @@ def heavy_hitters(
     k: int = 10,
     summary_size: int | None = None,
     count_col: str = "n",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact top-``k`` most frequent values of ``df[col]`` with their
     exact counts, ordered by (count desc, value asc). NULLs (and NaNs
@@ -58,10 +59,19 @@ def heavy_hitters(
     fallback. Larger m = more candidates shuffled (still bounded by
     partitions x m), fewer fallbacks.
 
-    Returns a LOCAL (already materialized) k-row DataFrame: the
-    guarantee check must run the candidate aggregate anyway, and
-    re-running the two-pass plan on every downstream action would
-    re-scan the corpus for a k-row result.
+    ``materialize`` (default True) makes the EAGER action explicit at
+    call sites: the exactness guarantee check must run the candidate
+    aggregate anyway, so the default returns a LOCAL (already
+    materialized) k-row DataFrame — re-running the two-pass plan on
+    every downstream action would re-scan the corpus for a k-row
+    result. ``materialize=False`` returns the LAZY candidates-only
+    aggregate plan instead (self-contained: the collected candidate
+    values ride a broadcast-joined literal frame), with the error
+    bound attached as ``.heavy_hitters_bound`` metadata — the summary
+    scan still runs eagerly (the candidates define the plan), but the
+    corpus-sized exact pass defers to the caller's action, and NO
+    guarantee check or exact fallback runs: the caller owns verifying
+    ``kth_count > heavy_hitters_bound`` if exactness matters.
     """
     import numpy as np
     import pandas as pd
@@ -112,6 +122,24 @@ def heavy_hitters(
         # D: max possible global count of any value outside the
         # candidate set (sum of per-partition decrement totals)
         D = summ.where("is_bound").agg(F.sum("mg")).collect()[0][0] or 0
+        if not materialize:
+            # self-contained lazy plan: candidates become a literal
+            # frame so the plan does not reference the (about to be
+            # unpersisted) summary — a re-run would re-scan the corpus
+            # for the summary otherwise
+            cand_rows = (
+                summ.where(~F.col("is_bound")).select("value").distinct().collect()
+            )
+            cand_lit = spark.createDataFrame(cand_rows, f"value {dtype}")
+            lazy = (
+                src.join(F.broadcast(cand_lit), "value", "left_semi")
+                .groupBy("value")
+                .agg(F.count(F.lit(1)).alias(count_col))
+                .orderBy(F.col(count_col).desc(), F.col("value").asc())
+                .limit(k)
+            )
+            lazy.heavy_hitters_bound = D
+            return lazy
         cand = summ.where(~F.col("is_bound")).select("value").distinct()
         counts = (
             src.join(F.broadcast(cand), "value", "left_semi")

@@ -261,23 +261,36 @@ def audio_metadata(media: DataFrame) -> DataFrame:
         def one(data: bytes) -> dict:
             if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
                 pos, rate, ch, bits, nbytes = 12, None, None, None, None
+                byte_rate = None
                 while pos + 8 <= len(data):
                     tag = data[pos:pos + 4]
                     ln = unpack_from("<I", data, pos + 4)[0]
                     if tag == b"fmt ":
-                        _, ch, rate = unpack_from("<HHI", data, pos + 8)
+                        _, ch, rate, byte_rate = unpack_from("<HHII", data, pos + 8)
                         bits = unpack_from("<H", data, pos + 22)[0]
                     elif tag == b"data":
                         nbytes = ln
                     pos += 8 + ln + (ln & 1)
                 if rate is None:
                     raise ValueError("no fmt chunk")
+                # duration from the fmt chunk's byte_rate field: for
+                # compressed WAV payloads (IMA-ADPCM bits=4, G.711) the
+                # bits-per-sample arithmetic is wrong (~2x for ADPCM,
+                # whose real rate is ~rate*ch/2 plus block headers) —
+                # byte_rate is the container's own authoritative answer.
+                # bits-derived math is kept only as a byte_rate==0
+                # fallback for malformed writers.
                 dur = None
-                if nbytes is not None and bits:
-                    dur = nbytes / (rate * ch * max(bits, 8) // 8)
+                if nbytes is not None:
+                    if byte_rate:
+                        dur = nbytes / byte_rate
+                    elif bits:
+                        dur = nbytes / (rate * ch * max(bits, 8) // 8)
+                kbps = (byte_rate * 8 / 1000.0 if byte_rate
+                        else (rate * ch * bits / 1000.0 if bits else None))
                 return {"container": "wav", "sample_rate": rate, "channels": ch,
                         "duration_s": dur, "n_frames": None,
-                        "bitrate_kbps": rate * ch * bits / 1000.0 if bits else None,
+                        "bitrate_kbps": kbps,
                         "vbr": False}
             if data[:4] == b"fLaC":
                 # STREAMINFO is always the first metadata block: 4-byte

@@ -523,6 +523,67 @@ def _select_topk_desc(cos: np.ndarray, kb: int) -> tuple[np.ndarray, np.ndarray]
     return np.take_along_axis(vals, o, axis=1), np.take_along_axis(cols, o, axis=1)
 
 
+def ivf_pq_encode(
+    indexed_corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "v",
+    assign: str = "auto",
+) -> DataFrame:
+    """Add PQ ``codes`` to an :func:`ivf_index`-ed corpus — the combined
+    IVF-PQ layout (Jegou et al., TPAMI 2011 §IV): coarse cell for
+    pruning + m-byte code for in-cell approximate scoring. One scan;
+    at 100 TB this frame is what you persist (partitioned by ``cell``,
+    with ``codes`` as the hot column — the raw ``v`` column is read
+    only by the exact-rescore join). ``codebooks`` come from
+    :func:`pq_train` on the same corpus; the codes quantize the
+    NORMALIZED vector (``v``), matching the normalized-query LUTs
+    built at probe time.
+
+    ``assign`` mirrors :func:`ivf_index`: ``'jvm'`` inlines the
+    codebooks as SQL literals (dependency-free, fine for small m*k);
+    ``'numpy'`` runs the assignment as one Arrow-batched matmul+argmin
+    per subspace — encoding costs m*k*dsub = k*dim multiplies PER ROW
+    (16k at m=16/k=256/dim=64), which the interpreted HOF evaluator
+    prices at ~80 rows/s/core, and the inlined literal matrices alone
+    are ~300 KB of SQL text to parse. ``'auto'`` picks numpy when
+    k*dim >= 4096. Both paths break argmin ties to the first minimal
+    index; near-tie codes may differ between them by last-ulp rounding
+    (immaterial for an approximate code — the exact rescore ranks)."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    if assign == "jvm" or (assign == "auto" and m * n_codes * dsub < 4096):
+        return indexed_corpus.withColumn(
+            "codes", F.expr(_pq_codes_sql(vec_col, codebooks))
+        )
+    import pandas as pd
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    c2 = (CB * CB).sum(axis=2)  # (m, n_codes)
+
+    def _enc(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+            n = V.shape[0]
+            Vs = V.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                # argmin ||x - c||^2 == argmin(-2 x.c + ||c||^2): the
+                # ||x||^2 term is constant per row; first-minimal-index
+                # tie rule matches the JVM array_position path
+                codes[:, j] = (-2.0 * (Vs[:, j] @ CB[j].T) + c2[j]).argmin(axis=1)
+            out = b.copy()
+            out["codes"] = list(codes)
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in indexed_corpus.schema.fields
+    )
+    return indexed_corpus.mapInPandas(_enc, schema + ", codes array<int>")
+
+
 def knn_join(
     left: DataFrame,
     indexed_corpus: DataFrame,
@@ -535,6 +596,8 @@ def knn_join(
     round_ndigits: int | None = None,
     shard_corpus: int = 1,
     score_dtype: str = "float64",
+    pq_codebooks: list[list[list[float]]] | None = None,
+    pq_oversample: int = 4,
 ) -> DataFrame:
     """Embedding k-NN JOIN: for EVERY left row, its top-``k`` cosine
     neighbours in an :func:`ivf_index`-ed corpus. The table-scale
@@ -582,6 +645,21 @@ def knn_join(
     near-exact ties, noise far below IVF's own nprobe approximation.
     Ignored (kept float64) when ``round_ndigits`` is set: the rounded
     path is the bit-exact oracle contract.
+
+    ``pq_codebooks``: when set (an :func:`ivf_pq_encode`-ed corpus with
+    a ``codes`` column is required), the cogroup ships the m-byte PQ
+    code per corpus vector INSTEAD of the raw float array — the 100 TB
+    memory story for the join: at m=8 subspaces the exchange carries
+    8-16 bytes/vector instead of 8*dim. In-cell scoring becomes an ADC
+    LUT gather (each left row's m x n_codes dot table built once per
+    cogroup batch), each cell emits its per-left ADC top-(k *
+    ``pq_oversample``), a global window keeps the best k*oversample
+    candidates per left row, and those few survivors are EXACTLY
+    rescored with the raw vectors joined back (narrow id-pair join;
+    the corpus float column is touched only for survivor rows). With
+    full probing and sufficient oversample the result equals the raw
+    path (the true top-k survive the ADC cut) — the oracle-checked
+    form; recall under small oversample is pinned by pytest.
     Output: (left_id, right_id, cosine, rank<=k).
     """
     import pandas as pd
@@ -590,6 +668,11 @@ def knn_join(
     probes = lf.select(
         left_id, "qv", F.explode(_nearest_cells("qv", centroids, nprobe)).alias("cell")
     )
+    if pq_codebooks is not None:
+        return _knn_join_pq(
+            lf, probes, indexed_corpus, pq_codebooks, k, left_id, right_id,
+            round_ndigits, shard_corpus, pq_oversample,
+        )
     right = indexed_corpus.select("cell", right_id, "v")
     keys = ["cell"]
     if shard_corpus > 1:
@@ -705,6 +788,130 @@ def knn_join(
     w = Window.partitionBy(left_id).orderBy(F.col("cosine").desc(), F.col(right_id).asc())
     return (
         part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(left_id, right_id, "cosine", "rank")
+    )
+
+
+def _knn_join_pq(
+    lf: DataFrame,
+    probes: DataFrame,
+    indexed_corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    left_id: str,
+    right_id: str,
+    round_ndigits: int | None,
+    shard_corpus: int,
+    oversample: int,
+) -> DataFrame:
+    """PQ-compressed scoring path of :func:`knn_join` (see its
+    ``pq_codebooks`` doc): ADC LUT-gather inside the cogroup over
+    (cell, id, codes) only, global ADC candidate cut, exact JVM rescore
+    of the survivors against the raw vectors."""
+    import pandas as pd
+
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
+    m, dsub = CB.shape[0], CB.shape[2]
+    K = max(k * oversample, k)
+    right = indexed_corpus.select("cell", right_id, "codes")
+    keys = ["cell"]
+    if shard_corpus > 1:
+        right = right.withColumn(
+            "shard", F.pmod(F.xxhash64(right_id), F.lit(shard_corpus)).cast("int")
+        )
+        probes = probes.withColumn(
+            "shard", F.explode(F.sequence(F.lit(0), F.lit(shard_corpus - 1)))
+        )
+        keys = ["cell", "shard"]
+    lid_t = dict(probes.dtypes)[left_id]
+    rid_t = dict(right.dtypes)[right_id]
+    out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, adc double"
+
+    def _adc_score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({left_id: [], right_id: [], "adc": []})
+        # rid-ascending corpus order: _select_topk_desc breaks exact
+        # ADC ties by column index == ascending right_id, so the
+        # candidate set is deterministic across shuffle arrival orders
+        rpdf = rpdf.sort_values(right_id)
+        L = np.stack(lpdf["qv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(L, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        L = L / nrm
+        # per-left LUT of subspace dots: LUT[q, j, c] = <q_j, codebook[j][c]>
+        LUT = np.einsum("qjd,jcd->qjc", L.reshape(len(lpdf), m, dsub), CB)
+        codes = np.stack(rpdf["codes"].to_numpy()).astype(np.intp)  # (nr, m)
+        rids = rpdf[right_id].to_numpy()
+        nr = codes.shape[0]
+        k_eff = min(K, nr)
+        # blocked gather-sum + running top-K merge (same cache-sized
+        # geometry rationale as the raw kernel; the score block is
+        # (LB, RB) doubles built by m row-gathers instead of a matmul)
+        LB, RB = 256, 8192
+        out_l, out_r, out_s = [], [], []
+        lids = lpdf[left_id].to_numpy()
+        for ls in range(0, LUT.shape[0], LB):
+            lut_b = LUT[ls:ls + LB]
+            best_s = best_r = None
+            for rs in range(0, nr, RB):
+                cb = codes[rs:rs + RB]
+                S = lut_b[:, 0, cb[:, 0]]
+                for j in range(1, m):
+                    S = S + lut_b[:, j, cb[:, j]]
+                kb = min(k_eff, S.shape[1])
+                bs, top = _select_topk_desc(S, kb)
+                br = rids[rs:rs + RB][top]
+                if best_s is not None:
+                    bs = np.concatenate([best_s, bs], axis=1)
+                    br = np.concatenate([best_r, br], axis=1)
+                # stable sort + rid-ascending blocks keep the tiebreak
+                mtop = np.argsort(-bs, axis=1, kind="stable")[:, :k_eff]
+                best_s = np.take_along_axis(bs, mtop, axis=1)
+                best_r = np.take_along_axis(br, mtop, axis=1)
+            nk = best_s.shape[1]
+            out_l.append(np.repeat(lids[ls:ls + LB], nk))
+            out_r.append(best_r.ravel())
+            out_s.append(best_s.ravel())
+        return pd.DataFrame(
+            {
+                left_id: np.concatenate(out_l),
+                right_id: np.concatenate(out_r),
+                "adc": np.concatenate(out_s),
+            }
+        )
+
+    part = (
+        probes.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(_adc_score, out_schema)
+    )
+    # global candidate cut: each corpus row lives in ONE cell so pairs
+    # are unique; the window just merges per-cell/per-shard top-Ks
+    wa = Window.partitionBy(left_id).orderBy(
+        F.col("adc").desc(), F.col(right_id).asc()
+    )
+    cand = (
+        part.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= K)
+        .select(left_id, right_id)
+    )
+    # exact rescore: survivors only — the raw float column is read for
+    # K rows per left, never shipped through the scoring exchange
+    resc = (
+        cand.join(indexed_corpus.select(right_id, "v"), right_id)
+        .join(lf, left_id)
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / _norm(F.col("qv")))
+    )
+    if round_ndigits is not None:
+        # SQL ROUND (half-away) — same cross-engine ranking contract as
+        # the raw kernel's explicit rounding
+        resc = resc.withColumn("cosine", F.round(F.col("cosine"), round_ndigits))
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("cosine").desc(), F.col(right_id).asc()
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(left_id, right_id, "cosine", "rank")
     )

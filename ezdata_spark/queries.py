@@ -3849,7 +3849,7 @@ def q133(spark, sf_dir):
 
 
 @query(
-    "q134_knn_join",
+    "q50a_knn_join",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     scored AS (
@@ -3889,7 +3889,52 @@ def q134(spark, sf_dir):
 
 
 @query(
-    "q135_heavy_hitters",
+    "q50b_knn_join_pq",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS doc_id, b.vec_id AS vec_id,
+             ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a CROSS JOIN e b),
+    ranked AS (
+      SELECT doc_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored)
+    SELECT doc_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q50b(spark, sf_dir):
+    """PQ-COMPRESSED embedding k-NN join (similarity.py::knn_join with
+    ``pq_codebooks``): the scoring cogroup ships the 16-byte PQ code
+    per corpus vector instead of the 512-byte raw float array — the
+    100 TB memory shape for the join. In-cell scoring is an ADC LUT
+    gather, the per-left ADC top-(k*oversample) survivors are exactly
+    rescored against the raw vectors (narrow id join), so with full
+    probing and adequate oversample the result is IDENTICAL to the raw
+    q50a path — this query hash-matches the same brute-force oracle.
+    Recall under small oversample is pinned by
+    tests/test_round8.py::test_knn_join_pq_recall."""
+    from .operators.similarity import ivf_index, ivf_pq_encode, knn_join, pq_train
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    n_cells = 8
+    indexed, cents = ivf_index(emb, n_cells=n_cells)
+    cb = pq_train(emb, m=16, k=256)
+    enc = ivf_pq_encode(indexed, cb)
+    return knn_join(
+        left, enc, cents, k=5, nprobe=n_cells, round_ndigits=6,
+        pq_codebooks=cb, pq_oversample=10,
+    )
+
+
+@query(
+    "q59a_heavy_hitters",
     oracle=r"""
     WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
                                            x -> x <> '')) AS value

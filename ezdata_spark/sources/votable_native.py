@@ -136,19 +136,37 @@ def _decode_binary_stream(buf: bytes, fields: list[dict], binary2: bool):
 
 def _encode_bin_cell(v, dt: str, arraysize, out: bytearray) -> None:
     if dt in ("char", "unicodeChar"):
-        enc = "utf-16-be" if dt == "unicodeChar" else "ascii"
-        w = 2 if dt == "unicodeChar" else 1
         s = "" if v is None else str(v)
+        if dt == "unicodeChar":
+            # counts/widths are UTF-16 CODE UNITS (VOTable §5.2), not
+            # Python code points: a non-BMP char encodes as TWO units,
+            # so all length bookkeeping must run on the encoded bytes —
+            # a code-point count desyncs the reader for every later
+            # cell in the stream. Byte-level truncation may split a
+            # surrogate pair; the reader decodes errors='replace', so
+            # the stream stays aligned (the clipped char reads U+FFFD).
+            enc = s.encode("utf-16-be", errors="replace")
+            if arraysize is None:
+                out += (enc + b"\x00\x00")[:2]
+            elif arraysize.endswith("*"):
+                out += struct.pack(">i", len(enc) // 2)
+                out += enc
+            else:
+                n2 = int(arraysize) * 2
+                out += enc[:n2].ljust(n2, b"\x00")
+            return
+        # ascii: errors='replace' substitutes 1 byte per char, so the
+        # code-point count equals the byte count by construction
         if arraysize is None:
             s = (s + "\x00")[:1]
-            out += s.encode(enc, errors="replace")
+            out += s.encode("ascii", errors="replace")
         elif arraysize.endswith("*"):
             out += struct.pack(">i", len(s))
-            out += s.encode(enc, errors="replace")
+            out += s.encode("ascii", errors="replace")
         else:
             n = int(arraysize)
             s = s[:n].ljust(n, "\x00")
-            out += s.encode(enc, errors="replace")
+            out += s.encode("ascii", errors="replace")
         return
     if dt == "boolean":
         def one(x):

@@ -599,76 +599,78 @@ def main() -> None:
     # 48g heap (which costs the scan tier 3-4x in GC — header note).
     prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+    try:
 
-    # (a) word-unit similarity self-join at corpus scale. Docs = 10
-    # template words shared by ALL docs + 19 hash-words shared within a
-    # 3-doc group + 1 doc-unique hash-word. The rarest-first prefix
-    # (|G| - ceil(0.8|G|) + 1 = 7 grams/doc) lands on the group/unique
-    # hash-words, so candidates are exactly the near-dup cliques; the
-    # 3M-df template words never reach the join. Output ~ 3 true pairs
-    # per group (J = 29/31).
-    wtri_n = max(n // 10, 1_000_000)
-    wdocs = spark.range(wtri_n).select(
-        F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit("common header words shared by all documents in corpus "),
-            F.expr(
-                "array_join(transform(sequence(1, 19),"
-                " i -> hex(xxhash64(id - pmod(id, 3), i))), ' ')"
-            ),
-            F.lit(" "),
-            F.expr("hex(xxhash64(id, 99))"),
-        ).alias("text"),
-    )
-    run(
-        "sim_join_word",
-        trigram_similarity_pairs(wdocs, threshold=0.8, unit="word"),
-        rows_in=wtri_n,
-    )
-
-    # (b) char-trigram similarity with the gram-frequency cap on an
-    # ADVERSARIAL corpus: 10% of docs are pure boilerplate (every gram
-    # df ~ corpus size). Uncapped, those docs' identical prefixes alone
-    # join C(30k, 2) ~ 4.5e8 candidate pairs — the known AllPairs
-    # failure mode on template-heavy corpora. max_gram_df drops
-    # corpus-frequent grams from candidate generation, bounding the
-    # join to the rare-suffix docs (recall contract: all-boilerplate
-    # pairs are exact duplicates anyway — exact_dedup territory).
-    ctri_n = max(n // 100, 300_000)
-    alpha62 = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-    suf = (
-        "array_join(transform(sequence(1, 27), i -> substr('"
-        + alpha62
-        + "', cast(pmod(xxhash64(id - pmod(id, 3), i), 62) + 1 as int), 1)), '')"
-    )
-    tail = (
-        "array_join(transform(sequence(1, 3), i -> substr('"
-        + alpha62
-        + "', cast(pmod(xxhash64(id, 100 + i), 62) + 1 as int), 1)), '')"
-    )
-    cdocs = spark.range(ctri_n).select(
-        F.col("id").alias("doc_id"),
-        F.when(
-            F.col("id") % 10 == 0,
-            F.lit("standard boilerplate disclaimer appended to every document"),
-        )
-        .otherwise(
+        # (a) word-unit similarity self-join at corpus scale. Docs = 10
+        # template words shared by ALL docs + 19 hash-words shared within a
+        # 3-doc group + 1 doc-unique hash-word. The rarest-first prefix
+        # (|G| - ceil(0.8|G|) + 1 = 7 grams/doc) lands on the group/unique
+        # hash-words, so candidates are exactly the near-dup cliques; the
+        # 3M-df template words never reach the join. Output ~ 3 true pairs
+        # per group (J = 29/31).
+        wtri_n = max(n // 10, 1_000_000)
+        wdocs = spark.range(wtri_n).select(
+            F.col("id").alias("doc_id"),
             F.concat(
-                F.lit("standard boilerplate disclaimer appended to "),
-                F.expr(suf),
-                F.expr(tail),
-            )
+                F.lit("common header words shared by all documents in corpus "),
+                F.expr(
+                    "array_join(transform(sequence(1, 19),"
+                    " i -> hex(xxhash64(id - pmod(id, 3), i))), ' ')"
+                ),
+                F.lit(" "),
+                F.expr("hex(xxhash64(id, 99))"),
+            ).alias("text"),
         )
-        .alias("text"),
-    )
-    run(
-        "sim_join_char3_capped",
-        trigram_similarity_pairs(
-            cdocs, threshold=0.8, max_gram_df=20_000
-        ),
-        rows_in=ctri_n,
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        run(
+            "sim_join_word",
+            trigram_similarity_pairs(wdocs, threshold=0.8, unit="word"),
+            rows_in=wtri_n,
+        )
+
+        # (b) char-trigram similarity with the gram-frequency cap on an
+        # ADVERSARIAL corpus: 10% of docs are pure boilerplate (every gram
+        # df ~ corpus size). Uncapped, those docs' identical prefixes alone
+        # join C(30k, 2) ~ 4.5e8 candidate pairs — the known AllPairs
+        # failure mode on template-heavy corpora. max_gram_df drops
+        # corpus-frequent grams from candidate generation, bounding the
+        # join to the rare-suffix docs (recall contract: all-boilerplate
+        # pairs are exact duplicates anyway — exact_dedup territory).
+        ctri_n = max(n // 100, 300_000)
+        alpha62 = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        suf = (
+            "array_join(transform(sequence(1, 27), i -> substr('"
+            + alpha62
+            + "', cast(pmod(xxhash64(id - pmod(id, 3), i), 62) + 1 as int), 1)), '')"
+        )
+        tail = (
+            "array_join(transform(sequence(1, 3), i -> substr('"
+            + alpha62
+            + "', cast(pmod(xxhash64(id, 100 + i), 62) + 1 as int), 1)), '')"
+        )
+        cdocs = spark.range(ctri_n).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 10 == 0,
+                F.lit("standard boilerplate disclaimer appended to every document"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("standard boilerplate disclaimer appended to "),
+                    F.expr(suf),
+                    F.expr(tail),
+                )
+            )
+            .alias("text"),
+        )
+        run(
+            "sim_join_char3_capped",
+            trigram_similarity_pairs(
+                cdocs, threshold=0.8, max_gram_df=20_000
+            ),
+            rows_in=ctri_n,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
 
     from ezdata_spark.operators.sampling import weighted_sample
     from ezdata_spark.operators.scd import scd2_apply

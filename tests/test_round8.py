@@ -1,0 +1,292 @@
+"""Round-8 regression tests: the four round-7 ADVICE findings plus the
+heavy_hitters composability flag.
+
+1. audio_metadata WAV duration must come from the fmt chunk's byte_rate
+   (exact for compressed payloads: IMA-ADPCM bits=4 would otherwise
+   report ~half the true duration), with the bits-derived arithmetic
+   only as a byte_rate==0 fallback.
+2. VOTable BINARY/BINARY2 unicodeChar cells must count UTF-16 CODE
+   UNITS, not Python code points — a non-BMP char (two units) would
+   desync the reader for every subsequent cell in the stream.
+3. mpeg_audio_meta must not count a Xing/Info/VBRI tag frame as audio,
+   and must prefer the tag's declared frame count for duration.
+4. heavy_hitters(materialize=False) returns a LAZY candidates-only plan
+   with the error bound attached as metadata; results match the
+   materialized path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- ADVICE 1
+def test_wav_adpcm_duration_uses_byte_rate(spark):
+    from ezdata_spark.functions.media_codecs import encode_wav_adpcm
+    from ezdata_spark.operators.multimodal import audio_metadata
+
+    sr = 8000
+    wave = np.sin(np.linspace(0, 440 * 2 * np.pi, sr)).astype("float64")  # 1 s
+    payload = encode_wav_adpcm(wave, sample_rate=sr)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "media_id long, data binary"
+    )
+    row = audio_metadata(df).collect()[0]
+    assert row.meta_status == "parsed" and row.container == "wav"
+    # byte_rate path: exact up to the final partial-block padding (spb
+    # rounding), ~1%; the old bits-derived path reported ~0.5 s
+    assert row.duration_s == pytest.approx(1.0, rel=0.05)
+    # bitrate comes from byte_rate too (ADPCM is ~4:1 vs 16-bit PCM)
+    assert row.bitrate_kbps < sr * 16 / 1000.0 / 2
+
+
+def test_wav_pcm_duration_unchanged(spark):
+    from ezdata_spark.functions.media_codecs import encode_wav
+    from ezdata_spark.operators.multimodal import audio_metadata
+
+    sr = 8000
+    wave = (np.sin(np.linspace(0, 440 * 2 * np.pi, 2 * sr)) * 2**14).astype("int16")
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(wave, sample_rate=sr)))],
+        "media_id long, data binary",
+    )
+    row = audio_metadata(df).collect()[0]
+    assert row.duration_s == pytest.approx(2.0)
+    assert row.bitrate_kbps == pytest.approx(sr * 16 / 1000.0)
+
+
+def test_wav_zero_byte_rate_falls_back_to_bits(spark):
+    # hand-built PCM WAV whose fmt chunk declares byte_rate=0 (malformed
+    # writer): duration must fall back to the bits-per-sample arithmetic
+    from ezdata_spark.operators.multimodal import audio_metadata
+
+    sr, n = 8000, 8000
+    data_bytes = b"\x00\x00" * n  # 1 s of 16-bit mono silence
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, 0, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data_bytes)) + data_bytes
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(0, bytearray(payload))], "media_id long, data binary")
+    row = audio_metadata(df).collect()[0]
+    assert row.meta_status == "parsed"
+    assert row.duration_s == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------- ADVICE 2
+@pytest.mark.parametrize("serialization", ["binary", "binary2"])
+def test_votable_unicode_non_bmp_stream_sync(spark, tmp_path, serialization):
+    """Non-BMP chars (2 UTF-16 code units) in a variable-length
+    unicodeChar cell must not desync later cells: every subsequent
+    column and row round-trips intact."""
+    from ezdata_spark.sources.votable_native import (
+        read_votable_native,
+        write_votable,
+    )
+
+    rows = [
+        (1, "emoji \U0001f600 pair \U0001f680", 1.5, "after-a"),
+        (2, "plain", 2.5, "after-b"),
+        (3, "mixed é\U0001f9ea end", 3.5, "after-c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, x double, tail string")
+    path = str(tmp_path / f"u16_{serialization}.xml")
+    write_votable(df, path, serialization=serialization)
+    back = read_votable_native(spark, path).df.orderBy("id").collect()
+    for got, want in zip(back, rows):
+        assert got.id == want[0]
+        assert got.name == want[1]  # non-BMP chars survive exactly
+        assert got.x == pytest.approx(want[2])
+        assert got.tail == want[3]  # the cell AFTER the emoji cell
+
+
+def test_votable_unicode_binary_roundtrip_bmp(spark, tmp_path):
+    # BMP-only sanity: the unit-count fix must not change 1-unit chars
+    from ezdata_spark.sources.votable_native import (
+        read_votable_native,
+        write_votable,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "héllo"), (2, "wörld")], "id long, s string"
+    )
+    path = str(tmp_path / "u16_bmp.xml")
+    write_votable(df, path, serialization="binary")
+    back = {r.id: r.s for r in read_votable_native(spark, path).df.collect()}
+    assert back == {1: "héllo", 2: "wörld"}
+
+
+# ---------------------------------------------------------------- ADVICE 3
+def _mpeg1_l3_frame(kbps=128, rate_idx=0, padding=0, mode=0, payload=None):
+    bitrates = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    br_idx = bitrates.index(kbps) + 1
+    rate = (44100, 48000, 32000)[rate_idx]
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+    h |= (br_idx << 12) | (rate_idx << 10) | (padding << 9) | (mode << 6)
+    n = 144 * kbps * 1000 // rate + padding
+    body = payload if payload is not None else b"\x00" * (n - 4)
+    return struct.pack(">I", h) + body[: n - 4]
+
+
+def test_xing_tag_frame_excluded_from_audio_accounting():
+    from ezdata_spark.functions.media_codecs import mpeg_audio_meta
+
+    # Xing tag (frames flag, declaring the true count 3) + 3 audio frames
+    payload = b"\x00" * 32 + b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 3)
+    data = _mpeg1_l3_frame(payload=payload + b"\x00" * 400) + b"".join(
+        _mpeg1_l3_frame() for _ in range(3)
+    )
+    m = mpeg_audio_meta(data)
+    assert m["frames"] == 3  # tag frame NOT counted
+    assert m["duration_s"] == pytest.approx(3 * 1152 / 44100)
+    assert m["mean_kbps"] == 128.0
+
+
+def test_xing_declared_frames_preferred_for_duration():
+    from ezdata_spark.functions.media_codecs import mpeg_audio_meta
+
+    # tag declares 100 frames but the payload is truncated to 4: a
+    # standard decoder reports the declared duration
+    payload = b"\x00" * 32 + b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 100)
+    data = _mpeg1_l3_frame(payload=payload + b"\x00" * 400) + b"".join(
+        _mpeg1_l3_frame() for _ in range(4)
+    )
+    m = mpeg_audio_meta(data)
+    assert m["frames"] == 4  # walked audio frames
+    assert m["duration_s"] == pytest.approx(100 * 1152 / 44100)
+
+
+def test_max_frames_cap_ignores_xing_duration():
+    from ezdata_spark.functions.media_codecs import mpeg_audio_meta
+
+    payload = b"\x00" * 32 + b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 100)
+    data = _mpeg1_l3_frame(payload=payload + b"\x00" * 400) + b"".join(
+        _mpeg1_l3_frame() for _ in range(10)
+    )
+    m = mpeg_audio_meta(data, max_frames=2)
+    # deliberately capped walk: duration reflects the walked frames
+    assert m["frames"] == 2
+    assert m["duration_s"] == pytest.approx(2 * 1152 / 44100)
+
+
+def test_plain_cbr_no_xing_unchanged():
+    from ezdata_spark.functions.media_codecs import mpeg_audio_meta
+
+    data = b"".join(_mpeg1_l3_frame() for _ in range(7))
+    m = mpeg_audio_meta(data)
+    assert m["frames"] == 7 and m["xing"] is None
+    assert m["duration_s"] == pytest.approx(7 * 1152 / 44100)
+
+
+# ------------------------------------------------------ IVF-PQ kNN join
+@pytest.fixture(scope="module")
+def pq_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.similarity import ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    indexed, cents = ivf_index(emb, n_cells=8)
+    indexed = indexed.persist()
+    yield emb, left, indexed, cents
+    indexed.unpersist()
+
+
+def test_knn_join_pq_exact_with_oversample(pq_fixture):
+    """Full probe + generous codebook/oversample: the PQ-compressed
+    join must be IDENTICAL (ids, rounded cosines, ranks) to the raw
+    float path — the oracle contract of q50b."""
+    from ezdata_spark.operators.similarity import ivf_pq_encode, knn_join, pq_train
+
+    emb, left, indexed, cents = pq_fixture
+    raw = {(r.doc_id, r.vec_id, r.cosine, r.rank) for r in
+           knn_join(left, indexed, cents, k=5, nprobe=8,
+                    round_ndigits=6).collect()}
+    cb = pq_train(emb, m=16, k=256)
+    enc = ivf_pq_encode(indexed, cb)
+    pq = {(r.doc_id, r.vec_id, r.cosine, r.rank) for r in
+          knn_join(left, enc, cents, k=5, nprobe=8, round_ndigits=6,
+                   pq_codebooks=cb, pq_oversample=10).collect()}
+    assert pq == raw
+
+
+def test_knn_join_pq_recall_small_oversample(pq_fixture):
+    """Tight candidate cut (oversample=4, coarser codebook): the exact
+    rescore keeps pair recall high — the production operating point."""
+    from ezdata_spark.operators.similarity import ivf_pq_encode, knn_join, pq_train
+
+    emb, left, indexed, cents = pq_fixture
+    raw = {(r.doc_id, r.vec_id) for r in
+           knn_join(left, indexed, cents, k=5, nprobe=8).collect()}
+    cb = pq_train(emb, m=16, k=64)
+    enc = ivf_pq_encode(indexed, cb)
+    pq = {(r.doc_id, r.vec_id) for r in
+          knn_join(left, enc, cents, k=5, nprobe=8,
+                   pq_codebooks=cb, pq_oversample=4).collect()}
+    recall = len(raw & pq) / len(raw)
+    assert recall >= 0.85, f"PQ candidate recall too low: {recall}"
+
+
+def test_knn_join_pq_shard_equivalence(pq_fixture):
+    """shard_corpus is a pure execution-shape knob on the PQ path too:
+    per-shard ADC top-Ks merged by the global window + rescore must
+    equal the unsharded join."""
+    from ezdata_spark.operators.similarity import ivf_pq_encode, knn_join, pq_train
+
+    emb, left, indexed, cents = pq_fixture
+    cb = pq_train(emb, m=16, k=256)
+    enc = ivf_pq_encode(indexed, cb)
+    kw = dict(k=5, nprobe=8, round_ndigits=6, pq_codebooks=cb, pq_oversample=10)
+    base = {(r.doc_id, r.vec_id, r.cosine, r.rank) for r in
+            knn_join(left, enc, cents, **kw).collect()}
+    sharded = {(r.doc_id, r.vec_id, r.cosine, r.rank) for r in
+               knn_join(left, enc, cents, shard_corpus=3, **kw).collect()}
+    assert sharded == base
+
+
+# ------------------------------------------------------- heavy_hitters flag
+def test_heavy_hitters_lazy_matches_materialized(spark):
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.frequent import heavy_hitters
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(40)).cast("string")).alias(
+            "tok"
+        )
+    )
+    eager = heavy_hitters(df, "tok", k=8)
+    lazy = heavy_hitters(df, "tok", k=8, materialize=False)
+    assert hasattr(lazy, "heavy_hitters_bound")
+    assert lazy.heavy_hitters_bound >= 0
+    got_e = [(r.value, r.n) for r in eager.collect()]
+    got_l = [(r.value, r.n) for r in lazy.collect()]
+    assert got_e == got_l
+    # lazy plan is composable: a further transformation works without
+    # re-running the summary pass driver-side
+    assert lazy.filter(F.col("n") > 0).count() == 8
+
+
+def test_heavy_hitters_lazy_bound_guarantee(spark):
+    # skewed data with a generous summary: bound 0 -> provably exact
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.frequent import heavy_hitters
+
+    df = spark.range(5_000).select(
+        F.pmod(F.col("id"), F.lit(5)).cast("string").alias("tok")
+    )
+    lazy = heavy_hitters(df, "tok", k=3, summary_size=64, materialize=False)
+    rows = lazy.collect()
+    assert rows[0].n >= rows[-1].n
+    assert rows[-1].n > lazy.heavy_hitters_bound  # caller-side exactness check
