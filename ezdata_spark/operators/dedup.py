@@ -485,7 +485,7 @@ def trigram_similarity_pairs(
     broadcast_sets: bool = False,
     hash_verify: bool = True,
     unit="char3",
-    max_gram_df: int | None = None,
+    max_gram_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact Jaccard similarity self-join on per-document gram sets
     (default: character trigrams, pg_trgm semantics) with PREFIX
@@ -538,8 +538,23 @@ def trigram_similarity_pairs(
     sub-cap gram in their prefix and generate no candidates, so pairs
     among them are missed. Precision is unaffected (verification stays
     exact); recall is complete for every pair in which either side
-    retains one sub-cap prefix gram. Leave None (default) for the
-    exact join."""
+    retains one sub-cap prefix gram.
+
+    ``"auto"`` (the default — scale-safe out of the box) derives the
+    cap from the corpus's own gram-frequency profile with one cheap
+    action on the (persisted) gram frame: cap = max(p99 of the
+    distinct-gram document frequencies, 20), ENABLED only when the
+    most frequent gram exceeds 10x that cap — i.e. a detectable
+    boilerplate spike towers over the df distribution's own tail, the
+    corpus shape whose candidate volume is quadratic in the spike.
+    On flat profiles (max df within 10x of p99 — e.g. char trigrams,
+    whose alphabet^3 universe saturates uniformly) auto resolves to
+    None and the join is EXACT — so auto only trades recall on
+    corpora where the uncapped join is already quadratic-infeasible,
+    and the pairs it can miss are all-boilerplate near-template pairs
+    (exact-dedup territory). Pass None to force the exact join
+    regardless of profile (the oracle-checked mode); pass an int to
+    pin the cap."""
     gs = _gram_set(text_col, unit)
     if hash_verify:
         # hash at the source: every downstream frame (frequency agg,
@@ -553,6 +568,19 @@ def trigram_similarity_pairs(
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
     gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gc"))
+    if max_gram_df == "auto":
+        # profile the df distribution (one action; grams is persisted,
+        # so this warms the cache the real join reads anyway): enable
+        # the cap only when a boilerplate spike towers over the tail.
+        # p99 (not p99.9): far from approxQuantile's 0.001-rank error
+        # band, and boilerplate vocabularies are <<1% of distinct
+        # grams at any scale where the cap matters
+        qs = gdf.stat.approxQuantile("gc", [0.99, 1.0], 0.001)
+        if qs:
+            cap = max(int(qs[0]), 20)
+            max_gram_df = cap if qs[1] > 10 * cap else None
+        else:
+            max_gram_df = None
     w = Window.partitionBy("id").orderBy("gc", "g")
     # Prefix length is EXACTLY ng - ceil(t*ng) + 1 (Bayardo et al. §3).
     # Computed as floor((1-t)*ng)+1 in floating point this comes out one

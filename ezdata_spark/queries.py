@@ -3765,7 +3765,11 @@ def q132(spark, sf_dir):
     # is the copy-paste template for. On a corpus that fits the
     # autoBroadcastJoinThreshold, AQE broadcasts the verify side anyway
     # from its MEASURED runtime size; at 100 TB the same code shuffles.
-    return trigram_similarity_pairs(docs, threshold=0.8)
+    # max_gram_df=None pins the EXACT mode the brute-force oracle
+    # checks (the default 'auto' profiles the corpus and resolves to
+    # None here anyway — char-trigram df is flat — but an oracle query
+    # must not let the data decide its own semantics).
+    return trigram_similarity_pairs(docs, threshold=0.8, max_gram_df=None)
 
 
 @query("z133_audio_metadata")

@@ -627,14 +627,16 @@ def main() -> None:
             rows_in=wtri_n,
         )
 
-        # (b) char-trigram similarity with the gram-frequency cap on an
-        # ADVERSARIAL corpus: 10% of docs are pure boilerplate (every gram
-        # df ~ corpus size). Uncapped, those docs' identical prefixes alone
-        # join C(30k, 2) ~ 4.5e8 candidate pairs — the known AllPairs
-        # failure mode on template-heavy corpora. max_gram_df drops
-        # corpus-frequent grams from candidate generation, bounding the
-        # join to the rare-suffix docs (recall contract: all-boilerplate
-        # pairs are exact duplicates anyway — exact_dedup territory).
+        # (b) char-trigram similarity with the AUTO gram-frequency cap
+        # on an ADVERSARIAL corpus: 10% of docs are pure boilerplate
+        # (every gram df ~ corpus size). Uncapped, those docs' identical
+        # prefixes alone join C(30k, 2) ~ 4.5e8 candidate pairs — the
+        # known AllPairs failure mode on template-heavy corpora. The
+        # default max_gram_df='auto' must DETECT the boilerplate spike
+        # from the df profile (p99.9 cap, enabled because max df is
+        # >>10x the tail) and bound the join to the rare-suffix docs
+        # out of the box (recall contract: all-boilerplate pairs are
+        # exact duplicates anyway — exact_dedup territory).
         ctri_n = max(n // 100, 300_000)
         alpha62 = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
         suf = (
@@ -663,10 +665,8 @@ def main() -> None:
             .alias("text"),
         )
         run(
-            "sim_join_char3_capped",
-            trigram_similarity_pairs(
-                cdocs, threshold=0.8, max_gram_df=20_000
-            ),
+            "sim_join_char3_auto",
+            trigram_similarity_pairs(cdocs, threshold=0.8),
             rows_in=ctri_n,
         )
     finally:
@@ -826,15 +826,18 @@ def main() -> None:
             "  3-doc group). Word/shingle units are the corpus-scale\n"
             "  configuration — the token-set setting of the AllPairs\n"
             "  papers.\n"
-            "- `sim_join_char3_capped` is the adversarial char-trigram\n"
+            "- `sim_join_char3_auto` is the adversarial char-trigram\n"
             "  case: 10% pure-boilerplate docs whose identical prefixes\n"
-            "  would alone join ~4.5e8 candidates. max_gram_df=20k drops\n"
-            "  corpus-frequent grams from candidate generation, bounding\n"
-            "  the join; the documented recall trade: pairs among docs\n"
-            "  with NO sub-cap gram (exact boilerplate copies) are left\n"
-            "  to exact_dedup. Char trigrams stay the right unit only\n"
-            "  for SHORT strings (alphabet^3 universe saturates on long\n"
-            "  docs at corpus scale).\n"
+            "  would alone join ~4.5e8 candidates. The DEFAULT\n"
+            "  max_gram_df='auto' detects the spike from the df profile\n"
+            "  (p99.9 cap, enabled because max df >> 10x the tail) and\n"
+            "  drops corpus-frequent grams from candidate generation,\n"
+            "  bounding the join out of the box; the documented recall\n"
+            "  trade: pairs among docs with NO sub-cap gram (exact\n"
+            "  boilerplate copies) are left to exact_dedup. Char\n"
+            "  trigrams stay the right unit only for SHORT strings\n"
+            "  (alphabet^3 universe saturates on long docs at corpus\n"
+            "  scale).\n"
         )
     spark.stop()
 

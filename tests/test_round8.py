@@ -183,6 +183,84 @@ def test_plain_cbr_no_xing_unchanged():
     assert m["duration_s"] == pytest.approx(7 * 1152 / 44100)
 
 
+# -------------------------------------------------- auto max_gram_df
+def test_similarity_auto_cap_triggers_on_boilerplate_spike(spark):
+    """max_gram_df='auto' (the default) must DETECT a boilerplate spike
+    from the df profile and bound the candidate join out of the box:
+    rare-token near-dup pairs are all found, all-boilerplate pairs are
+    excluded (the documented recall contract), nothing else appears."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import trigram_similarity_pairs
+
+    n = 1500
+    # ids % 15 == 0 -> pure boilerplate (5 template words, df ~ n);
+    # others -> 5 template words + 18 per-3-doc-group hash words (df=3)
+    # + 1 unique word (df=1). Distinct grams ~10k, spikes = 5 << 1%.
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 15 == 0, F.lit("tpl1 tpl2 tpl3 tpl4 tpl5")
+        )
+        .otherwise(
+            F.concat(
+                F.lit("tpl1 tpl2 tpl3 tpl4 tpl5 "),
+                F.expr(
+                    "array_join(transform(sequence(1, 18),"
+                    " i -> hex(xxhash64(id - pmod(id, 3), i))), ' ')"
+                ),
+                F.lit(" "),
+                F.expr("hex(xxhash64(id, 99))"),
+            )
+        )
+        .alias("text"),
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in trigram_similarity_pairs(docs, threshold=0.8, unit="word").collect()
+    }
+    release_caches()
+    # expected: within-group pairs among NON-boilerplate docs (J =
+    # 23/25 = 0.92 >= 0.8); boilerplate-only pairs (J = 1.0) have no
+    # sub-cap gram and are excluded by the auto cap
+    want = set()
+    for g in range(0, n, 3):
+        members = [i for i in range(g, min(g + 3, n)) if i % 15 != 0]
+        want |= {(a, b) for a in members for b in members if a < b}
+    assert got == want
+    assert not any(a % 15 == 0 or b % 15 == 0 for a, b in got)
+
+
+def test_similarity_auto_resolves_exact_on_flat_profile(spark):
+    """On a flat df profile (no spike towering over p99) auto must
+    resolve to None: the join equals the exact (max_gram_df=None)
+    result, including the all-frequent pairs a cap would drop."""
+    from pyspark.sql import Row
+
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import trigram_similarity_pairs
+
+    rows = [Row(doc_id=i, text="the quick brown fox jumps") for i in range(40)]
+    rows.append(Row(doc_id=100, text="the quick brown rareword1 rareword2"))
+    rows.append(Row(doc_id=101, text="the quick brown rareword1 rareword3"))
+    df = spark.createDataFrame(rows)
+    auto = {
+        (r.id_a, r.id_b)
+        for r in trigram_similarity_pairs(df, threshold=0.6, unit="word").collect()
+    }
+    release_caches()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in trigram_similarity_pairs(
+            df, threshold=0.6, unit="word", max_gram_df=None
+        ).collect()
+    }
+    release_caches()
+    assert auto == exact
+    assert len(auto) == 40 * 39 // 2 + 1  # boilerplate pairs retained
+
+
 # ------------------------------------------------------ IVF-PQ kNN join
 @pytest.fixture(scope="module")
 def pq_fixture(spark, sf_dir):
