@@ -37,6 +37,7 @@ HEADLINE = [
     "q41_tumbling_window",   # event-time windowed agg
     "q60_session_window",    # gap-based session windows
     "q53_raster_mean",       # datashader-style 2-D raster reduction
+    "q53a_raster_line",      # polyline segment rasterization (DDA walk)
     "q63_profile",           # densified binned profile
     "q64_salted_join",       # skew-spread equi-join
     "q86_decontaminate",     # n-gram overlap vs benchmark set

@@ -115,6 +115,120 @@ class BoxStats:
         return ax
 
 
+def line_raster(
+    df: DataFrame,
+    x: str,
+    y: str,
+    nx: int,
+    ny: int,
+    xr: tuple[float, float],
+    yr: tuple[float, float],
+    order_col: str,
+    series_col: str | None = None,
+    out_x: str = "xb",
+    out_y: str = "yb",
+    count_col: str = "v",
+) -> DataFrame:
+    """On-cluster polyline rasterization — the aggregation behind
+    :meth:`Plotter.line` (reference: DSPlotter.line segment rendering,
+    /root/reference/ezdata/datashader.py:377-380). Returns the LAZY
+    (xb, yb, v) pixel-count frame; nothing is collected here.
+
+    Semantics (the documented, driver-replicable contract):
+
+    - points are connected in ``order_col`` order within each
+      ``series_col`` group (one polyline per series; no segment joins
+      two series);
+    - endpoints map to integer pixels by floor binning CLAMPED to the
+      grid (out-of-range endpoints draw from the border pixel — crude
+      clipping, same as rendering into an edge-saturating viewport);
+    - each segment is walked by DDA: n = max(|dx_px|, |dy_px|) steps,
+      pixel_i = start + ROUND(i * delta / n) (SQL ROUND, half-away),
+      contributing pixels i = 1..n — the start vertex belongs to the
+      PREVIOUS segment, so shared vertices count once;
+    - each series' first drawable point (and the first after a
+      null/NaN break) contributes its own vertex pixel;
+    - a null/NaN coordinate BREAKS the polyline (datashader's NaN-gap
+      rule): the row draws nothing and its neighbours do not connect
+      across it.
+
+    Scale shape: one shuffle for the lag window (keyed by series — a
+    single global polyline serializes its window by construction;
+    rasterize per-series data, which is what line plots mean at scale),
+    one explode whose fan-out per segment is bounded by nx + ny (pixel
+    deltas are clamped before the walk), one pixel groupBy with
+    map-side combine. Vector payloads never exist; every shuffled row
+    is a handful of longs."""
+    from pyspark.sql import Window
+
+    xlo, xhi = xr
+    ylo, yhi = yr
+    wx = (xhi - xlo) / nx or 1.0
+    wy = (yhi - ylo) / ny or 1.0
+    xd = F.col(x).cast("double")
+    yd = F.col(y).cast("double")
+    fin = (
+        xd.isNotNull() & ~F.isnan(xd) & yd.isNotNull() & ~F.isnan(yd)
+    )
+    xp = F.least(
+        F.greatest(F.floor((xd - F.lit(xlo)) / F.lit(wx)), F.lit(0)), F.lit(nx - 1)
+    ).cast("long")
+    yp = F.least(
+        F.greatest(F.floor((yd - F.lit(ylo)) / F.lit(wy)), F.lit(0)), F.lit(ny - 1)
+    ).cast("long")
+    sel = (
+        [F.col(series_col).alias("__s")] if series_col else [F.lit(1).alias("__s")]
+    )
+    p = df.select(
+        *sel,
+        F.col(order_col).alias("__ord"),
+        F.when(fin, xp).alias("xp"),
+        F.when(fin, yp).alias("yp"),
+    )
+    w = Window.partitionBy("__s").orderBy("__ord")
+    g = p.select(
+        "xp",
+        "yp",
+        F.lag("xp").over(w).alias("x0"),
+        F.lag("yp").over(w).alias("y0"),
+    ).where(F.col("xp").isNotNull())
+    # series head / post-break vertex: draws its own pixel
+    verts = g.where(F.col("x0").isNull() | F.col("y0").isNull()).select(
+        F.col("xp").alias(out_x), F.col("yp").alias(out_y)
+    )
+    segs = g.where(F.col("x0").isNotNull() & F.col("y0").isNotNull()).withColumn(
+        "n",
+        F.greatest(F.abs(F.col("xp") - F.col("x0")), F.abs(F.col("yp") - F.col("y0"))),
+    )
+    # DDA walk, i = 1..n (n = 0 -> same pixel as the previous end:
+    # nothing new to draw). The major axis steps by exactly 1 per i, so
+    # a segment never emits duplicate pixels.
+    pix = (
+        segs.where(F.col("n") >= 1)
+        .select(
+            "x0", "y0", "xp", "yp", "n",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            (
+                F.col("x0")
+                + F.round(F.col("i") * (F.col("xp") - F.col("x0")) / F.col("n"), 0)
+                .cast("long")
+            ).alias(out_x),
+            (
+                F.col("y0")
+                + F.round(F.col("i") * (F.col("yp") - F.col("y0")) / F.col("n"), 0)
+                .cast("long")
+            ).alias(out_y),
+        )
+    )
+    return (
+        verts.unionByName(pix)
+        .groupBy(out_x, out_y)
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+
+
 class Plotter:
     """plot verbs over an EzTable/DataFrame; expression strings go
     through the engine's translator (plotter.py:1730-1779 analog)."""
@@ -253,6 +367,53 @@ class Plotter:
     def scatter(self, xexpr: str, yexpr: str, bins: int = 256, **kw) -> Hist2DResult:
         """Scatter at scale == raster (SURVEY.md §2.12: never collect)."""
         return self.hist2d(xexpr, yexpr, bins=bins, **kw)
+
+    def line(
+        self,
+        xexpr: str,
+        yexpr: str,
+        bins: int | tuple[int, int] = 256,
+        range: tuple | None = None,
+        order_by: str | None = None,
+        series_by: str | None = None,
+    ) -> Hist2DResult:
+        """Datashader-style LINE raster (DSPlotter.line,
+        /root/reference/ezdata/datashader.py:377-380): rasterize the
+        CONNECTED SEGMENTS between consecutive points, not the points
+        themselves — on sparse series a point raster leaves gaps where
+        the reference draws a line. Aggregation is fully on-cluster
+        (:func:`line_raster`); only the (nx, ny) pixel grid reaches the
+        driver, same contract as :meth:`hist2d`.
+
+        ``order_by`` defines "consecutive" (the reference uses frame
+        row order, which a distributed frame does not have) — defaults
+        to the x expression, the time-series reading. ``series_by``
+        draws one polyline per key (no segment connects different
+        series)."""
+        nx, ny = (bins, bins) if isinstance(bins, int) else bins
+        cols = {"__x": xexpr, "__y": yexpr}
+        if order_by is not None and order_by not in (xexpr, yexpr):
+            cols["__o"] = order_by
+        df = self._frame_with(cols)
+        order_col = "__o" if "__o" in cols else ("__x" if order_by in (None, xexpr) else "__y")
+        if range is None:
+            r = guess_range(df, ["__x", "__y"])
+            xr, yr = r["__x"], r["__y"]
+        else:
+            xr, yr = range
+        counts = line_raster(
+            df, "__x", "__y", nx, ny,
+            (float(xr[0]), float(xr[1])), (float(yr[0]), float(yr[1])),
+            order_col=order_col, series_col=series_by,
+        )
+        grid = np.zeros((nx, ny))
+        for row in counts.collect():
+            grid[int(row["xb"]), int(row["yb"])] = row["v"]
+        return Hist2DResult(
+            np.linspace(xr[0], xr[1], nx + 1),
+            np.linspace(yr[0], yr[1], ny + 1),
+            grid, xexpr, yexpr,
+        )
 
     def persist(self) -> "Plotter":
         """Cache the source frame for an interactive viewport loop —

@@ -1568,6 +1568,58 @@ def q53(spark, sf_dir):
 
 
 @query(
+    "q53a_raster_line",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type AS s, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+             max(value) AS v
+      FROM events GROUP BY 1, 2),
+    px AS (
+      SELECT s, h,
+        LEAST(GREATEST(CAST(FLOOR((h - 473352.0) / 11.25) AS BIGINT), 0), 63) AS xp,
+        LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 16.0) AS BIGINT), 0), 31) AS yp
+      FROM pts),
+    seg AS (
+      SELECT s, xp, yp,
+        lag(xp) OVER (PARTITION BY s ORDER BY h) AS x0,
+        lag(yp) OVER (PARTITION BY s ORDER BY h) AS y0
+      FROM px),
+    verts AS (SELECT xp AS xb, yp AS yb FROM seg WHERE x0 IS NULL),
+    walks AS (
+      SELECT x0, y0, xp, yp, GREATEST(ABS(xp - x0), ABS(yp - y0)) AS n
+      FROM seg WHERE x0 IS NOT NULL),
+    pix AS (
+      SELECT x0 + CAST(ROUND(i * (xp - x0) / CAST(n AS DOUBLE), 0) AS BIGINT) AS xb,
+             y0 + CAST(ROUND(i * (yp - y0) / CAST(n AS DOUBLE), 0) AS BIGINT) AS yb
+      FROM walks, LATERAL unnest(range(1, n + 1)) AS t(i)
+      WHERE n >= 1),
+    allpix AS (SELECT * FROM verts UNION ALL SELECT * FROM pix)
+    SELECT xb, yb, CAST(count(*) AS BIGINT) AS v FROM allpix GROUP BY 1, 2
+    """,
+)
+def q53a(spark, sf_dir):
+    """Datashader LINE raster verb (plotting.py::line_raster; reference
+    DSPlotter.line, /root/reference/ezdata/datashader.py:377-380):
+    rasterize the CONNECTED SEGMENTS of each event type's hourly-max
+    polyline — per-series lag window for segment endpoints, bounded
+    DDA explode for the pixel walk (SQL half-away rounding, skip-start
+    vertex rule), pixel groupBy with map-side combine. The oracle
+    replays the identical walk in SQL, so every rasterization rule is
+    hash-checked cross-engine."""
+    from .plotting import line_raster
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.groupBy(
+        F.col("event_type").alias("s"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("h"),
+    ).agg(F.max("value").alias("v"))
+    return line_raster(
+        pts, "h", "v", 64, 32, (473352.0, 474072.0), (0.0, 512.0),
+        order_col="h", series_col="s",
+    )
+
+
+@query(
     "q54_sliding_window",
     oracle="""
     WITH starts AS (
