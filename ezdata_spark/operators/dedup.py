@@ -140,21 +140,16 @@ def minhash_signatures(
     return base.select(id_col, sig.alias("signature"))
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+def _minhash_band_frame(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature to a bucket; docs
-    sharing any (band, bucket) are candidates.
-
-    Candidate generation = groupBy on (band, bucket) — an equi-shuffle on
-    a uniform key; self-join within buckets only. Pairs are emitted with
-    id_a < id_b so each pair appears once.
-    """
-    # one row per (doc, band); bucket = hash of that band's signature
-    # slice. explode(sequence) + column-start slice keeps the expression
-    # tree O(1) in `bands` (vs an unrolled array-of-structs, which is
-    # slow to build driver-side and to codegen)
-    banded = (
+    """(id, band, bucket) rows: one bucket per signature band. This is
+    the frame a persisted LSH index stores (bucketed/sorted by
+    (band, bucket) in parquet, probes prune row groups); recomputing it
+    from a signature table is one O(num_hashes)-per-row projection —
+    no text access. explode(sequence) + column-start slice keeps the
+    expression tree O(1) in ``bands``."""
+    return (
         sigs.select(id_col, "signature", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
         .select(
             id_col,
@@ -170,6 +165,19 @@ def minhash_lsh_candidates(
             ).alias("bucket"),
         )
     )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs
+    sharing any (band, bucket) are candidates.
+
+    Candidate generation = groupBy on (band, bucket) — an equi-shuffle on
+    a uniform key; self-join within buckets only. Pairs are emitted with
+    id_a < id_b so each pair appears once.
+    """
+    banded = _minhash_band_frame(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -214,6 +222,72 @@ def minhash_dedup(
     return minhash_jaccard(sigs, pairs, id_col).filter(F.col("jaccard_est") >= threshold)
 
 
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    history_signatures: DataFrame | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup (MinHash) dedup across crawl snapshots: the
+    new shard is deduplicated against a persisted signature index, not
+    against the re-shingled historical corpus. ``incremental_new``
+    (corpus.py) is the exact-key form of this; real pipelines dedup a
+    daily shard near-dup-wise without touching historical text.
+
+    Returns ``(survivors, updated_signatures)``:
+
+    - ``survivors``: batch rows with NO estimated-Jaccard >= threshold
+      match to any indexed document or to a smaller-id batch document;
+    - ``updated_signatures``: ``history_signatures`` plus the
+      signatures of EVERY batch row (kept and dropped) — persist this
+      (parquet) as the next snapshot's index. Dropped docs stay
+      indexed on purpose: it makes the incremental chain EQUAL to a
+      batch rerun over the union under the "drop iff near-dup of any
+      smaller-id doc" rule (a survivors-only index would silently
+      re-admit near-dups of dropped documents, diverging from the
+      batch answer — transitive chains A~B, B~C, A!~C).
+
+    Requires document ids to be globally monotone across snapshots
+    (history ids < batch ids — crawl ids are), so "matches history"
+    and "matches a smaller id" are the same total order the batch
+    rerun uses.
+
+    Scale shape: band buckets for the index are recomputed from the
+    stored signatures with one O(num_hashes)-per-row projection (no
+    text, no shingling — at 100 TB store the band frame itself,
+    bucketed by (band, bucket), and swap it in here); the candidate
+    join is the usual (band, bucket) equi-join whose probe side is the
+    day's shard, and verification touches signature pairs only.
+    """
+    sigs_b = track(minhash_signatures(batch, text, id_col, num_hashes, shingle_n))
+    rpb = num_hashes // bands
+    all_sigs = (
+        sigs_b
+        if history_signatures is None
+        else history_signatures.select(id_col, "signature").unionByName(sigs_b)
+    )
+    bands_all = _minhash_band_frame(all_sigs, id_col, bands, rpb)
+    bands_new = _minhash_band_frame(sigs_b, id_col, bands, rpb)
+    a = bands_all.alias("a")
+    b = bands_new.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    dup = minhash_jaccard(all_sigs, pairs, id_col).filter(
+        F.col("jaccard_est") >= threshold
+    )
+    dropped = dup.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = batch.join(dropped, id_col, "left_anti")
+    return survivors, all_sigs
+
+
 def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits.
 
@@ -244,6 +318,79 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
         """
     )
     return with_h.select(id_col, fp.alias("simhash"))
+
+
+def hamming_near_dup(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """All pairs of 64-bit fingerprints within ``max_distance`` Hamming
+    bits — the self-join behind SimHash and perceptual-image-hash
+    dedup. Returns (id_a, id_b, distance), id_a < id_b.
+
+    COMPLETE by pigeonhole (the classic multi-index Hamming search,
+    e.g. Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    Hashing", CVPR 2012): the hash is split into ``bands`` disjoint
+    bit-slices; d differing bits can corrupt at most d slices, so any
+    pair within distance d < bands agrees EXACTLY on some slice.
+    Candidates are an equi-join on (band, slice-value) — never a cross
+    join; verification is one ``bit_count(a ^ b)`` per candidate.
+    ``bands`` defaults to ``max_distance + 1`` (the completeness
+    minimum; more bands = shorter slices = more candidates but smaller
+    per-bucket skew)."""
+    nb = bands if bands is not None else max_distance + 1
+    if nb <= max_distance:
+        raise ValueError(
+            f"bands={nb} must exceed max_distance={max_distance} for "
+            "pigeonhole completeness"
+        )
+    if not 2 <= nb <= 64:
+        raise ValueError(f"bands={nb} out of range [2, 64]")
+    # band i covers bits [offs[i], offs[i] + width_i): equal splits,
+    # remainder spread over the first bands
+    base, extra = divmod(64, nb)
+    offs, widths, o = [], [], 0
+    for i in range(nb):
+        w_i = base + (1 if i < extra else 0)
+        offs.append(o)
+        widths.append(w_i)
+        o += w_i
+    offs_sql = "array(" + ",".join(str(x) for x in offs) + ")"
+    # mask = (1 << width) - 1 precomputed per band (shiftleft(1, 64)
+    # would wrap; widths here are < 64 since nb >= 2)
+    masks_sql = "array(" + ",".join(str((1 << w_i) - 1) + "L" for w_i in widths) + ")"
+    h = F.col(hash_col)
+    banded = _fan_out(df).select(
+        id_col,
+        h.alias("__h"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("band"),
+    ).select(
+        id_col,
+        "__h",
+        "band",
+        F.expr(
+            f"shiftrightunsigned(__h, element_at({offs_sql}, band + 1))"
+            f" & element_at({masks_sql}, band + 1)"
+        ).alias("slice"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__h").alias("ha"), "band", "slice"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__h").alias("hb"), "band", "slice"
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.bit_count(F.expr("ha ^ hb")))
+        .filter(F.col("distance") <= max_distance)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("distance").alias("distance"))
+        .select("id_a", "id_b", "distance")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -227,6 +227,126 @@ def resize_images(
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
 
 
+def _gray_resize_bilinear(px: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Grayscale (channel mean) + bilinear resample to (oh, ow) —
+    deterministic pure numpy, align-corners=False pixel-center mapping
+    (the convention of every mainstream resizer)."""
+    g = px.astype(np.float64).mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
+    h, w = g.shape
+    ys = np.clip((np.arange(oh) + 0.5) * (h / oh) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(ow) + 0.5) * (w / ow) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    tl = g[np.ix_(y0, x0)]
+    tr = g[np.ix_(y0, x1)]
+    bl = g[np.ix_(y1, x0)]
+    br = g[np.ix_(y1, x1)]
+    return tl * (1 - fy) * (1 - fx) + tr * (1 - fy) * fx + bl * fy * (1 - fx) + br * fy * fx
+
+
+def _pack_bits64(bits: np.ndarray) -> int:
+    """64 booleans (row-major, index = bit position) -> signed int64."""
+    v = 0
+    for k in np.nonzero(bits.ravel())[0]:
+        v |= 1 << int(k)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        k = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        A = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        A[0] /= np.sqrt(2.0)
+        _DCT32 = A
+    return _DCT32
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash (dHash): 8x9 grayscale thumbnail, bit = right
+    pixel brighter than left — invariant to global brightness/contrast
+    shifts (it compares neighbours, not absolute levels)."""
+    g = _gray_resize_bilinear(px, 8, 9)
+    return _pack_bits64(g[:, 1:] > g[:, :-1])
+
+
+def phash64(px: np.ndarray) -> int:
+    """Perceptual hash (pHash): 32x32 grayscale -> 2-D DCT-II -> the
+    8x8 low-frequency block, bit = coefficient above the block's
+    median. The DCT basis is the same orthonormal family as
+    functions/jpeg_codec.py's 8-point transform, at N=32."""
+    g = _gray_resize_bilinear(px, 32, 32)
+    A = _dct32()
+    low = (A @ g @ A.T)[:8, :8]
+    return _pack_bits64(low > np.median(low))
+
+
+PHASH_SCHEMA = "media_id long, phash long, decode_status string"
+
+
+def image_phash(
+    media: DataFrame,
+    method: str = "dhash",
+    synthetic_fallback: bool = False,
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash via mapInPandas: (media_id,
+    phash, decode_status). Non-decodable payloads keep their row with a
+    NULL hash and the explaining status (decode contract, module
+    docstring). ``method``: ``'dhash'`` (gradient sign, brightness-
+    invariant) or ``'phash'`` (low-frequency DCT signs, robust to
+    blur/noise)."""
+    if method not in ("dhash", "phash"):
+        raise ValueError(f"image_phash: unknown method {method!r}")
+    fn = dhash64 if method == "dhash" else phash64
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for _, row in b.iterrows():
+                px, status = try_decode_pixels(row["data"], row["meta"], synthetic_fallback)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "phash": None if px is None else fn(px),
+                        "decode_status": status,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def image_near_dup(
+    media: DataFrame,
+    method: str = "dhash",
+    max_distance: int = 6,
+    bands: int | None = None,
+    synthetic_fallback: bool = False,
+) -> DataFrame:
+    """Perceptual image near-duplicate pairs: decode -> 64-bit
+    dHash/pHash (one mapInPandas scan) -> Hamming-band LSH self-join
+    (dedup.py::hamming_near_dup — pigeonhole-complete bucketed
+    candidates, never all-pairs, exact bit_count verify). Returns
+    (id_a, id_b, distance <= max_distance). The 100 TB shape: the
+    self-join runs on 8-byte hashes; pixels are touched exactly once.
+    """
+    from .dedup import hamming_near_dup
+
+    hashes = image_phash(media, method, synthetic_fallback).where(
+        F.col("phash").isNotNull()
+    )
+    return hamming_near_dup(hashes, "phash", "media_id", max_distance, bands)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, sample_rate int, n_samples long, duration_s double, "
     "rms double, peak double, zero_crossings long, decode_status string"

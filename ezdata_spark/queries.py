@@ -2446,6 +2446,75 @@ def q95(spark, sf_dir):
     return incremental_new(batch, hist, hash_keys=False).select("doc_id", "source")
 
 
+@query("z137_minhash_incremental")
+def q137(spark, sf_dir):
+    """Incremental NEAR-dup dedup across snapshots (dedup.py::
+    minhash_dedup_incremental): the new crawl shard (doc_id % 3 != 0)
+    is near-dup-deduplicated against the PERSISTED MinHash signature
+    index of the history partition (doc_id % 3 == 0) — band buckets
+    recomputed from stored signatures (no historical text access),
+    (band, bucket) equi-join candidates, signature-only verification.
+    Rows-only (Spark-hash signatures are not SQL-expressible);
+    tests/test_round8.py pins the incremental chain == a batch rerun
+    over the union, and exact copies always drop."""
+    from .operators.dedup import minhash_dedup_incremental, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    idx = minhash_signatures(hist, "text", "doc_id")
+    survivors, _ = minhash_dedup_incremental(
+        batch, history_signatures=idx, threshold=0.7
+    )
+    return survivors.select("doc_id", "source")
+
+
+@query("z138_image_neardup")
+def q138(spark, sf_dir):
+    """Perceptual image near-duplicate pairs (operators/multimodal.py::
+    image_near_dup): genuine BMP bytes fabricated executor-side — one
+    base image per document id plus a brightness-shifted near-copy —
+    decoded by the pure-numpy codec, hashed to 64-bit dHash (gradient
+    signs, brightness-invariant), self-joined with the
+    pigeonhole-complete Hamming-band LSH (dedup.py::hamming_near_dup;
+    bucketed equi-join, never all-pairs). Rows-only (binary payloads /
+    perceptual hashes are not SQL-expressible); tests/test_round8.py
+    pins the band join to brute-force Hamming truth and the hash
+    invariances."""
+    import pandas as pd
+
+    from .functions.media_codecs import encode_bmp
+    from .operators.multimodal import IMAGE_SCHEMA, image_near_dup
+
+    ids = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    ).limit(150)
+
+    def gen(batches):
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for mid in b["id"]:
+                rng = np.random.RandomState(int(mid) % (2**31))
+                w, h = int(rng.randint(8, 24)), int(rng.randint(8, 24))
+                px = rng.randint(40, 200, size=(h, w, 3), dtype=np.uint8)
+                near = np.clip(px.astype(int) + 15, 0, 255).astype(np.uint8)
+                for off, p in ((0, px), (1_000_000, near)):
+                    rows.append(
+                        {
+                            "media_id": int(mid) + off,
+                            "data": encode_bmp(p),
+                            "meta": {"format": "bmp", "width": w,
+                                     "height": h, "channels": 3},
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(gen, IMAGE_SCHEMA)
+    return image_near_dup(media, method="dhash", max_distance=6)
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

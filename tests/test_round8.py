@@ -344,6 +344,211 @@ def test_similarity_auto_resolves_exact_on_flat_profile(spark):
     assert len(auto) == 40 * 39 // 2 + 1  # boilerplate pairs retained
 
 
+# ------------------------------------------ perceptual image near-dup
+def test_hamming_near_dup_matches_brute_force(spark):
+    """Pigeonhole-banded Hamming self-join == brute-force pairs, on
+    hashes with planted near-dups and boundary distances; plan stays a
+    bucketed equi-join (no cartesian/BNLJ)."""
+    import itertools
+    import random
+
+    from ezdata_spark.operators.dedup import hamming_near_dup
+
+    rng = random.Random(7)
+    hashes = []
+    for i in range(60):
+        hashes.append((i, rng.getrandbits(64) - (1 << 63)))
+    # planted: copies of hash 0 at distances exactly 0, 3, 4 (boundary),
+    # 5 (just beyond max_distance=4)
+    base = hashes[0][1]
+    for j, d in [(100, 0), (101, 3), (102, 4), (103, 5)]:
+        v = base
+        for b in rng.sample(range(64), d):
+            v ^= 1 << b
+            if v >= 1 << 63:
+                v -= 1 << 64
+            elif v < -(1 << 63):
+                v += 1 << 64
+        hashes.append((j, ((v + (1 << 63)) % (1 << 64)) - (1 << 63)))
+    df = spark.createDataFrame(hashes, "id long, h long")
+    got = {
+        (r.id_a, r.id_b, r.distance)
+        for r in hamming_near_dup(df, "h", "id", max_distance=4).collect()
+    }
+    uh = {i: v & ((1 << 64) - 1) for i, v in hashes}
+    want = {
+        (a, b, bin(uh[a] ^ uh[b]).count("1"))
+        for a, b in itertools.combinations(sorted(uh), 2)
+        if bin(uh[a] ^ uh[b]).count("1") <= 4
+    }
+    assert got == want
+    assert any(d == 4 for _, _, d in got)  # boundary distance survives
+    plan = hamming_near_dup(df, "h", "id", max_distance=4)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _bmp_media(spark, imgs):
+    """rows of (media_id, pixels) -> media frame with real BMP bytes."""
+    from ezdata_spark.functions.media_codecs import encode_bmp
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA
+
+    rows = []
+    for mid, px in imgs:
+        rows.append(
+            {
+                "media_id": mid,
+                "data": encode_bmp(px),
+                "meta": {
+                    "format": "bmp",
+                    "width": px.shape[1],
+                    "height": px.shape[0],
+                    "channels": 3,
+                },
+            }
+        )
+    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+
+
+def test_dhash_brightness_invariant_and_discriminative(spark):
+    from ezdata_spark.operators.multimodal import image_phash
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(40, 200, size=(16, 16, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(int) + 20, 0, 255).astype(np.uint8)  # no clip in range
+    other = rng.randint(40, 200, size=(16, 16, 3), dtype=np.uint8)
+    media = _bmp_media(spark, [(0, base), (1, bright), (2, other)])
+    got = {r.media_id: r.phash for r in image_phash(media, "dhash").collect()}
+    assert all(v is not None for v in got.values())
+    d01 = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    d02 = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert d01 == 0  # gradient signs are invariant to a uniform shift
+    assert d02 > 15  # unrelated content is far
+
+
+def test_phash_noise_robust(spark):
+    from ezdata_spark.operators.multimodal import image_phash
+
+    rng = np.random.RandomState(11)
+    # natural-image-like content (pHash needs real low-frequency
+    # energy: near-zero DCT coefficients flip under any noise): a 2-D
+    # random walk has the ~1/f^2 spectrum of photographs
+    s = np.cumsum(np.cumsum(rng.randn(24, 24), axis=0), axis=1)
+    s = (s - s.min()) / (s.max() - s.min())
+    base = np.stack([np.round(s * 180 + 30)] * 3, axis=2).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-8, 9, size=base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.randint(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    media = _bmp_media(spark, [(0, base), (1, noisy), (2, other)])
+    got = {r.media_id: r.phash for r in image_phash(media, "phash").collect()}
+    d01 = bin((got[0] ^ got[1]) & ((1 << 64) - 1)).count("1")
+    d02 = bin((got[0] ^ got[2]) & ((1 << 64) - 1)).count("1")
+    assert d01 <= 10 and d02 > d01 + 8
+
+
+def test_image_near_dup_finds_planted_pairs(spark):
+    from ezdata_spark.operators.multimodal import image_near_dup
+
+    rng = np.random.RandomState(5)
+    imgs = []
+    for i in range(12):
+        px = rng.randint(40, 200, size=(12, 12, 3), dtype=np.uint8)
+        imgs.append((i, px))
+        imgs.append((i + 100, np.clip(px.astype(int) + 15, 0, 255).astype(np.uint8)))
+    media = _bmp_media(spark, imgs)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup(media, method="dhash", max_distance=6).collect()
+    }
+    want = {(i, i + 100) for i in range(12)}
+    assert want <= pairs  # every planted near-dup found
+    # no pair between unrelated random images
+    assert all(b - a == 100 for a, b in pairs)
+
+
+def test_image_phash_decode_contract(spark):
+    from ezdata_spark.operators.multimodal import image_phash
+
+    rows = [
+        {"media_id": 0, "data": b"not an image", "meta":
+            {"format": "???", "width": 4, "height": 4, "channels": 3}},
+    ]
+    from ezdata_spark.operators.multimodal import IMAGE_SCHEMA
+
+    media = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    r = image_phash(media, "phash").collect()[0]
+    assert r.phash is None and r.decode_status == "unsupported"
+
+
+# -------------------------------------------- incremental MinHash dedup
+def test_minhash_incremental_equals_batch_rerun(spark):
+    """Chaining minhash_dedup_incremental over three snapshots must
+    equal ONE batch dedup over the union under the same rule (drop iff
+    near-dup of any smaller-id doc) — including the transitive-chain
+    case that requires dropped docs to stay indexed."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_jaccard,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    d0 = "the quick brown fox jumps over the lazy dog today again and again"
+    d1 = "completely different content about distributed query engines at scale"
+    d2 = d0.replace("lazy", "sleepy")  # near-dup of d0
+    snaps = [
+        [(0, d0), (1, d1), (2, d2)],
+        [(10, d0), (11, "fresh topic entirely new words appear here only once"),
+         (12, d1.replace("engines", "systems"))],
+        # 20 copies d2 exactly: d2 may itself have been dropped in
+        # snapshot 1, but its signature stays indexed, so 20 must drop
+        [(20, d2), (21, "another brand new document with unseen vocabulary")],
+    ]
+    kw = dict(threshold=0.7, num_hashes=32, bands=16, shingle_n=3)
+    frames = [
+        spark.createDataFrame(rows, "doc_id long, text string") for rows in snaps
+    ]
+    idx = None
+    inc_kept: set[int] = set()
+    for f in frames:
+        surv, idx = minhash_dedup_incremental(f, history_signatures=idx, **kw)
+        inc_kept |= {r.doc_id for r in surv.collect()}
+        idx = spark.createDataFrame(idx.collect(), idx.schema)  # "persisted"
+        release_caches()
+
+    union = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    sigs = minhash_signatures(union, "text", "doc_id", 32, 3)
+    pairs = minhash_lsh_candidates(sigs, "doc_id", 16, 2)
+    est = minhash_jaccard(sigs, pairs, "doc_id")
+    dropped = {r.id_b for r in est.where("jaccard_est >= 0.7").collect()}
+    batch_kept = {r.doc_id for r in union.collect()} - dropped
+    release_caches()
+
+    assert inc_kept == batch_kept
+    assert 0 in inc_kept and 10 not in inc_kept  # exact copy drops
+    assert 20 not in inc_kept  # matched a DROPPED doc's indexed signature
+    assert {r.doc_id for r in idx.collect()} == {0, 1, 2, 10, 11, 12, 20, 21}
+
+
+def test_minhash_incremental_first_snapshot_no_history(spark):
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import minhash_dedup_incremental
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),
+         (2, "unrelated words describing something else entirely")],
+        "doc_id long, text string",
+    )
+    surv, idx = minhash_dedup_incremental(df, threshold=0.9, shingle_n=2)
+    assert {r.doc_id for r in surv.collect()} == {0, 2}
+    assert idx.count() == 3  # dropped doc 1 stays indexed
+    release_caches()
+
+
 # ------------------------------------------------------ IVF-PQ kNN join
 @pytest.fixture(scope="module")
 def pq_fixture(spark, sf_dir):
