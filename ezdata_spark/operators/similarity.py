@@ -548,7 +548,13 @@ def ivf_pq_encode(
     are ~300 KB of SQL text to parse. ``'auto'`` picks numpy when
     k*dim >= 4096. Both paths break argmin ties to the first minimal
     index; near-tie codes may differ between them by last-ulp rounding
-    (immaterial for an approximate code — the exact rescore ranks)."""
+    (immaterial for an approximate code — the exact rescore ranks).
+
+    Code layout: the numpy path with ``n_codes <= 256`` emits
+    ``codes`` as BINARY (one byte per subspace — m=16 really is 16
+    bytes on the wire; an array<int> serializes ~4.5x bigger through
+    the exchange). Larger codebooks, and the JVM path, use array<int>.
+    ``knn_join``'s PQ kernel accepts either layout."""
     m = len(codebooks)
     n_codes = len(codebooks[0])
     dsub = len(codebooks[0][0])
@@ -560,6 +566,7 @@ def ivf_pq_encode(
 
     CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
     c2 = (CB * CB).sum(axis=2)  # (m, n_codes)
+    as_bytes = n_codes <= 256
 
     def _enc(batches):
         for b in batches:
@@ -575,13 +582,18 @@ def ivf_pq_encode(
                 # tie rule matches the JVM array_position path
                 codes[:, j] = (-2.0 * (Vs[:, j] @ CB[j].T) + c2[j]).argmin(axis=1)
             out = b.copy()
-            out["codes"] = list(codes)
+            if as_bytes:
+                flat = codes.astype(np.uint8).tobytes()
+                out["codes"] = [flat[i * m:(i + 1) * m] for i in range(n)]
+            else:
+                out["codes"] = list(codes)
             yield out
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in indexed_corpus.schema.fields
     )
-    return indexed_corpus.mapInPandas(_enc, schema + ", codes array<int>")
+    code_t = "binary" if as_bytes else "array<int>"
+    return indexed_corpus.mapInPandas(_enc, f"{schema}, codes {code_t}")
 
 
 def knn_join(
@@ -826,11 +838,22 @@ def _knn_join_pq(
         keys = ["cell", "shard"]
     lid_t = dict(probes.dtypes)[left_id]
     rid_t = dict(right.dtypes)[right_id]
-    out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, adc double"
+    # ONE ROW PER (left, cell[, shard]) carrying the K survivors as an
+    # array — not K narrow rows. The global candidate cut then merges
+    # nprobe * shard_corpus arrays per left with a hash AGGREGATE
+    # (flatten -> array_sort -> slice), never a row_number window: at
+    # 30k lefts x 4 probes x 8 shards x K=40 the window form sorts
+    # 38M shuffled rows, measured as the dominant cost of the whole
+    # join. negadc = -adc makes one ascending struct sort give the
+    # (adc desc, rid asc) order the contract ranks on.
+    out_schema = f"{left_id} {lid_t}, top array<struct<negadc: double, rid: {rid_t}>>"
+
+    CB32 = CB.astype(np.float32)
+    dim = m * dsub
 
     def _adc_score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
-            return pd.DataFrame({left_id: [], right_id: [], "adc": []})
+            return pd.DataFrame({left_id: [], "top": []})
         # rid-ascending corpus order: _select_topk_desc breaks exact
         # ADC ties by column index == ascending right_id, so the
         # candidate set is deterministic across shuffle arrival orders
@@ -838,27 +861,38 @@ def _knn_join_pq(
         L = np.stack(lpdf["qv"].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(L, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
-        L = L / nrm
-        # per-left LUT of subspace dots: LUT[q, j, c] = <q_j, codebook[j][c]>
-        LUT = np.einsum("qjd,jcd->qjc", L.reshape(len(lpdf), m, dsub), CB)
-        codes = np.stack(rpdf["codes"].to_numpy()).astype(np.intp)  # (nr, m)
+        L = (L / nrm).astype(np.float32)
+        c0 = rpdf["codes"].iloc[0]
+        if isinstance(c0, (bytes, bytearray)):
+            # packed byte layout (ivf_pq_encode, n_codes <= 256)
+            codes = np.frombuffer(
+                b"".join(rpdf["codes"]), dtype=np.uint8
+            ).reshape(-1, m).astype(np.intp)
+        else:
+            codes = np.stack(rpdf["codes"].to_numpy()).astype(np.intp)  # (nr, m)
         rids = rpdf[right_id].to_numpy()
         nr = codes.shape[0]
         k_eff = min(K, nr)
-        # blocked gather-sum + running top-K merge (same cache-sized
-        # geometry rationale as the raw kernel; the score block is
-        # (LB, RB) doubles built by m row-gathers instead of a matmul)
+        # ADC BY RECONSTRUCTION: ADC(q, code) = sum_j <q_j, cb_j[c_j]>
+        # = <q, x_hat> for the PQ reconstruction x_hat — mathematically
+        # the same score as the per-query LUT gather-sum, but the
+        # decode (m contiguous row-gathers) runs ONCE PER CELL, shared
+        # by every left row, and scoring reuses the cache-blocked BLAS
+        # matmul. The LUT-gather kernel measured 26x slower per block
+        # (strided fancy-indexing traffic vs sgemm) AND rebuilt each
+        # left's LUT once per probed (cell, shard). f32: candidate
+        # selection only — the survivors are exactly rescored.
+        Rhat = np.empty((nr, dim), dtype=np.float32)
+        for j in range(m):
+            Rhat[:, j * dsub:(j + 1) * dsub] = CB32[j][codes[:, j]]
         LB, RB = 256, 8192
-        out_l, out_r, out_s = [], [], []
+        out_l, out_s = [], []
         lids = lpdf[left_id].to_numpy()
-        for ls in range(0, LUT.shape[0], LB):
-            lut_b = LUT[ls:ls + LB]
+        for ls in range(0, L.shape[0], LB):
+            Lb = L[ls:ls + LB]
             best_s = best_r = None
             for rs in range(0, nr, RB):
-                cb = codes[rs:rs + RB]
-                S = lut_b[:, 0, cb[:, 0]]
-                for j in range(1, m):
-                    S = S + lut_b[:, j, cb[:, j]]
+                S = Lb @ Rhat[rs:rs + RB].T
                 kb = min(k_eff, S.shape[1])
                 bs, top = _select_topk_desc(S, kb)
                 br = rids[rs:rs + RB][top]
@@ -869,17 +903,12 @@ def _knn_join_pq(
                 mtop = np.argsort(-bs, axis=1, kind="stable")[:, :k_eff]
                 best_s = np.take_along_axis(bs, mtop, axis=1)
                 best_r = np.take_along_axis(br, mtop, axis=1)
-            nk = best_s.shape[1]
-            out_l.append(np.repeat(lids[ls:ls + LB], nk))
-            out_r.append(best_r.ravel())
-            out_s.append(best_s.ravel())
-        return pd.DataFrame(
-            {
-                left_id: np.concatenate(out_l),
-                right_id: np.concatenate(out_r),
-                "adc": np.concatenate(out_s),
-            }
-        )
+            for r in range(best_s.shape[0]):
+                out_l.append(lids[ls + r])
+                out_s.append(
+                    [(-float(s), rid.item()) for s, rid in zip(best_s[r], best_r[r])]
+                )
+        return pd.DataFrame({left_id: out_l, "top": out_s})
 
     part = (
         probes.groupBy(*keys)
@@ -887,20 +916,27 @@ def _knn_join_pq(
         .applyInPandas(_adc_score, out_schema)
     )
     # global candidate cut: each corpus row lives in ONE cell so pairs
-    # are unique; the window just merges per-cell/per-shard top-Ks
-    wa = Window.partitionBy(left_id).orderBy(
-        F.col("adc").desc(), F.col(right_id).asc()
-    )
+    # are unique; merging the nprobe * shard arrays per left is a hash
+    # aggregate with no global sort
     cand = (
-        part.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") <= K)
-        .select(left_id, right_id)
+        part.groupBy(left_id)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("top"))), 1, K
+            ).alias("top")
+        )
+        .select(left_id, F.explode("top.rid").alias(right_id))
     )
-    # exact rescore: survivors only — the raw float column is read for
-    # K rows per left, never shipped through the scoring exchange
+    # exact rescore: survivors only — the raw float column is read IN
+    # PLACE for K rows per left (candidate ids and the left vectors
+    # broadcast; neither corpus vectors nor candidates reshuffle). At
+    # billion-row left tables broadcast stops fitting — there, rescore
+    # inside a second cogroup instead; this operator targets the
+    # bounded-left join.
     resc = (
-        cand.join(indexed_corpus.select(right_id, "v"), right_id)
-        .join(lf, left_id)
+        indexed_corpus.select(right_id, "v")
+        .join(F.broadcast(cand), right_id)
+        .join(F.broadcast(lf), left_id)
         .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / _norm(F.col("qv")))
     )
     if round_ndigits is not None:

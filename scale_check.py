@@ -24,6 +24,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _shuffle_write_bytes(spark) -> int | None:
+    """Total shuffle-write bytes across completed stages, from the UI
+    REST API (best-effort: None when the UI is off). Snapshot deltas
+    around adjacent runs attribute shuffle volume to one operator —
+    the evidence for 'the PQ join ships 16 bytes/vector, not 520'."""
+    import json as _json
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _json.loads(r.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:  # noqa: BLE001 - metrics are advisory
+        return None
+
+
 def make_fact(spark, n: int):
     """Deterministic fact table: ~lineitem-shaped, generated executor-side."""
     return (
@@ -281,6 +303,32 @@ def main() -> None:
 
     run("dup_span_removal",
         remove_duplicate_spans(docs, window=10, hash_grams=True), rows_in=doc_n)
+
+    # round-8: incremental MinHash dedup — the daily-shard shape: the
+    # history SIGNATURE index is a persisted artifact (built untimed,
+    # like ivf_index/lsh_index); the timed row is the recurring cost of
+    # near-dup-deduplicating a new shard against it (band recompute
+    # from signatures + (band,bucket) equi-join + signature verify —
+    # historical TEXT is never touched)
+    from ezdata_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    hist_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    mh_t0 = time.perf_counter()
+    mh_idx = minhash_signatures(hist_docs, "text", "doc_id").persist()
+    mh_idx.write.format("noop").mode("overwrite").save()
+    print(f"{'(minhash index build)':24s} {time.perf_counter() - mh_t0:7.2f}s")
+    run(
+        "minhash_incremental",
+        lambda: minhash_dedup_incremental(
+            batch_docs, history_signatures=mh_idx, threshold=0.8
+        )[0],
+        rows_in=doc_n // 2,
+    )
+    mh_idx.unpersist()
     from ezdata_spark.operators.layout import zorder_layout
 
     run(
@@ -368,10 +416,38 @@ def main() -> None:
         # score_dtype f32: the approximate-path production default —
         # ~1e-7 cosine error vs nprobe's own approximation; the f64
         # path is reserved for the rounded-oracle contract (q134)
+        sb0 = _shuffle_write_bytes(spark)
         run("knn_join_ivf",
             knn_join(knn_left, ivf_p, cents, k=10, nprobe=4, shard_corpus=8,
                      score_dtype="float32"),
             rows_in=vec_n // 100)
+        sb1 = _shuffle_write_bytes(spark)
+        if sb0 is not None and sb1 is not None and "knn_join_ivf" in results:
+            results["knn_join_ivf"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+        # PQ-compressed variant: the cogroup ships 16 BYTES of code per
+        # corpus vector instead of the 520-byte serialized float array
+        # (the 100 TB memory story for the join); the ADC top-K
+        # survivors are exactly rescored against the raw vectors via a
+        # narrow id join. Encode is untimed build (the persisted-
+        # artifact shape, like ivf_index); shuffle_mb deltas pin the
+        # exchange-volume drop vs the raw row above.
+        from ezdata_spark.operators.similarity import ivf_pq_encode, pq_train
+
+        pq_cbs = pq_train(emb, m=16, k=256,
+                          sample_fraction=50_000 / vec_n, sample_rows=20_000)
+        enc_t0 = time.perf_counter()
+        pq_corpus = ivf_pq_encode(ivf_p, pq_cbs).persist()
+        pq_corpus.write.format("noop").mode("overwrite").save()
+        print(f"{'(ivf_pq_encode build)':24s} {time.perf_counter() - enc_t0:7.2f}s")
+        sb0 = _shuffle_write_bytes(spark)
+        run("knn_join_pq",
+            knn_join(knn_left, pq_corpus, cents, k=10, nprobe=4, shard_corpus=8,
+                     pq_codebooks=pq_cbs, pq_oversample=4),
+            rows_in=vec_n // 100)
+        sb1 = _shuffle_write_bytes(spark)
+        if sb0 is not None and sb1 is not None and "knn_join_pq" in results:
+            results["knn_join_pq"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+        pq_corpus.unpersist()
         ivf_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
     if only is None or "lsh_probe_indexed" in only:
