@@ -708,6 +708,30 @@ def trigram_similarity_pairs(
         # rank window, prefix join, verify sets) carries 8-byte longs
         # instead of gram strings — same collision contract either way
         gs = F.transform(gs, lambda g: F.xxhash64(g))
+    if max_gram_df == "auto":
+        # Profile the df distribution on an INDEPENDENT, UNPERSISTED
+        # plan (one extra explode+agg scan), then build the join. Do
+        # NOT run this action through the tracked `grams` persist
+        # below: materializing that cache before the join compiles
+        # feeds exact InMemoryRelation statistics to the planner,
+        # which flipped a verify-side join to a broadcast build of a
+        # multi-hundred-MB frame (measured 58 s -> 207 s for the whole
+        # join — the broadcast build stage alone burned 5.8k exec-s).
+        # p99 (not p99.9): far from approxQuantile's 0.001-rank error
+        # band, and boilerplate vocabularies are <<1% of distinct
+        # grams at any scale where the cap matters; enable the cap
+        # only when a spike towers 10x over that tail.
+        prof = (
+            df.select(F.explode(gs).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("gc"))
+        )
+        qs = prof.stat.approxQuantile("gc", [0.99, 1.0], 0.001)
+        if qs:
+            cap = max(int(qs[0]), 20)
+            max_gram_df = cap if qs[1] > 10 * cap else None
+        else:
+            max_gram_df = None
     grams = (
         # _gram_set is array_distinct per doc, so (id, g) is already
         # unique — no global distinct shuffle needed
@@ -715,19 +739,6 @@ def trigram_similarity_pairs(
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
     gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gc"))
-    if max_gram_df == "auto":
-        # profile the df distribution (one action; grams is persisted,
-        # so this warms the cache the real join reads anyway): enable
-        # the cap only when a boilerplate spike towers over the tail.
-        # p99 (not p99.9): far from approxQuantile's 0.001-rank error
-        # band, and boilerplate vocabularies are <<1% of distinct
-        # grams at any scale where the cap matters
-        qs = gdf.stat.approxQuantile("gc", [0.99, 1.0], 0.001)
-        if qs:
-            cap = max(int(qs[0]), 20)
-            max_gram_df = cap if qs[1] > 10 * cap else None
-        else:
-            max_gram_df = None
     w = Window.partitionBy("id").orderBy("gc", "g")
     # Prefix length is EXACTLY ng - ceil(t*ng) + 1 (Bayardo et al. §3).
     # Computed as floor((1-t)*ng)+1 in floating point this comes out one
