@@ -906,14 +906,47 @@ def main() -> None:
             "  case: 10% pure-boilerplate docs whose identical prefixes\n"
             "  would alone join ~4.5e8 candidates. The DEFAULT\n"
             "  max_gram_df='auto' detects the spike from the df profile\n"
-            "  (p99.9 cap, enabled because max df >> 10x the tail) and\n"
-            "  drops corpus-frequent grams from candidate generation,\n"
-            "  bounding the join out of the box; the documented recall\n"
-            "  trade: pairs among docs with NO sub-cap gram (exact\n"
-            "  boilerplate copies) are left to exact_dedup. Char\n"
-            "  trigrams stay the right unit only for SHORT strings\n"
-            "  (alphabet^3 universe saturates on long docs at corpus\n"
-            "  scale).\n"
+            "  (p99 cap ~310 here, enabled because max df = 300k >> 10x\n"
+            "  the tail) and drops corpus-frequent grams from candidate\n"
+            "  generation, bounding the join out of the box — same\n"
+            "  output as the previous hand-picked 20k cap. The\n"
+            "  documented recall trade: pairs among docs with NO\n"
+            "  sub-cap gram (exact boilerplate copies) are left to\n"
+            "  exact_dedup. Char trigrams stay the right unit only for\n"
+            "  SHORT strings (alphabet^3 universe saturates on long\n"
+            "  docs at corpus scale). Timing spread: 59 s (pinned cap)\n"
+            "  / 75 s (auto: +1 profile scan) in dedicated idle JVMs;\n"
+            "  in-sweep values run up to ~2x higher — the same\n"
+            "  HOF-tier heap-context sensitivity the JVM-sizing note\n"
+            "  documents. The auto profile deliberately runs on an\n"
+            "  UNPERSISTED plan: materializing the operator's tracked\n"
+            "  gram cache before the join compiles fed exact\n"
+            "  InMemoryRelation stats to the planner and flipped a\n"
+            "  verify join into a multi-hundred-MB broadcast build\n"
+            "  (58 s -> 207 s; round-8 fix).\n"
+            "\nRound-8 rows:\n"
+            "- `knn_join_pq` is the PQ-COMPRESSED form of\n"
+            "  `knn_join_ivf` (same 30k x 3M join, nprobe 4/256,\n"
+            "  shard 8): the scoring cogroup ships 16-byte packed PQ\n"
+            "  codes instead of 520-byte serialized float arrays —\n"
+            "  measured shuffle-write 1460 MB vs 3662 MB (2.5x less;\n"
+            "  the residual volume is the probe side's replicated\n"
+            "  query vectors, shared by both paths — at production\n"
+            "  corpus:probe ratios the corpus side dominates and the\n"
+            "  drop approaches the 32x payload ratio). ADC scores are\n"
+            "  computed as dots against the per-cell PQ reconstruction\n"
+            "  through the same cache-blocked BLAS (a per-query LUT\n"
+            "  gather kernel measured 26x slower per block); the\n"
+            "  k*oversample survivors are exactly rescored against the\n"
+            "  raw vectors via broadcast joins. Extra time vs raw\n"
+            "  (27 s vs 16 s) = candidate-cut aggregate + rescore —\n"
+            "  the memory-for-time trade the 100 TB join wants.\n"
+            "- `minhash_incremental` near-dup-dedups a 1.5M-doc shard\n"
+            "  against a PERSISTED 1.5M-signature index: band buckets\n"
+            "  recomputed from stored signatures (historical TEXT is\n"
+            "  never read), (band,bucket) equi-join, signature-only\n"
+            "  verify; index build (one signature pass) untimed, the\n"
+            "  persisted-artifact shape.\n"
         )
     spark.stop()
 
