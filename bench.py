@@ -123,6 +123,7 @@ def _tree_rss_mb() -> int:
 
 
 def main() -> None:
+    load_avg_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ezdata_spark.cache import release_caches
     from ezdata_spark.queries import QUERIES
@@ -214,7 +215,10 @@ def main() -> None:
             if ref_sec
             else None
         ),
-        "load_avg": [round(x, 2) for x in os.getloadavg()],
+        # start-of-run load is the idleness evidence (the run's own
+        # 32-thread work dominates the end-of-run averages)
+        "load_avg_start": load_avg_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors
