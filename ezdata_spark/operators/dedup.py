@@ -347,8 +347,8 @@ def hamming_near_dup(
             f"bands={nb} must exceed max_distance={max_distance} for "
             "pigeonhole completeness"
         )
-    if not 2 <= nb <= 64:
-        raise ValueError(f"bands={nb} out of range [2, 64]")
+    if not 1 <= nb <= 64:
+        raise ValueError(f"bands={nb} out of range [1, 64]")
     # band i covers bits [offs[i], offs[i] + width_i): equal splits,
     # remainder spread over the first bands
     base, extra = divmod(64, nb)
@@ -359,9 +359,12 @@ def hamming_near_dup(
         widths.append(w_i)
         o += w_i
     offs_sql = "array(" + ",".join(str(x) for x in offs) + ")"
-    # mask = (1 << width) - 1 precomputed per band (shiftleft(1, 64)
-    # would wrap; widths here are < 64 since nb >= 2)
-    masks_sql = "array(" + ",".join(str((1 << w_i) - 1) + "L" for w_i in widths) + ")"
+    # mask = (1 << width) - 1 precomputed per band; the width-64 band
+    # (max_distance=0, one band = exact fingerprint equality) is all
+    # bits, i.e. -1 as a signed long — (1<<64)-1 overflows the literal
+    masks_sql = "array(" + ",".join(
+        (str((1 << w_i) - 1) if w_i < 64 else "-1") + "L" for w_i in widths
+    ) + ")"
     h = F.col(hash_col)
     banded = _fan_out(df).select(
         id_col,

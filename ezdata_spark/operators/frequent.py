@@ -47,7 +47,7 @@ def heavy_hitters(
     summary_size: int | None = None,
     count_col: str = "n",
     materialize: bool = True,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, int]":
     """Exact top-``k`` most frequent values of ``df[col]`` with their
     exact counts, ordered by (count desc, value asc). NULLs (and NaNs
     for floating columns) are excluded.
@@ -64,14 +64,16 @@ def heavy_hitters(
     aggregate anyway, so the default returns a LOCAL (already
     materialized) k-row DataFrame — re-running the two-pass plan on
     every downstream action would re-scan the corpus for a k-row
-    result. ``materialize=False`` returns the LAZY candidates-only
-    aggregate plan instead (self-contained: the collected candidate
-    values ride a broadcast-joined literal frame), with the error
-    bound attached as ``.heavy_hitters_bound`` metadata — the summary
-    scan still runs eagerly (the candidates define the plan), but the
-    corpus-sized exact pass defers to the caller's action, and NO
-    guarantee check or exact fallback runs: the caller owns verifying
-    ``kth_count > heavy_hitters_bound`` if exactness matters.
+    result. ``materialize=False`` returns ``(plan, bound)``: the LAZY
+    candidates-only aggregate plan (self-contained: the collected
+    candidate values ride a broadcast-joined literal frame) plus the
+    Misra-Gries error bound D as a plain int — a tuple, not a
+    DataFrame attribute, so composing/caching the plan cannot silently
+    lose the bound. The summary scan still runs eagerly (the
+    candidates define the plan), but the corpus-sized exact pass
+    defers to the caller's action, and NO guarantee check or exact
+    fallback runs: the caller owns verifying ``kth_count > bound`` if
+    exactness matters.
     """
     import numpy as np
     import pandas as pd
@@ -138,8 +140,7 @@ def heavy_hitters(
                 .orderBy(F.col(count_col).desc(), F.col("value").asc())
                 .limit(k)
             )
-            lazy.heavy_hitters_bound = D
-            return lazy
+            return lazy, int(D)
         cand = summ.where(~F.col("is_bound")).select("value").distinct()
         counts = (
             src.join(F.broadcast(cand), "value", "left_semi")

@@ -906,7 +906,12 @@ def _knn_join_pq(
             for r in range(best_s.shape[0]):
                 out_l.append(lids[ls + r])
                 out_s.append(
-                    [(-float(s), rid.item()) for s, rid in zip(best_s[r], best_r[r])]
+                    [
+                        # .item() only for numpy scalars: string ids come
+                        # through as plain Python str in the object array
+                        (-float(s), rid.item() if hasattr(rid, "item") else rid)
+                        for s, rid in zip(best_s[r], best_r[r])
+                    ]
                 )
         return pd.DataFrame({left_id: out_l, "top": out_s})
 
@@ -933,11 +938,19 @@ def _knn_join_pq(
     # billion-row left tables broadcast stops fitting — there, rescore
     # inside a second cogroup instead; this operator targets the
     # bounded-left join.
+    # zero-norm guard matches the raw kernel's nrm[nrm==0]=1.0: an
+    # all-zero query must score 0.0, not 0/0=NaN (NaN sorts above every
+    # double in the descending window and would diverge from raw/oracle)
+    qn = _norm(F.col("qv"))
     resc = (
         indexed_corpus.select(right_id, "v")
         .join(F.broadcast(cand), right_id)
         .join(F.broadcast(lf), left_id)
-        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / _norm(F.col("qv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("v"), F.col("qv"))
+            / F.when(qn == 0, F.lit(1.0)).otherwise(qn),
+        )
     )
     if round_ndigits is not None:
         # SQL ROUND (half-away) — same cross-engine ranking contract as

@@ -2486,9 +2486,11 @@ def q138(spark, sf_dir):
     from .functions.media_codecs import encode_bmp
     from .operators.multimodal import IMAGE_SCHEMA, image_near_dup
 
+    # ordered limit: a bare limit() takes whatever rows arrive first,
+    # making the fixture (hence the output) partition-layout-dependent
     ids = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
-    ).limit(150)
+    ).orderBy("id").limit(150)
 
     def gen(batches):
         import numpy as np
@@ -2618,9 +2620,11 @@ def q100(spark, sf_dir):
     )
     from .operators.multimodal import IMAGE_SCHEMA, audio_features, image_features
 
+    # ordered limit: a bare limit() takes whatever rows arrive first,
+    # making the fixture (hence the output) partition-layout-dependent
     ids = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
-    ).limit(200)
+    ).orderBy("id").limit(200)
 
     def gen(batches):
         import numpy as np
@@ -3914,9 +3918,11 @@ def q133(spark, sf_dir):
     from .functions.media_codecs import encode_wav
     from .operators.multimodal import audio_metadata
 
+    # ordered limit: a bare limit() takes whatever rows arrive first,
+    # making the fixture (hence the output) partition-layout-dependent
     ids = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
-    ).limit(150)
+    ).orderBy("id").limit(150)
 
     def gen(batches):
         import numpy as np

@@ -315,20 +315,21 @@ def main() -> None:
         minhash_signatures,
     )
 
-    hist_docs = docs.filter(F.col("doc_id") % 2 == 0)
-    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
-    mh_t0 = time.perf_counter()
-    mh_idx = minhash_signatures(hist_docs, "text", "doc_id").persist()
-    mh_idx.write.format("noop").mode("overwrite").save()
-    print(f"{'(minhash index build)':24s} {time.perf_counter() - mh_t0:7.2f}s")
-    run(
-        "minhash_incremental",
-        lambda: minhash_dedup_incremental(
-            batch_docs, history_signatures=mh_idx, threshold=0.8
-        )[0],
-        rows_in=doc_n // 2,
-    )
-    mh_idx.unpersist()
+    if only is None or "minhash_incremental" in only:
+        hist_docs = docs.filter(F.col("doc_id") % 2 == 0)
+        batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+        mh_t0 = time.perf_counter()
+        mh_idx = minhash_signatures(hist_docs, "text", "doc_id").persist()
+        mh_idx.write.format("noop").mode("overwrite").save()
+        print(f"{'(minhash index build)':24s} {time.perf_counter() - mh_t0:7.2f}s")
+        run(
+            "minhash_incremental",
+            lambda: minhash_dedup_incremental(
+                batch_docs, history_signatures=mh_idx, threshold=0.8
+            )[0],
+            rows_in=doc_n // 2,
+        )
+        mh_idx.unpersist()
     from ezdata_spark.operators.layout import zorder_layout
 
     run(
@@ -387,7 +388,7 @@ def main() -> None:
         enc_p.write.format("noop").mode("overwrite").save()
         run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
         enc_p.unpersist()
-    if only is None or "knn_join_ivf" in only:
+    if only is None or {"knn_join_ivf", "knn_join_pq"} & only:
         # embedding kNN JOIN: large left x large right through the IVF
         # cell equi-join (never a cross join). Balanced candidate
         # volume would be |L| * |R| * nprobe / n_cells (~1.4G dots at
@@ -430,24 +431,26 @@ def main() -> None:
         # survivors are exactly rescored against the raw vectors via a
         # narrow id join. Encode is untimed build (the persisted-
         # artifact shape, like ivf_index); shuffle_mb deltas pin the
-        # exchange-volume drop vs the raw row above.
-        from ezdata_spark.operators.similarity import ivf_pq_encode, pq_train
+        # exchange-volume drop vs the raw row above. The eager
+        # train/encode builds only run when this row is selected.
+        if only is None or "knn_join_pq" in only:
+            from ezdata_spark.operators.similarity import ivf_pq_encode, pq_train
 
-        pq_cbs = pq_train(emb, m=16, k=256,
-                          sample_fraction=50_000 / vec_n, sample_rows=20_000)
-        enc_t0 = time.perf_counter()
-        pq_corpus = ivf_pq_encode(ivf_p, pq_cbs).persist()
-        pq_corpus.write.format("noop").mode("overwrite").save()
-        print(f"{'(ivf_pq_encode build)':24s} {time.perf_counter() - enc_t0:7.2f}s")
-        sb0 = _shuffle_write_bytes(spark)
-        run("knn_join_pq",
-            knn_join(knn_left, pq_corpus, cents, k=10, nprobe=4, shard_corpus=8,
-                     pq_codebooks=pq_cbs, pq_oversample=4),
-            rows_in=vec_n // 100)
-        sb1 = _shuffle_write_bytes(spark)
-        if sb0 is not None and sb1 is not None and "knn_join_pq" in results:
-            results["knn_join_pq"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
-        pq_corpus.unpersist()
+            pq_cbs = pq_train(emb, m=16, k=256,
+                              sample_fraction=50_000 / vec_n, sample_rows=20_000)
+            enc_t0 = time.perf_counter()
+            pq_corpus = ivf_pq_encode(ivf_p, pq_cbs).persist()
+            pq_corpus.write.format("noop").mode("overwrite").save()
+            print(f"{'(ivf_pq_encode build)':24s} {time.perf_counter() - enc_t0:7.2f}s")
+            sb0 = _shuffle_write_bytes(spark)
+            run("knn_join_pq",
+                knn_join(knn_left, pq_corpus, cents, k=10, nprobe=4, shard_corpus=8,
+                         pq_codebooks=pq_cbs, pq_oversample=4),
+                rows_in=vec_n // 100)
+            sb1 = _shuffle_write_bytes(spark)
+            if sb0 is not None and sb1 is not None and "knn_join_pq" in results:
+                results["knn_join_pq"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+            pq_corpus.unpersist()
         ivf_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
     if only is None or "lsh_probe_indexed" in only:

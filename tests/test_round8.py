@@ -620,6 +620,52 @@ def test_knn_join_pq_shard_equivalence(pq_fixture):
     assert sharded == base
 
 
+def test_knn_join_pq_string_ids_and_zero_norm(spark):
+    """Review regressions: (a) string id columns must survive the PQ
+    kernel's struct emission; (b) an all-zero query vector must score
+    0.0 (not 0/0 = NaN) in the exact rescore, matching the raw path."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_encode,
+        knn_join,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(f"v{i:03d}", rng.randn(16).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    left_rows = [("qzero", [0.0] * 16)] + [
+        (f"q{i}", rng.randn(16).tolist()) for i in range(3)
+    ]
+    left = spark.createDataFrame(left_rows, "doc_id string, embedding array<double>")
+    indexed, cents = ivf_index(emb, n_cells=2)
+    cb = pq_train(emb, m=4, k=16)
+    enc = ivf_pq_encode(indexed, cb, assign="numpy")
+    got = knn_join(
+        left, enc, cents, k=3, nprobe=2, left_id="doc_id", right_id="vec_id",
+        pq_codebooks=cb, pq_oversample=4,
+    ).collect()
+    assert {r.doc_id for r in got} == {"qzero", "q0", "q1", "q2"}
+    zero_rows = [r for r in got if r.doc_id == "qzero"]
+    assert zero_rows and all(r.cosine == 0.0 for r in zero_rows)  # never NaN
+
+
+def test_hamming_near_dup_distance_zero(spark):
+    """max_distance=0 (exact fingerprint duplicates) must work with the
+    default single band — the full-width mask is -1L, not a 2^64
+    literal."""
+    from ezdata_spark.operators.dedup import hamming_near_dup
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, -7), (3, -7), (4, 9)], "id long, h long"
+    )
+    got = {(r.id_a, r.id_b, r.distance)
+           for r in hamming_near_dup(df, "h", "id", max_distance=0).collect()}
+    assert got == {(0, 1, 0), (2, 3, 0)}
+
+
 # ------------------------------------------------------- heavy_hitters flag
 def test_heavy_hitters_lazy_matches_materialized(spark):
     from pyspark.sql import functions as F
@@ -632,14 +678,14 @@ def test_heavy_hitters_lazy_matches_materialized(spark):
         )
     )
     eager = heavy_hitters(df, "tok", k=8)
-    lazy = heavy_hitters(df, "tok", k=8, materialize=False)
-    assert hasattr(lazy, "heavy_hitters_bound")
-    assert lazy.heavy_hitters_bound >= 0
+    lazy, bound = heavy_hitters(df, "tok", k=8, materialize=False)
+    assert bound >= 0
     got_e = [(r.value, r.n) for r in eager.collect()]
     got_l = [(r.value, r.n) for r in lazy.collect()]
     assert got_e == got_l
     # lazy plan is composable: a further transformation works without
-    # re-running the summary pass driver-side
+    # re-running the summary pass driver-side (and the bound, being a
+    # plain int, cannot be lost by the composition)
     assert lazy.filter(F.col("n") > 0).count() == 8
 
 
@@ -652,7 +698,7 @@ def test_heavy_hitters_lazy_bound_guarantee(spark):
     df = spark.range(5_000).select(
         F.pmod(F.col("id"), F.lit(5)).cast("string").alias("tok")
     )
-    lazy = heavy_hitters(df, "tok", k=3, summary_size=64, materialize=False)
+    lazy, bound = heavy_hitters(df, "tok", k=3, summary_size=64, materialize=False)
     rows = lazy.collect()
     assert rows[0].n >= rows[-1].n
-    assert rows[-1].n > lazy.heavy_hitters_bound  # caller-side exactness check
+    assert rows[-1].n > bound  # caller-side exactness check
