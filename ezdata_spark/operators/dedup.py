@@ -64,7 +64,11 @@ def _fan_out(df: DataFrame) -> DataFrame:
     many-core executor; the shuffle of the raw rows costs far less than
     the single-threaded hashing. At real scale (many files / row
     groups) the input already has enough partitions and this is a no-op.
+    Streaming frames pass through untouched (no .rdd on a stream; the
+    micro-batch source picks its own parallelism).
     """
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -286,6 +290,78 @@ def minhash_dedup_incremental(
     dropped = dup.select(F.col("id_b").alias(id_col)).distinct()
     survivors = batch.join(dropped, id_col, "left_anti")
     return survivors, all_sigs
+
+
+def minhash_match_stream(
+    docs: DataFrame,
+    index_signatures: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """STREAMING near-dup screen: match events for documents arriving
+    on a stream against a STATIC persisted MinHash signature index —
+    the online form of :func:`minhash_dedup_incremental` (ingest-time
+    filtering instead of end-of-day snapshots).
+
+    Fully STATELESS (append-mode safe, no watermark, no state store):
+    signature + band buckets are pure projections, candidates come
+    from a stream-static equi-join on (band, bucket), and verification
+    is a projection over the joined signature pair. Emits one match
+    event ``(id_col, match_id, jaccard_est)`` per MATCHING BAND — a
+    pair sharing several bands emits several identical events;
+    downstream either tolerates duplicates (any match means "drop") or
+    applies ``dropDuplicates([id_col, 'match_id'])`` with a watermark.
+    Batch parity: distinct events == the batch-vs-index dup pairs of
+    ``minhash_dedup_incremental`` (pinned by pytest).
+
+    Works identically on a batch frame (the join becomes an ordinary
+    equi-join), so one pipeline definition serves both modes.
+    """
+    rpb = num_hashes // bands
+
+    def bands_with_sig(sig_frame, out_id, sig_alias):
+        # band expansion CARRYING the signature: the verify step must
+        # not join back to the signature frame — on the stream side
+        # that would be a stream-stream self-join (stateful, needs
+        # watermarks); one projection keeps the whole op stateless
+        return sig_frame.select(
+            F.col(id_col).alias(out_id), F.col("signature").alias(sig_alias)
+        ).select(
+            out_id,
+            sig_alias,
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        ).select(
+            out_id,
+            sig_alias,
+            "band",
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig_alias, F.col("band") * rpb + 1, rpb),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        )
+
+    sigs = minhash_signatures(docs, text, id_col, num_hashes, shingle_n)
+    s_bands = bands_with_sig(sigs, id_col, "sig_s")
+    i_bands = bands_with_sig(index_signatures, "match_id", "sig_h")
+    est = (
+        F.size(F.filter(F.zip_with("sig_s", "sig_h", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes)
+    )
+    return (
+        s_bands.join(i_bands, ["band", "bucket"])
+        .withColumn("jaccard_est", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .select(id_col, "match_id", "jaccard_est")
+    )
 
 
 def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:

@@ -2517,6 +2517,28 @@ def q138(spark, sf_dir):
     return image_near_dup(media, method="dhash", max_distance=6)
 
 
+@query("z139_minhash_match_stream")
+def q139(spark, sf_dir):
+    """Ingest-time near-dup screen (dedup.py::minhash_match_stream):
+    match EVENTS for an arriving shard (doc_id % 3 == 1) against the
+    static MinHash signature index of the history partition — the
+    STATELESS streaming form (signature + band buckets are pure
+    projections; candidates are a stream-static (band, bucket)
+    equi-join; verification is a projection), run here in its
+    identical batch mode. Stream == batch parity is pinned by
+    tests/test_round8.py::test_minhash_match_stream_equals_batch;
+    rows-only (Spark-hash signatures are not SQL-expressible)."""
+    from .operators.dedup import minhash_match_stream, minhash_signatures
+
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 1)
+    idx = minhash_signatures(hist, "text", "doc_id")
+    return minhash_match_stream(shard, idx, threshold=0.7).select(
+        "doc_id", "match_id"
+    ).distinct()
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

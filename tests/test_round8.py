@@ -549,6 +549,77 @@ def test_minhash_incremental_first_snapshot_no_history(spark):
     release_caches()
 
 
+def test_minhash_match_stream_equals_batch(spark, tmp_path):
+    """minhash_match_stream under Structured Streaming append mode must
+    emit the same DISTINCT (doc, match) events as the batch form, and
+    those must equal minhash_dedup_incremental's batch-vs-index dup
+    pairs (one pipeline definition, both modes)."""
+    import pandas as pd
+
+    from ezdata_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_match_stream,
+        minhash_signatures,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today again"),
+         (1, "completely different content about distributed query engines")],
+        "doc_id long, text string",
+    )
+    idx = minhash_signatures(hist, "text", "doc_id", 32, 3)
+    idx = spark.createDataFrame(idx.collect(), idx.schema)  # "persisted"
+
+    batch_rows = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today again",  # dup of 0
+                "fresh topic entirely new words appear here only once",
+                "completely different content about distributed query systems",  # near 1
+            ],
+        }
+    )
+    src = str(tmp_path / "shard.parquet")
+    batch_rows.to_parquet(src)
+    batch_df = spark.read.parquet(src)
+    kw = dict(threshold=0.7, num_hashes=32, bands=16, shingle_n=3)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .format("parquet")
+        .load(str(tmp_path) + "/*.parquet")
+    )
+    q = (
+        minhash_match_stream(stream, idx, **kw)
+        .writeStream.format("memory")
+        .queryName("mh_match_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        (r.doc_id, r.match_id)
+        for r in spark.sql("select * from mh_match_stream").collect()
+    }
+    got_batch = {
+        (r.doc_id, r.match_id)
+        for r in minhash_match_stream(batch_df, idx, **kw).collect()
+    }
+    assert got_stream == got_batch
+    assert (10, 0) in got_stream  # the exact copy always matches
+
+    # parity with the snapshot operator: its dropped-vs-index pairs are
+    # exactly the match events (batch side of the incremental op)
+    from ezdata_spark.cache import release_caches
+
+    surv, _ = minhash_dedup_incremental(batch_df, history_signatures=idx, **kw)
+    surv_ids = {r.doc_id for r in surv.collect()}
+    release_caches()
+    assert surv_ids == {10, 11, 12} - {d for d, _ in got_stream}
+
+
 # ------------------------------------------------------ IVF-PQ kNN join
 @pytest.fixture(scope="module")
 def pq_fixture(spark, sf_dir):
