@@ -2539,6 +2539,31 @@ def q139(spark, sf_dir):
     ).distinct()
 
 
+@query("z140_opq_ann")
+def q140(spark, sf_dir):
+    """OPQ-rotated ADC search (similarity.py::opq_train — Ge et al.
+    CVPR'13 alternating Procrustes/Lloyd): learn the orthogonal
+    rotation + codebooks on a driver-bounded sample, rotate corpus and
+    queries with one Arrow-batched matmul (cosines preserved —
+    rotation is orthogonal), then the standard pq_encode / pq_topk ADC
+    scan + exact rescore on the rotated frames. Rows-only (codebooks /
+    rotation are trained artifacts); pytest pins R's orthogonality,
+    the quantization-MSE win vs plain PQ on anisotropic data, and
+    recall parity end-to-end."""
+    from .operators.similarity import opq_train, pq_encode, pq_topk, rotate_vectors
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") % 40 == 0).selectExpr(
+        "vec_id as qid", "embedding"
+    )
+    R, cbs = opq_train(emb, m=8, k=16, opq_iters=5, lloyd_iters=10)
+    rcorp = rotate_vectors(emb, R)
+    rq = rotate_vectors(queries, R)
+    return pq_topk(pq_encode(rcorp, cbs), cbs, rq, k=5, oversample=4)
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

@@ -737,6 +737,113 @@ def test_hamming_near_dup_distance_zero(spark):
     assert got == {(0, 1, 0), (2, 3, 0)}
 
 
+# ----------------------------------------------------------------- OPQ
+def _aniso_frame(spark, n=1200, dim=32, seed=9):
+    """Anisotropic embeddings (decaying spectrum + random rotation) —
+    the realistic encoder-output shape where OPQ beats plain PQ."""
+    rng = np.random.RandomState(seed)
+    scales = np.exp(-np.arange(dim) / 6.0)
+    q, _ = np.linalg.qr(rng.randn(dim, dim))
+    X = (rng.randn(n, dim) * scales) @ q
+    rows = [(i, X[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), X
+
+
+def test_opq_rotation_orthogonal_and_better_mse(spark):
+    from ezdata_spark.operators.similarity import (
+        _encode_np,
+        _reconstruct_np,
+        opq_train,
+        pq_train,
+    )
+
+    df, _ = _aniso_frame(spark)
+    m, k = 8, 16
+    R, ocbs = opq_train(df, m=m, k=k, opq_iters=8, lloyd_iters=10)
+    Rm = np.asarray(R)
+    np.testing.assert_allclose(Rm @ Rm.T, np.eye(Rm.shape[0]), atol=1e-8)
+
+    pcbs = pq_train(df, m=m, k=k, iters=10)
+    # quantization MSE on the (normalized) sample, same bytes/vector
+    from ezdata_spark.operators.similarity import _train_sample
+
+    X = _train_sample(df, "embedding", 42, None, 100_000)
+    P = np.asarray(pcbs)
+    mse_pq = ((X - _reconstruct_np(_encode_np(X, P), P)) ** 2).mean()
+    O = np.asarray(ocbs)
+    XR = X @ Rm
+    mse_opq = ((XR - _reconstruct_np(_encode_np(XR, O), O)) ** 2).mean()
+    assert mse_opq < mse_pq * 0.9, (mse_opq, mse_pq)
+
+
+def test_rotate_vectors_paths_agree_and_preserve_cosine(spark):
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.similarity import rotate_vectors
+
+    rng = np.random.RandomState(4)
+    q, _ = np.linalg.qr(rng.randn(16, 16))
+    R = q.tolist()
+    df = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {r.vec_id: r.rv for r in
+         rotate_vectors(df, R, out="rv", assign="numpy").collect()}
+    b = {r.vec_id: r.rv for r in
+         rotate_vectors(df, R, out="rv", assign="jvm").collect()}
+    for i in a:
+        np.testing.assert_allclose(a[i], b[i], rtol=1e-12)
+    # orthogonal rotation preserves norms
+    raw = {r.vec_id: r.embedding for r in df.collect()}
+    for i in a:
+        assert np.linalg.norm(a[i]) == pytest.approx(np.linalg.norm(raw[i]))
+
+
+def test_opq_end_to_end_recall_not_worse(spark):
+    """IVF-free ADC search with OPQ codebooks on the anisotropic
+    fixture: recall@10 vs exact must be >= plain PQ's recall (modulo a
+    small tolerance for tie noise)."""
+    from ezdata_spark.operators.similarity import (
+        cosine_topk,
+        opq_train,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        rotate_vectors,
+    )
+
+    df, _ = _aniso_frame(spark, n=800, dim=32)
+    queries = df.filter(F_col_mod(df, 80)).selectExpr(
+        "vec_id as qid", "embedding"
+    )
+    exact = {(r.qid, r.vec_id) for r in
+             cosine_topk(df, queries, k=10).collect()}
+
+    m, k = 8, 16
+    pcbs = pq_train(df, m=m, k=k, iters=10)
+    got_pq = {(r.qid, r.vec_id) for r in
+              pq_topk(pq_encode(df, pcbs), pcbs, queries,
+                      k=10, oversample=4).collect()}
+
+    R, ocbs = opq_train(df, m=m, k=k, opq_iters=6, lloyd_iters=10)
+    rdf = rotate_vectors(df, R)
+    rq = rotate_vectors(queries, R)
+    got_opq = {(r.qid, r.vec_id) for r in
+               pq_topk(pq_encode(rdf, ocbs), ocbs, rq,
+                       k=10, oversample=4).collect()}
+    r_pq = len(exact & got_pq) / len(exact)
+    r_opq = len(exact & got_opq) / len(exact)
+    assert r_opq >= r_pq - 0.02, (r_opq, r_pq)
+    assert r_opq >= 0.7
+
+
+def F_col_mod(df, mod):
+    from pyspark.sql import functions as F
+
+    return F.col("vec_id") % mod == 0
+
+
 # ------------------------------------------------------- heavy_hitters flag
 def test_heavy_hitters_lazy_matches_materialized(spark):
     from pyspark.sql import functions as F
