@@ -81,13 +81,23 @@ HEADLINE = [
     "q59a_heavy_hitters",    # Misra-Gries candidates -> exact top-k
 ]
 
-# Fixed reference for cross-run normalization: q01 is untouched since
-# round 1 and dominated by scan+filter+codegen (no Python boundary), so
-# its same-run median tracks ambient machine speed. BASELINE.md and
-# round-over-round comparisons should read `queries_normalized`
-# (sec / ref_sec) when the ±20-30 % ambient drift documented in
-# BASELINE.md would otherwise swamp per-query deltas.
-REF_QUERY = "q01_selectwhere"
+# Fixed reference BASKET for cross-run normalization: four queries
+# untouched since round 1, JVM-only (scan/filter/codegen, hash agg,
+# broadcast joins — no Python boundary), whose summed same-run medians
+# track ambient machine speed. A basket, not a single query: one
+# sub-second median swings ±50% run-to-run (q01 measured 0.165 / 0.215
+# / 0.319 s across three idle runs), far too noisy for a divisor.
+# BASELINE.md and round-over-round comparisons should read
+# `queries_normalized` (sec / ref_sec) when the ±20-40 % ambient drift
+# documented in BASELINE.md would otherwise swamp per-query deltas
+# (basket sums: 1.311 r6, 1.661 r7 — divide out the host, compare the
+# ratios).
+REF_QUERIES = (
+    "q01_selectwhere",
+    "q02_evalexpr",
+    "q13_groupby_pricing",
+    "q21_join_multihop",
+)
 
 
 def _tree_rss_mb() -> int:
@@ -194,7 +204,8 @@ def main() -> None:
         sf = float(sf_raw)
     except ValueError:
         sf = None  # non-standard dir name: still emit the JSON line
-    ref_sec = timings.get(REF_QUERY)
+    ref_parts = [timings[n] for n in REF_QUERIES if n in timings]
+    ref_sec = round(sum(ref_parts), 3) if len(ref_parts) == len(REF_QUERIES) else None
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -208,7 +219,7 @@ def main() -> None:
         # query self-normalize ambient machine drift out of
         # round-over-round comparisons; the load averages say whether
         # the host was busy while this run timed queries
-        "ref_query": REF_QUERY,
+        "ref_queries": list(REF_QUERIES),
         "ref_sec": ref_sec,
         "queries_normalized": (
             {n: round(s / ref_sec, 2) for n, s in timings.items()}
