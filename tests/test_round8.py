@@ -844,6 +844,42 @@ def F_col_mod(df, mod):
     return F.col("vec_id") % mod == 0
 
 
+def test_opq_composes_with_pq_knn_join(spark):
+    """IVF-OPQ-PQ end to end: rotate corpus and left side with the same
+    R, ivf_index + ivf_pq_encode + knn_join(pq_codebooks=...) on the
+    rotated frames — results must equal the UNROTATED raw join's
+    neighbour sets (rotation is orthogonal; full probe + generous
+    oversample makes the PQ cut lossless on this fixture)."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.similarity import (
+        ivf_index,
+        ivf_pq_encode,
+        knn_join,
+        opq_train,
+        rotate_vectors,
+    )
+
+    df, _ = _aniso_frame(spark, n=400, dim=32, seed=13)
+    left = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    raw_idx, raw_cents = ivf_index(df, n_cells=4)
+    raw = {(r.doc_id, r.vec_id) for r in
+           knn_join(left, raw_idx, raw_cents, k=5, nprobe=4).collect()}
+
+    R, cbs = opq_train(df, m=8, k=64, opq_iters=5, lloyd_iters=10)
+    rdf = rotate_vectors(df, R)
+    rleft = rotate_vectors(left, R)
+    idx, cents = ivf_index(rdf, n_cells=4)
+    enc = ivf_pq_encode(idx, cbs, assign="numpy")
+    got = {(r.doc_id, r.vec_id) for r in
+           knn_join(rleft, enc, cents, k=5, nprobe=4,
+                    pq_codebooks=cbs, pq_oversample=20).collect()}
+    recall = len(raw & got) / len(raw)
+    assert recall >= 0.95, recall
+
+
 # ------------------------------------------------------- heavy_hitters flag
 def test_heavy_hitters_lazy_matches_materialized(spark):
     from pyspark.sql import functions as F
