@@ -2564,6 +2564,25 @@ def q140(spark, sf_dir):
     return pq_topk(pq_encode(rcorp, cbs), cbs, rq, k=5, oversample=4)
 
 
+@query("z141_simhash_neardup")
+def q141(spark, sf_dir):
+    """SimHash near-duplicate pairs — the classic web-dedup pipeline
+    (Manku, Jarlin & Sarma, WWW'07): 64-bit token-vote fingerprints
+    (dedup.py::simhash, one pass, no shuffle) self-joined with the
+    pigeonhole-complete Hamming band index (dedup.py::
+    hamming_near_dup: d differing bits corrupt at most d of the
+    bands > d disjoint bit-slices, so every pair within distance d
+    shares an exact slice — candidates are a bucketed equi-join, never
+    all-pairs; verification is one bit_count(a^b)). Rows-only
+    (Spark-hash fingerprints); the band join is brute-force-verified
+    by tests/test_round8.py::test_hamming_near_dup_matches_brute_force."""
+    from .operators.dedup import hamming_near_dup, simhash
+
+    docs = load(spark, sf_dir, "documents")
+    fps = simhash(docs, "text", "doc_id")
+    return hamming_near_dup(fps, "simhash", "doc_id", max_distance=6)
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:
