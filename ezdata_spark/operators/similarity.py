@@ -565,8 +565,13 @@ def ivf_pq_encode(
     import pandas as pd
 
     CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
-    c2 = (CB * CB).sum(axis=2)  # (m, n_codes)
+    kernel = _pq_block_assign(CB)
     as_bytes = n_codes <= 256
+    # re-encoding after a codebook retrain: an existing 'codes' column is
+    # REPLACED (same semantics as the JVM path's withColumn), so the
+    # output schema carries exactly one 'codes' field, appended last
+    in_fields = [f for f in indexed_corpus.schema.fields if f.name != "codes"]
+    in_names = [f.name for f in in_fields]
 
     def _enc(batches):
         for b in batches:
@@ -574,14 +579,8 @@ def ivf_pq_encode(
                 continue
             V = np.stack(b[vec_col].to_numpy()).astype(np.float64)
             n = V.shape[0]
-            Vs = V.reshape(n, m, dsub)
-            codes = np.empty((n, m), dtype=np.int32)
-            for j in range(m):
-                # argmin ||x - c||^2 == argmin(-2 x.c + ||c||^2): the
-                # ||x||^2 term is constant per row; first-minimal-index
-                # tie rule matches the JVM array_position path
-                codes[:, j] = (-2.0 * (Vs[:, j] @ CB[j].T) + c2[j]).argmin(axis=1)
-            out = b.copy()
+            codes = kernel(V)
+            out = b[in_names].copy()
             if as_bytes:
                 flat = codes.astype(np.uint8).tobytes()
                 out["codes"] = [flat[i * m:(i + 1) * m] for i in range(n)]
@@ -589,11 +588,11 @@ def ivf_pq_encode(
                 out["codes"] = list(codes)
             yield out
 
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in indexed_corpus.schema.fields
-    )
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_fields)
     code_t = "binary" if as_bytes else "array<int>"
-    return indexed_corpus.mapInPandas(_enc, f"{schema}, codes {code_t}")
+    return indexed_corpus.select(*in_names).mapInPandas(
+        _enc, f"{schema}, codes {code_t}"
+    )
 
 
 def knn_join(
@@ -610,6 +609,7 @@ def knn_join(
     score_dtype: str = "float64",
     pq_codebooks: list[list[list[float]]] | None = None,
     pq_oversample: int = 4,
+    rescore: str = "broadcast",
 ) -> DataFrame:
     """Embedding k-NN JOIN: for EVERY left row, its top-``k`` cosine
     neighbours in an :func:`ivf_index`-ed corpus. The table-scale
@@ -672,6 +672,31 @@ def knn_join(
     full probing and sufficient oversample the result equals the raw
     path (the true top-k survive the ADC cut) — the oracle-checked
     form; recall under small oversample is pinned by pytest.
+
+    ``rescore`` (PQ path only) picks how the exact rescore of the ADC
+    survivors reaches the raw vectors:
+
+    - ``'broadcast'`` (default): the candidate id pairs and the LEFT
+      vectors broadcast; the corpus raw column is probed in place.
+      Lowest latency, but BOTH broadcasts scale with the left table —
+      this mode requires a BOUNDED left side (batch queries, a day's
+      shard). At billion-row left tables the broadcasts stop fitting
+      in executor/driver memory: use ``'cogroup'``.
+    - ``'cogroup'``: nothing broadcasts (except the tiny probed-cell
+      id list used to prune untouched corpus cells). The global ADC
+      cut keeps each survivor's IVF cell; survivors regroup into ONE
+      row per (left, cell) carrying the candidate-id array (so the
+      left vector transits the rescore exchange at most ``nprobe``
+      times, not k*oversample times), and a second cell-keyed cogroup
+      against the raw corpus column computes the exact cosines with
+      the same blocked-numpy kernel. Memory is flat in BOTH table
+      sizes; the corpus raw column transits one exchange (free when
+      the persisted index is already bucketed by ``cell``).
+      ``shard_corpus`` splits hot cells for the rescore cogroup too.
+      The cosine is evaluated with the exact JVM fold order, so both
+      modes return bit-identical results (pinned by pytest and the
+      same brute-force SQL oracle).
+
     Output: (left_id, right_id, cosine, rank<=k).
     """
     import pandas as pd
@@ -683,7 +708,7 @@ def knn_join(
     if pq_codebooks is not None:
         return _knn_join_pq(
             lf, probes, indexed_corpus, pq_codebooks, k, left_id, right_id,
-            round_ndigits, shard_corpus, pq_oversample,
+            round_ndigits, shard_corpus, pq_oversample, rescore,
         )
     right = indexed_corpus.select("cell", right_id, "v")
     keys = ["cell"]
@@ -816,12 +841,18 @@ def _knn_join_pq(
     round_ndigits: int | None,
     shard_corpus: int,
     oversample: int,
+    rescore: str = "broadcast",
 ) -> DataFrame:
     """PQ-compressed scoring path of :func:`knn_join` (see its
-    ``pq_codebooks`` doc): ADC LUT-gather inside the cogroup over
-    (cell, id, codes) only, global ADC candidate cut, exact JVM rescore
-    of the survivors against the raw vectors."""
+    ``pq_codebooks`` and ``rescore`` docs): ADC LUT-gather inside the
+    cogroup over (cell, id, codes) only, global ADC candidate cut,
+    exact rescore of the survivors against the raw vectors — via
+    broadcast joins (bounded left) or a second cell-keyed cogroup
+    (unbounded left, nothing broadcasts)."""
     import pandas as pd
+
+    if rescore not in ("broadcast", "cogroup"):
+        raise ValueError(f"rescore must be 'broadcast' or 'cogroup', got {rescore!r}")
 
     CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
     m, dsub = CB.shape[0], CB.shape[2]
@@ -845,8 +876,15 @@ def _knn_join_pq(
     # 30k lefts x 4 probes x 8 shards x K=40 the window form sorts
     # 38M shuffled rows, measured as the dominant cost of the whole
     # join. negadc = -adc makes one ascending struct sort give the
-    # (adc desc, rid asc) order the contract ranks on.
-    out_schema = f"{left_id} {lid_t}, top array<struct<negadc: double, rid: {rid_t}>>"
+    # (adc desc, rid asc) order the contract ranks on. Cogroup rescore
+    # needs each survivor's cell for the second cogroup's key; cell is
+    # functionally determined by rid (one cell per corpus row), so
+    # appending it after rid leaves the struct sort order unchanged.
+    with_cell = rescore == "cogroup"
+    cell_f = ", cell: int" if with_cell else ""
+    out_schema = (
+        f"{left_id} {lid_t}, top array<struct<negadc: double, rid: {rid_t}{cell_f}>>"
+    )
 
     CB32 = CB.astype(np.float32)
     dim = m * dsub
@@ -854,6 +892,8 @@ def _knn_join_pq(
     def _adc_score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
             return pd.DataFrame({left_id: [], "top": []})
+        # the cogroup key — constant across the call's rows
+        cell_val = int(lpdf["cell"].iloc[0]) if with_cell else None
         # rid-ascending corpus order: _select_topk_desc breaks exact
         # ADC ties by column index == ascending right_id, so the
         # candidate set is deterministic across shuffle arrival orders
@@ -910,6 +950,7 @@ def _knn_join_pq(
                         # .item() only for numpy scalars: string ids come
                         # through as plain Python str in the object array
                         (-float(s), rid.item() if hasattr(rid, "item") else rid)
+                        + ((cell_val,) if with_cell else ())
                         for s, rid in zip(best_s[r], best_r[r])
                     ]
                 )
@@ -923,35 +964,37 @@ def _knn_join_pq(
     # global candidate cut: each corpus row lives in ONE cell so pairs
     # are unique; merging the nprobe * shard arrays per left is a hash
     # aggregate with no global sort
-    cand = (
-        part.groupBy(left_id)
-        .agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("top"))), 1, K
-            ).alias("top")
-        )
-        .select(left_id, F.explode("top.rid").alias(right_id))
+    merged = part.groupBy(left_id).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, K).alias("top")
     )
-    # exact rescore: survivors only — the raw float column is read IN
-    # PLACE for K rows per left (candidate ids and the left vectors
-    # broadcast; neither corpus vectors nor candidates reshuffle). At
-    # billion-row left tables broadcast stops fitting — there, rescore
-    # inside a second cogroup instead; this operator targets the
-    # bounded-left join.
-    # zero-norm guard matches the raw kernel's nrm[nrm==0]=1.0: an
-    # all-zero query must score 0.0, not 0/0=NaN (NaN sorts above every
-    # double in the descending window and would diverge from raw/oracle)
-    qn = _norm(F.col("qv"))
-    resc = (
-        indexed_corpus.select(right_id, "v")
-        .join(F.broadcast(cand), right_id)
-        .join(F.broadcast(lf), left_id)
-        .withColumn(
-            "cosine",
-            _dot(F.col("v"), F.col("qv"))
-            / F.when(qn == 0, F.lit(1.0)).otherwise(qn),
+    if rescore == "cogroup":
+        resc = _rescore_cogroup(
+            merged, lf, probes, indexed_corpus, left_id, right_id,
+            shard_corpus, lid_t, rid_t,
         )
-    )
+    else:
+        cand = merged.select(left_id, F.explode("top.rid").alias(right_id))
+        # exact rescore, broadcast mode: survivors only — the raw float
+        # column is read IN PLACE for K rows per left (candidate ids and
+        # the left vectors broadcast; neither corpus vectors nor
+        # candidates reshuffle). Both broadcasts scale with the LEFT
+        # table — bounded-left only; rescore='cogroup' is the
+        # unbounded-left form (see knn_join's docstring).
+        # zero-norm guard matches the raw kernel's nrm[nrm==0]=1.0: an
+        # all-zero query must score 0.0, not 0/0=NaN (NaN sorts above
+        # every double in the descending window and would diverge from
+        # raw/oracle)
+        qn = _norm(F.col("qv"))
+        resc = (
+            indexed_corpus.select(right_id, "v")
+            .join(F.broadcast(cand), right_id)
+            .join(F.broadcast(lf), left_id)
+            .withColumn(
+                "cosine",
+                _dot(F.col("v"), F.col("qv"))
+                / F.when(qn == 0, F.lit(1.0)).otherwise(qn),
+            )
+        )
     if round_ndigits is not None:
         # SQL ROUND (half-away) — same cross-engine ranking contract as
         # the raw kernel's explicit rounding
@@ -963,6 +1006,177 @@ def _knn_join_pq(
         resc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(left_id, right_id, "cosine", "rank")
+    )
+
+
+def _rescore_cogroup(
+    merged: DataFrame,
+    lf: DataFrame,
+    probes: DataFrame,
+    indexed_corpus: DataFrame,
+    left_id: str,
+    right_id: str,
+    shard_corpus: int,
+    lid_t: str,
+    rid_t: str,
+) -> DataFrame:
+    """Exact rescore of the ADC survivors with NOTHING broadcast — the
+    unbounded-left form of :func:`knn_join`'s PQ path (its ``rescore``
+    doc). Returns (left_id, right_id, cosine) for every survivor pair.
+
+    Shape: ``merged`` holds one row per left with its K survivors as an
+    array of (negadc, rid, cell) structs. The left vector attaches ONCE
+    per left via a plain equi-join with ``lf`` (Catalyst picks the
+    physical join — sort-merge at scale, memory flat in |L|); a
+    higher-order-function regroup then emits one row per (left, cell)
+    carrying the candidate-id ARRAY, so qv transits the rescore
+    exchange at most nprobe times per left, not K times. The second
+    cogroup keys on cell (+ the same xxhash64 shard split as the ADC
+    stage when ``shard_corpus`` > 1 — a KMeans-hot cell would otherwise
+    serialize the rescore on one task); the corpus raw column transits
+    that exchange once, pruned to probed cells by a broadcast semi-join
+    on the distinct probe-cell ids (bounded by index geometry
+    ~sqrt(corpus), never by data volume). When the persisted IVF-PQ
+    corpus is already bucketed by cell, the corpus side of this
+    exchange is co-located and free.
+
+    The kernel replays Spark's own evaluation order bit-for-bit —
+    dot = sequential fold of v[d]*qv[d] (qv widened first, matching
+    double*float promotion), |qv| = sequential fold of float-precision
+    squares, zero-norm divisor 1.0 — so cogroup mode returns cosines
+    BIT-IDENTICAL to broadcast mode's JVM HOF expressions (pinned by
+    pytest equality and the shared brute-force SQL oracle)."""
+    import pandas as pd
+
+    s = shard_corpus
+    withq = merged.join(lf, left_id)
+    # regroup survivors per probed cell: array_distinct over <=K cells,
+    # then per-cell rid arrays — all inside the row, no extra shuffle
+    per_cell = (
+        withq.select(
+            left_id,
+            "qv",
+            F.explode(
+                F.expr(
+                    "transform(array_distinct(transform(top, x -> x.cell)),"
+                    " c -> struct(c AS cell,"
+                    " transform(filter(top, x -> x.cell = c), x -> x.rid) AS rids))"
+                )
+            ).alias("pc"),
+        )
+        .select(
+            left_id,
+            "qv",
+            F.col("pc.cell").alias("cell"),
+            F.col("pc.rids").alias("rids"),
+        )
+    )
+    corpus_r = indexed_corpus.select("cell", right_id, "v")
+    # prune corpus cells no left row probed (candidate cells are a
+    # subset of probe cells): broadcast of <=n_cells ints — bounded by
+    # the index, not the data
+    corpus_r = corpus_r.join(
+        F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
+    )
+    rkeys = ["cell"]
+    if s > 1:
+        # same rid-hash shard split as the ADC cogroup: both sides
+        # derive the shard from xxhash64(rid), so each candidate pair
+        # lands on exactly one (cell, shard) task
+        per_cell = (
+            per_cell.select(
+                left_id,
+                "qv",
+                "cell",
+                F.explode(
+                    F.expr(
+                        f"filter(transform(sequence(0, {s - 1}),"
+                        f" sh -> struct(sh AS shard,"
+                        f" filter(rids, r -> pmod(xxhash64(r), {s}) = sh) AS rids)),"
+                        " x -> size(x.rids) > 0)"
+                    )
+                ).alias("ps"),
+            )
+            .select(
+                left_id,
+                "qv",
+                "cell",
+                F.col("ps.shard").cast("int").alias("shard"),
+                F.col("ps.rids").alias("rids"),
+            )
+        )
+        corpus_r = corpus_r.withColumn(
+            "shard", F.pmod(F.xxhash64(right_id), F.lit(s)).cast("int")
+        )
+        rkeys = ["cell", "shard"]
+
+    out_schema = f"{left_id} {lid_t}, {right_id} {rid_t}, cosine double"
+
+    def _exact(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame({left_id: [], right_id: [], "cosine": []})
+        idx_map = pd.Index(rpdf[right_id].to_numpy() if len(rpdf) else [])
+        V = (
+            np.stack(rpdf["v"].to_numpy())
+            if len(rpdf)
+            else np.empty((0, 1), dtype=np.float64)
+        )
+        Q = np.stack(lpdf["qv"].to_numpy())  # float32 or float64 column
+        dim = Q.shape[1]
+        rid_lists = lpdf["rids"].to_numpy()
+        counts = np.fromiter(
+            (len(r) for r in rid_lists), dtype=np.int64, count=len(lpdf)
+        )
+        lids = lpdf[left_id].to_numpy()
+        q_is_f32 = Q.dtype == np.float32
+        # chunk over left rows so Qrep/Vp stay cache-sized even when a
+        # hot cell holds many lefts
+        ch = max(1, 65536 // max(int(counts.max(initial=1)), 1))
+        frames = []
+        for st in range(0, len(lpdf), ch):
+            en = min(st + ch, len(lpdf))
+            cnt = counts[st:en]
+            flat = np.concatenate([np.asarray(r) for r in rid_lists[st:en]])
+            pos = idx_map.get_indexer(flat)
+            if (pos < 0).any():
+                raise ValueError(
+                    "knn_join cogroup rescore: candidate id missing from "
+                    "its corpus cell/shard group"
+                )
+            Vp = V[pos]  # (npairs, dim) float64 (normalized corpus)
+            Qc = Q[st:en]
+            Qrep64 = np.repeat(Qc, cnt, axis=0).astype(np.float64)
+            # sequential fold == the JVM aggregate(zip_with(v, qv,
+            # (x,y) -> x*y), 0D, (a,x) -> a+x): multiply-then-add per
+            # element, left to right, all in double (float qv widens
+            # BEFORE the multiply under Spark's type promotion)
+            acc = np.zeros(len(flat), dtype=np.float64)
+            for d in range(dim):
+                acc += Vp[:, d] * Qrep64[:, d]
+            # |qv|: transform(qv, x -> x*x) squares in the COLUMN's
+            # precision (float32 for array<float>), the aggregate then
+            # widens each square to double — replay exactly
+            nq = np.zeros(len(Qc), dtype=np.float64)
+            for d in range(dim):
+                sq = Qc[:, d] * Qc[:, d]
+                nq += sq.astype(np.float64) if q_is_f32 else sq
+            qn = np.sqrt(nq)
+            div = np.where(qn == 0.0, 1.0, qn)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        left_id: np.repeat(lids[st:en], cnt),
+                        right_id: flat,
+                        "cosine": acc / np.repeat(div, cnt),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        per_cell.groupBy(*rkeys)
+        .cogroup(corpus_r.groupBy(*rkeys))
+        .applyInPandas(_exact, out_schema)
     )
 
 
@@ -1166,6 +1380,43 @@ def pq_train(
     ]
 
 
+def _pq_block_assign(CB: np.ndarray):
+    """Vectorized PQ code assignment: ALL ``m`` subspaces of a row block
+    in ONE dgemm. The codebooks are laid out block-diagonally in a
+    (m*k, dim) matrix — row (j, c) holds codebook j's centroid c in
+    columns [j*dsub, (j+1)*dsub) and exact zeros elsewhere — so
+    ``V @ CBD.T`` yields every per-subspace dot at once; the zero
+    columns contribute exact +0.0 terms (no rounding effect on finite
+    data). One large BLAS call replaces m tiny (n x dsub)@(dsub x k)
+    matmuls, which are memory-bound at dsub ~ 8 (measured ~3x slower
+    end-to-end at m=16/k=256). argmin of -2 x.c + |c|^2 over each
+    k-slice, first-minimal-index ties — same rule as the JVM
+    array_position path. Row blocks stay cache-sized (LB x m*k doubles,
+    2 MB at m*k=1024) so the reshape+argmin passes never stream DRAM.
+
+    Returns ``assign(V) -> (n, m) int32`` for (n, dim) float64 rows."""
+    m, k, dsub = CB.shape
+    dim = m * dsub
+    CBD = np.zeros((m * k, dim), dtype=np.float64)
+    for j in range(m):
+        CBD[j * k:(j + 1) * k, j * dsub:(j + 1) * dsub] = CB[j]
+    CBDT = np.ascontiguousarray(CBD.T)
+    c2 = (CB * CB).sum(axis=2)[None, :, :]  # (1, m, k)
+
+    def assign(V: np.ndarray) -> np.ndarray:
+        n = V.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        LB = 256
+        for s in range(0, n, LB):
+            d = V[s:s + LB] @ CBDT  # (LB, m*k): every subspace dot
+            codes[s:s + LB] = (
+                -2.0 * d.reshape(-1, m, k) + c2
+            ).argmin(axis=2)
+        return codes
+
+    return assign
+
+
 def _pq_codes_sql(vec_name: str, codebooks: list[list[list[float]]]) -> str:
     """SQL for the m-element code array: per subspace, the 0-based index
     of the L2-nearest centroid. One expression per subspace (codebooks
@@ -1195,14 +1446,47 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "auto",
 ) -> DataFrame:
-    """Encode the corpus: (id, codes array<int>, v normalized). One scan,
-    all JVM higher-order functions; the code column is m bytes of
-    information per vector (vs 4*dim for the raw floats) — the column
-    you persist for a 100 TB ANN corpus.
+    """Encode the corpus: (id, codes array<int>, v normalized). One scan;
+    the code column is m bytes of information per vector (vs 4*dim for
+    the raw floats) — the column you persist for a 100 TB ANN corpus.
+
+    ``assign='jvm'`` evaluates the per-subspace argmin as inlined SQL
+    higher-order functions (dependency-free, no Python workers).
+    ``'numpy'`` runs the assignment through :func:`_pq_block_assign` —
+    all m subspaces of an Arrow batch in one block-diagonal BLAS matmul
+    (measured 5x faster at 3M vectors x m=8/k=16 where the interpreted
+    HOF pays ~1k lambda evals per row; the one-time corpus encode is
+    the slowest ANN tier, so this is the at-scale default). ``'auto'``
+    picks numpy from m*k*dsub >= 512 — under that the Arrow round-trip
+    of the vector column costs more than the HOF saves. Codes are
+    layout- and value-compatible between the paths (array<int>,
+    first-minimal-index ties; near-ties can differ by last-ulp rounding
+    of the two distance forms, immaterial for an approximate code —
+    equality on real data is pinned by pytest).
     """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
     n = normalize(_fan_out(df), vec, "v").select(id_col, "v")
-    return n.withColumn("codes", F.expr(_pq_codes_sql("v", codebooks)))
+    if assign == "jvm" or (assign == "auto" and m * k * dsub < 512):
+        return n.withColumn("codes", F.expr(_pq_codes_sql("v", codebooks)))
+    import pandas as pd
+
+    kernel = _pq_block_assign(np.asarray(codebooks, dtype=np.float64))
+    id_t = dict(n.dtypes)[id_col]
+
+    def _enc(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["v"].to_numpy())  # already normalized float64
+            out = b.copy()
+            out["codes"] = list(kernel(V))
+            yield out
+
+    return n.mapInPandas(_enc, f"{id_col} {id_t}, v array<double>, codes array<int>")
 
 
 def _pq_topk_numpy(

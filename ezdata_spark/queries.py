@@ -2449,22 +2449,30 @@ def q95(spark, sf_dir):
 @query("z137_minhash_incremental")
 def q137(spark, sf_dir):
     """Incremental NEAR-dup dedup across snapshots (dedup.py::
-    minhash_dedup_incremental): the new crawl shard (doc_id % 3 != 0)
-    is near-dup-deduplicated against the PERSISTED MinHash signature
-    index of the history partition (doc_id % 3 == 0) — band buckets
-    recomputed from stored signatures (no historical text access),
-    (band, bucket) equi-join candidates, signature-only verification.
-    Rows-only (Spark-hash signatures are not SQL-expressible);
-    tests/test_round8.py pins the incremental chain == a batch rerun
-    over the union, and exact copies always drop."""
-    from .operators.dedup import minhash_dedup_incremental, minhash_signatures
+    minhash_dedup_incremental): the new crawl shard (upper id range) is
+    near-dup-deduplicated against the PERSISTED index of the history
+    partition (lower id range — ids are globally monotone across
+    snapshots, the operator's guarded batch-equivalence contract):
+    a stored (band, bucket) index joined as-is (round 9 — no
+    per-snapshot re-banding of history), (band, bucket) equi-join
+    candidates, signature-only verification. Rows-only (Spark-hash
+    signatures are not SQL-expressible); tests/test_round8.py pins the
+    incremental chain == a batch rerun over the union, and
+    tests/test_round9.py pins band-index == recomputed-bands parity."""
+    from .operators.dedup import (
+        _minhash_band_frame,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 3 == 0)
-    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    mid = docs.agg(F.max("doc_id")).first()[0] // 3
+    hist = docs.filter(F.col("doc_id") <= mid)
+    batch = docs.filter(F.col("doc_id") > mid)
     idx = minhash_signatures(hist, "text", "doc_id")
+    bands = _minhash_band_frame(idx, "doc_id", 16, 4)
     survivors, _ = minhash_dedup_incremental(
-        batch, history_signatures=idx, threshold=0.7
+        batch, history_signatures=idx, threshold=0.7, history_bands=bands
     )
     return survivors.select("doc_id", "source")
 
@@ -2581,6 +2589,38 @@ def q141(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     fps = simhash(docs, "text", "doc_id")
     return hamming_near_dup(fps, "simhash", "doc_id", max_distance=6)
+
+
+@query("z143_ann_index_reload")
+def q143(spark, sf_dir):
+    """Durable ANN index artifact round-trip (operators/ann_index.py):
+    build IVF-PQ once (ivf_index + pq_train + ivf_pq_encode), SAVE it —
+    cell-partitioned parquet (probes prune whole partitions; the
+    co-located-cogroup layout at 100 TB) + a JSON sidecar carrying
+    centroids/codebooks — then RELOAD from disk and run the
+    unbounded-left knn_join (rescore='cogroup') against the reloaded
+    index. Rows-only (trained artifacts); tests/test_round9.py pins
+    loaded-probe == in-session-probe bit-equality for LSH, IVF-PQ and
+    OPQ artifacts. The build-save-reload runs per call (the query is
+    the round-trip); a real pipeline amortizes the build across jobs."""
+    import tempfile
+
+    from .operators.ann_index import load_ivf_pq_index, save_ivf_pq_index
+    from .operators.similarity import ivf_index, ivf_pq_encode, knn_join, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 20 == 0).selectExpr(
+        "vec_id as doc_id", "embedding"
+    )
+    indexed, cents = ivf_index(emb, n_cells=8)
+    cb = pq_train(emb, m=8, k=16)
+    path = tempfile.mkdtemp(prefix="ezdata_z143_ivfpq_")
+    save_ivf_pq_index(path, ivf_pq_encode(indexed, cb), cents, cb)
+    fr, cents2, cb2, _ = load_ivf_pq_index(spark, path)
+    return knn_join(
+        left, fr, cents2, k=5, nprobe=8, round_ndigits=6,
+        pq_codebooks=cb2, rescore="cogroup",
+    )
 
 
 @query("q96_bpe_vocab")
@@ -4112,7 +4152,12 @@ def q50b(spark, sf_dir):
     rescored against the raw vectors (narrow id join), so with full
     probing and adequate oversample the result is IDENTICAL to the raw
     q50a path — this query hash-matches the same brute-force oracle.
-    Recall under small oversample is pinned by
+    Round 9: runs under ``rescore='cogroup'`` — the unbounded-left
+    form where NOTHING broadcasts (survivors rescored in a second
+    cell-keyed cogroup whose numpy kernel replays the JVM fold order
+    bit-for-bit) — so the driver oracle certifies the new mode;
+    broadcast==cogroup equality is separately pinned by
+    tests/test_round9.py. Recall under small oversample is pinned by
     tests/test_round8.py::test_knn_join_pq_recall."""
     from .operators.similarity import ivf_index, ivf_pq_encode, knn_join, pq_train
 
@@ -4126,7 +4171,7 @@ def q50b(spark, sf_dir):
     enc = ivf_pq_encode(indexed, cb)
     return knn_join(
         left, enc, cents, k=5, nprobe=n_cells, round_ndigits=6,
-        pq_codebooks=cb, pq_oversample=10,
+        pq_codebooks=cb, pq_oversample=10, rescore="cogroup",
     )
 
 

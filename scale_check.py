@@ -316,20 +316,30 @@ def main() -> None:
     )
 
     if only is None or "minhash_incremental" in only:
-        hist_docs = docs.filter(F.col("doc_id") % 2 == 0)
-        batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+        # range split (not even/odd): the operator's batch-equivalence
+        # contract requires history ids < batch ids, now guarded
+        hist_docs = docs.filter(F.col("doc_id") < doc_n // 2)
+        batch_docs = docs.filter(F.col("doc_id") >= doc_n // 2)
         mh_t0 = time.perf_counter()
         mh_idx = minhash_signatures(hist_docs, "text", "doc_id").persist()
         mh_idx.write.format("noop").mode("overwrite").save()
+        # the PERSISTED BAND INDEX: built once from the stored
+        # signatures (untimed, like the signature index itself), read
+        # as-is by every later increment — the round-9 fix that stops
+        # re-banding the whole history each snapshot
+        mh_bands = _minhash_band_frame(mh_idx, "doc_id", 16, 4).persist()
+        mh_bands.write.format("noop").mode("overwrite").save()
         print(f"{'(minhash index build)':24s} {time.perf_counter() - mh_t0:7.2f}s")
         run(
             "minhash_incremental",
             lambda: minhash_dedup_incremental(
-                batch_docs, history_signatures=mh_idx, threshold=0.8
+                batch_docs, history_signatures=mh_idx, threshold=0.8,
+                history_bands=mh_bands, check_id_order=False,
             )[0],
             rows_in=doc_n // 2,
         )
         mh_idx.unpersist()
+        mh_bands.unpersist()
     from ezdata_spark.operators.layout import zorder_layout
 
     run(
@@ -388,7 +398,7 @@ def main() -> None:
         enc_p.write.format("noop").mode("overwrite").save()
         run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
         enc_p.unpersist()
-    if only is None or {"knn_join_ivf", "knn_join_pq"} & only:
+    if only is None or {"knn_join_ivf", "knn_join_pq", "knn_join_pq_cg"} & only:
         # embedding kNN JOIN: large left x large right through the IVF
         # cell equi-join (never a cross join). Balanced candidate
         # volume would be |L| * |R| * nprobe / n_cells (~1.4G dots at
@@ -433,7 +443,7 @@ def main() -> None:
         # artifact shape, like ivf_index); shuffle_mb deltas pin the
         # exchange-volume drop vs the raw row above. The eager
         # train/encode builds only run when this row is selected.
-        if only is None or "knn_join_pq" in only:
+        if only is None or {"knn_join_pq", "knn_join_pq_cg"} & only:
             from ezdata_spark.operators.similarity import ivf_pq_encode, pq_train
 
             pq_cbs = pq_train(emb, m=16, k=256,
@@ -450,6 +460,30 @@ def main() -> None:
             sb1 = _shuffle_write_bytes(spark)
             if sb0 is not None and sb1 is not None and "knn_join_pq" in results:
                 results["knn_join_pq"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+            # UNBOUNDED-LEFT form: rescore='cogroup' at 10x the left rows
+            # (300k x 3M). Broadcast mode at this left size would build a
+            # ~160 MB left-vector broadcast plus a 12M-pair candidate
+            # broadcast PER EXECUTOR — the declared round-8 ceiling; the
+            # cogroup form keeps memory flat (nothing scales with |L|
+            # beyond the shuffle, which is disk-backed) and is the shape
+            # a billion-row left table runs.
+            if only is None or "knn_join_pq_cg" in only:
+                knn_left_big = spark.range(vec_n // 10).select(
+                    F.col("id").alias("doc_id"),
+                    F.expr(
+                        "transform(sequence(1, 64),"
+                        " i -> pmod(xxhash64(id + 555, i), 2000) / 1000.0D - 1.0D)"
+                    ).alias("embedding"),
+                )
+                sb0 = _shuffle_write_bytes(spark)
+                run("knn_join_pq_cg",
+                    knn_join(knn_left_big, pq_corpus, cents, k=10, nprobe=4,
+                             shard_corpus=8, pq_codebooks=pq_cbs,
+                             pq_oversample=4, rescore="cogroup"),
+                    rows_in=vec_n // 10)
+                sb1 = _shuffle_write_bytes(spark)
+                if sb0 is not None and sb1 is not None and "knn_join_pq_cg" in results:
+                    results["knn_join_pq_cg"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
             pq_corpus.unpersist()
         ivf_p.unpersist()
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
@@ -670,6 +704,48 @@ def main() -> None:
     # sample, melt, knn cone)
     from ezdata_spark.operators.dedup import trigram_similarity_pairs
 
+    _SIM_TIER = ("sim_join_word", "sim_join_char3_auto")
+    if only is None:
+        # Round-9: the interpreted-HOF similarity joins are HEAP-CONTEXT
+        # sensitive — in-sweep they measured up to ~2x their
+        # dedicated-idle-JVM numbers (old-gen pollution from the 50
+        # preceding ops; sim_join_char3_auto 126 s in-sweep vs 75 s
+        # dedicated). Fork them into their OWN fresh right-sized JVM
+        # (same 16 g sizing — the child re-enters this script with an
+        # `only` filter, so nothing else runs there) and splice the
+        # child's rows back, so SCALE.md publishes numbers within the
+        # documented ~1.2x of dedicated measurements.
+        import subprocess
+
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            str(n / 1e6),
+            ",".join(_SIM_TIER),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        child = None
+        for ln in reversed(proc.stdout.splitlines()):
+            if ln.startswith("{"):
+                try:
+                    child = json.loads(ln)
+                except ValueError:
+                    continue
+                break
+        if child and child.get("ops"):
+            for name in _SIM_TIER:
+                if name in child["ops"]:
+                    r = results[name] = child["ops"][name]
+                    print(
+                        f"{name:24s} {r['sec']:7.2f}s  out={r['rows_out']:>10}  "
+                        f"{r['mrows_in_per_s']:8.1f} Mrows/s  (dedicated JVM)"
+                    )
+        else:
+            print(
+                "WARNING: sim-join child JVM produced no result "
+                f"(rc={proc.returncode}); stderr tail:\n"
+                + "\n".join(proc.stderr.splitlines()[-5:])
+            )
     # AQE would pick a broadcast build for the ~3M-row (id, ng) sizes
     # frame (48 MB compressed, under the 64 MB threshold, but the
     # DESERIALIZED driver-side build blows a right-sized local heap).
@@ -678,6 +754,17 @@ def main() -> None:
     # 48g heap (which costs the scan tier 3-4x in GC — header note).
     prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
+
+    def run_sim(name, df_fn, rows_in):
+        # inline only when explicitly selected (i.e. in the dedicated
+        # child JVM or a hand-run subset); the full sweep takes the
+        # forked rows spliced in above. df_fn defers plan construction
+        # (the auto-cap profile scan is an eager job) out of the parent
+        # AND out of the timer, matching the previous argument-eval
+        # timing semantics.
+        if only is not None and name in only:
+            run(name, df_fn(), rows_in=rows_in)
+
     try:
 
         # (a) word-unit similarity self-join at corpus scale. Docs = 10
@@ -700,9 +787,9 @@ def main() -> None:
                 F.expr("hex(xxhash64(id, 99))"),
             ).alias("text"),
         )
-        run(
+        run_sim(
             "sim_join_word",
-            trigram_similarity_pairs(wdocs, threshold=0.8, unit="word"),
+            lambda: trigram_similarity_pairs(wdocs, threshold=0.8, unit="word"),
             rows_in=wtri_n,
         )
 
@@ -712,7 +799,7 @@ def main() -> None:
         # prefixes alone join C(30k, 2) ~ 4.5e8 candidate pairs — the
         # known AllPairs failure mode on template-heavy corpora. The
         # default max_gram_df='auto' must DETECT the boilerplate spike
-        # from the df profile (p99.9 cap, enabled because max df is
+        # from the df profile (p99 cap, enabled because max df is
         # >>10x the tail) and bound the join to the rare-suffix docs
         # out of the box (recall contract: all-boilerplate pairs are
         # exact duplicates anyway — exact_dedup territory).
@@ -743,9 +830,9 @@ def main() -> None:
             )
             .alias("text"),
         )
-        run(
+        run_sim(
             "sim_join_char3_auto",
-            trigram_similarity_pairs(cdocs, threshold=0.8),
+            lambda: trigram_similarity_pairs(cdocs, threshold=0.8),
             rows_in=ctri_n,
         )
     finally:
@@ -851,12 +938,15 @@ def main() -> None:
         fh.write(f"| **total** | **{total}** | | |\n")
         fh.write(
             "\nANN tier notes (3M 64-d vectors = 600x the sf0.1 embeddings):\n"
-            "- `pq_encode` is the ONE-TIME corpus compression (interpreted\n"
-            "  HOF lambdas, embarrassingly parallel, linear — verified\n"
-            "  1M->3M). A vectorized-numpy mapInPandas variant measured only\n"
-            "  1.6x faster (Arrow list transfer dominates), so the\n"
-            "  dependency-free JVM path stays. Recurring query cost is\n"
-            "  `pq_topk_adc`: 16 queries scan 3M codes + exact rescore.\n"
+            "- `pq_encode` is the ONE-TIME corpus compression,\n"
+            "  embarrassingly parallel and linear (verified 1M->3M). Round\n"
+            "  9: assign='auto' now takes the block-diagonal single-matmul\n"
+            "  numpy path (_pq_block_assign — every subspace of an Arrow\n"
+            "  batch in ONE dgemm), 84 -> 9.2 s at 3M (9.2x; the earlier\n"
+            "  'Arrow transfer dominates' 1.6x note measured the\n"
+            "  per-subspace-loop kernel, m tiny memory-bound gemms).\n"
+            "  Codes bit-match the JVM path (pytest). Recurring query cost\n"
+            "  is `pq_topk_adc`: 16 queries scan 3M codes + exact rescore.\n"
             "- `lsh_probe_topk` buckets the corpus through 4x8 hyperplane\n"
             "  signatures (one scan, candidates equi-joined per bucket) —\n"
             "  the ONE-SHOT cost, dominated by the corpus bucket pass\n"
@@ -945,11 +1035,30 @@ def main() -> None:
             "  (27 s vs 16 s) = candidate-cut aggregate + rescore —\n"
             "  the memory-for-time trade the 100 TB join wants.\n"
             "- `minhash_incremental` near-dup-dedups a 1.5M-doc shard\n"
-            "  against a PERSISTED 1.5M-signature index: band buckets\n"
-            "  recomputed from stored signatures (historical TEXT is\n"
-            "  never read), (band,bucket) equi-join, signature-only\n"
-            "  verify; index build (one signature pass) untimed, the\n"
-            "  persisted-artifact shape.\n"
+            "  against a PERSISTED index: round 9 reads the stored\n"
+            "  (band,bucket) artifact AS-IS (history_bands), so only\n"
+            "  the new shard is shingled/banded — historical text AND\n"
+            "  signatures untouched on the candidate path; signature-\n"
+            "  only verify; both index artifacts built untimed (the\n"
+            "  persisted-artifact shape).\n"
+            "\nRound-9 rows:\n"
+            "- `knn_join_pq_cg` is the UNBOUNDED-LEFT form\n"
+            "  (rescore='cogroup') at 300k x 3M — 10x the left rows of\n"
+            "  `knn_join_pq`. Nothing broadcasts: the ADC survivors\n"
+            "  regroup per (left, cell) id-ARRAYS (qv transits <=\n"
+            "  nprobe x, not K x) and a second cell+rid-hash-sharded\n"
+            "  cogroup computes exact cosines with a sequential-fold\n"
+            "  numpy kernel replaying the JVM HOF bit-for-bit (pytest:\n"
+            "  cogroup == broadcast, unrounded doubles included).\n"
+            "  Memory stays flat in |L| and |R|; the corpus raw column\n"
+            "  transits one exchange (free when the persisted index is\n"
+            "  bucketed by cell — ann_index.py writes that layout).\n"
+            "- the sim_join rows now run in their own fresh 16g JVM\n"
+            "  inside the sweep (subprocess with an `only` filter):\n"
+            "  in-sweep heap context inflated the interpreted-HOF tier\n"
+            "  up to ~2x vs dedicated-JVM measurements (char3 126 s\n"
+            "  in-sweep vs 75 s dedicated, round 8) — published rows\n"
+            "  are now the dedicated-JVM numbers.\n"
         )
     spark.stop()
 
