@@ -270,16 +270,21 @@ def minhash_dedup_incremental(
 
     Scale shape: pass ``history_bands`` (the (id, band, bucket) frame —
     get it by persisting the third element of a ``return_bands=True``
-    call, bucketed/sorted by (band, bucket) in parquet) and each
-    increment explodes ONLY the new shard: the history side of the
-    candidate equi-join is read as-is, no per-snapshot re-banding of
-    the whole index (measured 2.3x on the 1.5M x 1.5M scale row — the
-    band explode + bucket re-hash of history was the dominant cost).
-    Without it, band buckets for the index are recomputed from the
-    stored signatures with one O(num_hashes)-per-row projection (no
-    text, no shingling). The candidate join is the usual (band, bucket)
-    equi-join whose probe side is the day's shard, and verification
-    touches signature pairs only.
+    call) and each increment bands ONLY the new shard: the history side
+    of the candidate equi-join is read as-is, no per-snapshot
+    re-banding of the index. Measured honestly at 1.5M x 1.5M (30M
+    sweep scale): the re-banding was NOT the dominant cost — it is ~9 s
+    of a ~50 s run and overlaps the join stages on a wide executor, so
+    the band artifact buys latency only when cores are scarce; the real
+    cost structure is (a) shingling+signing the NEW shard (~14 s,
+    irreducible per-byte work any dedup pays), (b) the (band, bucket)
+    candidate equi-join (~18 s; at true 100 TB index sizes write the
+    band table BUCKETED by the join key so the history side joins
+    without a shuffle — at this in-memory smoke scale the bucketed
+    parquet scan measured slower than the persisted frame, 54 s vs
+    48 s, disk dominating), and (c) verification, which joins signature
+    pairs only — the b-side lookup touches batch signatures only (id_b
+    is always a batch doc), so one full-index shuffle is avoided.
 
     With ``return_bands=True`` returns ``(survivors,
     updated_signatures, updated_bands)`` — persist BOTH artifacts for
@@ -319,8 +324,21 @@ def minhash_dedup_incremental(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    dup = minhash_jaccard(all_sigs, pairs, id_col).filter(
-        F.col("jaccard_est") >= threshold
+    # verify like minhash_jaccard, but the b-side lookup joins ONLY the
+    # batch signatures: id_b always comes from bands_new, so shuffling
+    # the full history signature table for it is pure waste (r9 — one
+    # of the two full-index shuffles in the per-increment cost)
+    sa = all_sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs_b.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    dup = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.size("sig_a"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
     )
     dropped = dup.select(F.col("id_b").alias(id_col)).distinct()
     survivors = batch.join(dropped, id_col, "left_anti")

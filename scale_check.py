@@ -46,6 +46,43 @@ def _shuffle_write_bytes(spark) -> int | None:
         return None
 
 
+def _fork_rows(n: int, results: dict, names: tuple, tag: str) -> None:
+    """Measure a row subset in a FRESH right-sized JVM (this script,
+    re-entered with an ``only`` filter) and splice its rows into
+    ``results``. Two uses: the interpreted-HOF tier is heap-context
+    sensitive (old-gen pollution from preceding ops inflates it up to
+    ~2x vs dedicated-JVM numbers), and conversely the allocation-heavy
+    knn_join_pq_cg row POLLUTES the heap for every HOF row after it
+    (lsh_probe rows measured 2.4-4x slower downstream of it) — both
+    sides of the problem isolate the same way."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), str(n / 1e6), ",".join(names)]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    child = None
+    for ln in reversed(proc.stdout.splitlines()):
+        if ln.startswith("{"):
+            try:
+                child = json.loads(ln)
+            except ValueError:
+                continue
+            break
+    if child and child.get("ops"):
+        for name in names:
+            if name in child["ops"]:
+                r = results[name] = child["ops"][name]
+                print(
+                    f"{name:24s} {r['sec']:7.2f}s  out={r['rows_out']:>10}  "
+                    f"{r['mrows_in_per_s']:8.1f} Mrows/s  (dedicated JVM)"
+                )
+    else:
+        print(
+            f"WARNING: {tag} child JVM produced no result "
+            f"(rc={proc.returncode}); stderr tail:\n"
+            + "\n".join(proc.stderr.splitlines()[-5:])
+        )
+
+
 def make_fact(spark, n: int):
     """Deterministic fact table: ~lineitem-shaped, generated executor-side."""
     return (
@@ -311,6 +348,7 @@ def main() -> None:
     # from signatures + (band,bucket) equi-join + signature verify —
     # historical TEXT is never touched)
     from ezdata_spark.operators.dedup import (
+        _minhash_band_frame,
         minhash_dedup_incremental,
         minhash_signatures,
     )
@@ -466,8 +504,13 @@ def main() -> None:
             # broadcast PER EXECUTOR — the declared round-8 ceiling; the
             # cogroup form keeps memory flat (nothing scales with |L|
             # beyond the shuffle, which is disk-backed) and is the shape
-            # a billion-row left table runs.
-            if only is None or "knn_join_pq_cg" in only:
+            # a billion-row left table runs. Inline only when explicitly
+            # selected: in the full sweep this row runs in its own child
+            # JVM (see the _fork_rows call after this block) because its
+            # allocation volume pollutes the old gen for every
+            # interpreted-HOF row after it (lsh_probe measured 2.4-4x
+            # slower downstream).
+            if only is not None and "knn_join_pq_cg" in only:
                 knn_left_big = spark.range(vec_n // 10).select(
                     F.col("id").alias("doc_id"),
                     F.expr(
@@ -486,6 +529,8 @@ def main() -> None:
                     results["knn_join_pq_cg"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
             pq_corpus.unpersist()
         ivf_p.unpersist()
+    if only is None:
+        _fork_rows(n, results, ("knn_join_pq_cg",), "knn-pq-cg")
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
     if only is None or "lsh_probe_indexed" in only:
         # the recurring 100 TB shape: the (id, tbl, bucket) index is a
@@ -715,37 +760,7 @@ def main() -> None:
         # `only` filter, so nothing else runs there) and splice the
         # child's rows back, so SCALE.md publishes numbers within the
         # documented ~1.2x of dedicated measurements.
-        import subprocess
-
-        cmd = [
-            sys.executable,
-            os.path.abspath(__file__),
-            str(n / 1e6),
-            ",".join(_SIM_TIER),
-        ]
-        proc = subprocess.run(cmd, capture_output=True, text=True)
-        child = None
-        for ln in reversed(proc.stdout.splitlines()):
-            if ln.startswith("{"):
-                try:
-                    child = json.loads(ln)
-                except ValueError:
-                    continue
-                break
-        if child and child.get("ops"):
-            for name in _SIM_TIER:
-                if name in child["ops"]:
-                    r = results[name] = child["ops"][name]
-                    print(
-                        f"{name:24s} {r['sec']:7.2f}s  out={r['rows_out']:>10}  "
-                        f"{r['mrows_in_per_s']:8.1f} Mrows/s  (dedicated JVM)"
-                    )
-        else:
-            print(
-                "WARNING: sim-join child JVM produced no result "
-                f"(rc={proc.returncode}); stderr tail:\n"
-                + "\n".join(proc.stderr.splitlines()[-5:])
-            )
+        _fork_rows(n, results, _SIM_TIER, "sim-join")
     # AQE would pick a broadcast build for the ~3M-row (id, ng) sizes
     # frame (48 MB compressed, under the 64 MB threshold, but the
     # DESERIALIZED driver-side build blows a right-sized local heap).
@@ -1039,8 +1054,18 @@ def main() -> None:
             "  (band,bucket) artifact AS-IS (history_bands), so only\n"
             "  the new shard is shingled/banded — historical text AND\n"
             "  signatures untouched on the candidate path; signature-\n"
-            "  only verify; both index artifacts built untimed (the\n"
-            "  persisted-artifact shape).\n"
+            "  only verify (b-side joins batch sigs only — id_b is\n"
+            "  always a batch doc, one full-index shuffle saved); both\n"
+            "  index artifacts built untimed (the persisted-artifact\n"
+            "  shape). Measured honestly: the history re-banding the\n"
+            "  round-8 verdict suspected was ~9 s of ~50 s and hides\n"
+            "  under join-stage parallelism (A/B 56.3 vs 56.5 s) — the\n"
+            "  real costs are the new shard's shingle+sign pass (~14 s,\n"
+            "  irreducible) and the candidate equi-join (~18 s; a\n"
+            "  bucket-by-join-key parquet layout removes the history\n"
+            "  shuffle at true index scale, but at this in-memory size\n"
+            "  the bucketed scan measured SLOWER than the persisted\n"
+            "  frame, 54 s vs 48 s — disk vs memory dominates).\n"
             "\nRound-9 rows:\n"
             "- `knn_join_pq_cg` is the UNBOUNDED-LEFT form\n"
             "  (rescore='cogroup') at 300k x 3M — 10x the left rows of\n"
@@ -1053,12 +1078,17 @@ def main() -> None:
             "  Memory stays flat in |L| and |R|; the corpus raw column\n"
             "  transits one exchange (free when the persisted index is\n"
             "  bucketed by cell — ann_index.py writes that layout).\n"
-            "- the sim_join rows now run in their own fresh 16g JVM\n"
-            "  inside the sweep (subprocess with an `only` filter):\n"
+            "- the sim_join rows AND knn_join_pq_cg now run in their\n"
+            "  own fresh 16g JVMs inside the sweep (subprocess with an\n"
+            "  `only` filter). Two directions of the same G1 effect:\n"
             "  in-sweep heap context inflated the interpreted-HOF tier\n"
             "  up to ~2x vs dedicated-JVM measurements (char3 126 s\n"
-            "  in-sweep vs 75 s dedicated, round 8) — published rows\n"
-            "  are now the dedicated-JVM numbers.\n"
+            "  in-sweep vs 75 s dedicated, round 8 — the fork brought\n"
+            "  it to 56 s), and the allocation-heavy cg row polluted\n"
+            "  the old gen for every HOF row AFTER it (lsh_probe_topk\n"
+            "  4.9 -> 11.6 s, lsh_probe_indexed 3.6 -> 14.6 s when cg\n"
+            "  ran inline, round-9 measurement). Published rows are\n"
+            "  the isolated-JVM numbers on both counts.\n"
         )
     spark.stop()
 
