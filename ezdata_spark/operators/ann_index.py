@@ -112,3 +112,48 @@ def load_ivf_pq_index(
     if frame is None or meta.get("kind") != "ivf_pq":
         raise ValueError(f"{path}: not an ivf_pq index artifact")
     return frame, meta["centroids"], meta["codebooks"], meta.get("rotation")
+
+
+def save_minhash_index(
+    path: str,
+    signatures: DataFrame,
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 5,
+) -> None:
+    """The incremental-dedup index pair (dedup.py::
+    minhash_dedup_incremental): signatures (the verify artifact) and
+    the (id, band, bucket) table (the candidate-join artifact —
+    partitioned by ``band`` so a probe that only needs some bands
+    prunes whole partitions; at true index scale, re-write bucketed by
+    the join key instead, see the operator's docstring). The build
+    parameters ride the sidecar so the next increment signs its shard
+    with the SAME hashing geometry — mixing num_hashes/bands between
+    snapshots silently empties the candidate join."""
+    save_ann_index(
+        os.path.join(path, "signatures"),
+        signatures.select(id_col, "signature"),
+        {
+            "kind": "minhash",
+            "id_col": id_col,
+            "num_hashes": num_hashes,
+            "bands": n_bands,
+            "shingle_n": shingle_n,
+        },
+    )
+    save_ann_index(os.path.join(path, "bands"), bands, partition_by="band")
+
+
+def load_minhash_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Returns ``(signatures, bands, params)`` for the next
+    ``minhash_dedup_incremental(history_signatures=..,
+    history_bands=.., **params-derived kwargs)`` call."""
+    sigs, meta = load_ann_index(spark, os.path.join(path, "signatures"))
+    bands, _ = load_ann_index(spark, os.path.join(path, "bands"))
+    if sigs is None or bands is None or meta.get("kind") != "minhash":
+        raise ValueError(f"{path}: not a minhash index artifact")
+    return sigs, bands, meta

@@ -340,3 +340,45 @@ def test_get_color_fn():
     assert two == ["rgb(0, 0, 0)", "rgb(128, 128, 128)", "rgb(255, 255, 255)"]
     fn2, _ = get_color_fn([7.0, 7.0], ["#000000", "#ffffff"], sampling=3)
     assert fn2(7.0) == "rgb(0, 0, 0)"  # constant input -> low end, no crash
+
+
+def test_minhash_index_roundtrip(spark, tmp_path):
+    """The persisted signature+band index pair must reload and drive an
+    increment to the same survivors as the in-session artifacts."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.ann_index import load_minhash_index, save_minhash_index
+    from ezdata_spark.operators.dedup import (
+        _minhash_band_frame,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    d0 = "the quick brown fox jumps over the lazy dog today again and again"
+    hist = spark.createDataFrame(
+        [(0, d0), (1, "completely different content about query engines at scale")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, d0), (11, "fresh topic entirely new words appear here only once")],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.7, num_hashes=32, bands=16, shingle_n=3)
+    sigs = minhash_signatures(hist, "text", "doc_id", 32, 3)
+    bands = _minhash_band_frame(sigs, "doc_id", 16, 2)
+    save_minhash_index(str(tmp_path / "mh"), sigs, bands, num_hashes=32,
+                       n_bands=16, shingle_n=3)
+    ls, lb, meta = load_minhash_index(spark, str(tmp_path / "mh"))
+    assert meta["num_hashes"] == 32 and meta["bands"] == 16 and meta["shingle_n"] == 3
+    # loaded signatures == in-session signatures (bit-exact longs)
+    assert {(r.doc_id, tuple(r.signature)) for r in ls.collect()} == {
+        (r.doc_id, tuple(r.signature)) for r in sigs.collect()
+    }
+    s_live, _ = minhash_dedup_incremental(batch, history_signatures=sigs,
+                                          history_bands=bands, **kw)
+    live = {r.doc_id for r in s_live.collect()}
+    release_caches()
+    s_loaded, _ = minhash_dedup_incremental(batch, history_signatures=ls,
+                                            history_bands=lb, **kw)
+    loaded = {r.doc_id for r in s_loaded.collect()}
+    release_caches()
+    assert live == loaded == {11}
