@@ -857,6 +857,17 @@ def _knn_join_pq(
     CB = np.asarray(codebooks, dtype=np.float64)  # (m, n_codes, dsub)
     m, dsub = CB.shape[0], CB.shape[2]
     K = max(k * oversample, k)
+    # the probe side's replicated query vectors (nprobe * shard copies
+    # per left) ship as float32: the ADC kernel scores in f32
+    # regardless, so double payload is pure serializer/deserializer and
+    # kernel-copy overhead — measured 522 -> 450 s at 300k x 3M on a
+    # double corpus (the post-lz4 wire drop is modest, random mantissas
+    # don't compress; the win is the narrower row work). Candidate
+    # selection shifts only at f32-ulp score margins (ADC is the
+    # approximate stage by contract); the exact rescore reads the
+    # FULL-precision vectors from ``lf``/the corpus, so final results
+    # keep the oracle contract.
+    probes = probes.withColumn("qv", F.col("qv").cast("array<float>"))
     right = indexed_corpus.select("cell", right_id, "codes")
     keys = ["cell"]
     if shard_corpus > 1:
@@ -876,14 +887,21 @@ def _knn_join_pq(
     # 30k lefts x 4 probes x 8 shards x K=40 the window form sorts
     # 38M shuffled rows, measured as the dominant cost of the whole
     # join. negadc = -adc makes one ascending struct sort give the
-    # (adc desc, rid asc) order the contract ranks on. Cogroup rescore
-    # needs each survivor's cell for the second cogroup's key; cell is
-    # functionally determined by rid (one cell per corpus row), so
-    # appending it after rid leaves the struct sort order unchanged.
+    # (adc desc, rid asc) order the contract ranks on; it travels as
+    # FLOAT, not double — the top-array merge is the join's dominant
+    # exchange and the score's only job is ordering the candidate cut
+    # (the kernel computes it in f32 anyway; the exact rescore re-ranks
+    # the survivors from the raw vectors). Measured 450 -> 396 s at
+    # 300k x 3M — mostly narrower sort/merge work, the post-compression
+    # wire delta is small. f32 score ties fall to the rid-asc struct
+    # order — deterministic. Cogroup rescore needs each survivor's cell for
+    # the second cogroup's key; cell is functionally determined by rid
+    # (one cell per corpus row), so appending it after rid leaves the
+    # struct sort order unchanged.
     with_cell = rescore == "cogroup"
     cell_f = ", cell: int" if with_cell else ""
     out_schema = (
-        f"{left_id} {lid_t}, top array<struct<negadc: double, rid: {rid_t}{cell_f}>>"
+        f"{left_id} {lid_t}, top array<struct<negadc: float, rid: {rid_t}{cell_f}>>"
     )
 
     CB32 = CB.astype(np.float32)

@@ -1078,6 +1078,12 @@ def main() -> None:
             "  Memory stays flat in |L| and |R|; the corpus raw column\n"
             "  transits one exchange (free when the persisted index is\n"
             "  bucketed by cell — ann_index.py writes that layout).\n"
+            "  Precision-sized exchanges (522 -> 396 s): probe qv\n"
+            "  ships float32 and the candidate-cut score field is\n"
+            "  float — the ADC kernel is f32 and the exact rescore\n"
+            "  re-ranks from full precision, so results are\n"
+            "  contract-identical; the win is narrower serializer/\n"
+            "  sort/kernel row work (post-lz4 wire delta is small).\n"
             "- the sim_join rows AND knn_join_pq_cg now run in their\n"
             "  own fresh 16g JVMs inside the sweep (subprocess with an\n"
             "  `only` filter). Two directions of the same G1 effect:\n"
