@@ -267,7 +267,12 @@ def update_colorbar_position(
     x0, x1 = _domain(layout, xaxis_name)
     y0, y1 = _domain(layout, yaxis_name)
     props = dict(colorbar or {})
+    # merge into any nested colorbar props (title/len/...) instead of
+    # replacing the dict wholesale — the reference replaces, but that
+    # silently drops styling on reposition; sibling
+    # reposition_colorbars merges, so match it (documented divergence)
     props["colorbar"] = {
+        **(props.get("colorbar") or {}),
         "x": round(x0 + (x1 - x0) * xnorm, 6),
         "y": round(y0 + (y1 - y0) * ynorm, 6),
         **cbar_defaults,
@@ -327,9 +332,12 @@ def get_color_fn(quant, cmap="viridis", sampling: int = 255, **colorbar):
     hi = len(seq) - 1
 
     def color_fn(x):
-        if diffval == 0:
+        # NaN maps to the low end (nanmin/nanmax tolerate NaNs in the
+        # training data, so the mapper must too); out-of-range values
+        # clamp — the reference raises on both
+        if diffval == 0 or x != x:
             return seq[0]
-        return seq[int((x - minval) / diffval * hi)]
+        return seq[min(max(int((x - minval) / diffval * hi), 0), hi)]
 
     cb = dict(thickness=20)
     cb.update(colorbar)

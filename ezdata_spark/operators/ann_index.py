@@ -62,6 +62,17 @@ def save_ann_index(
             w = w.partitionBy(*cols)
         w.parquet(path)
     else:
+        # a parameter-only save onto a path that already holds a data
+        # frame would leave the OLD frame under the NEW sidecar — a
+        # silent frame/meta mismatch (e.g. retrained codebooks probing
+        # the previous corpus). Fail fast; re-save with the frame (the
+        # overwrite branch above replaces both coherently).
+        if _has_parquet(path):
+            raise ValueError(
+                f"save_ann_index: {path} already holds a data frame; pass "
+                "the frame together with the new meta so the artifact "
+                "stays coherent (parquet overwrite + sidecar rewrite)"
+            )
         os.makedirs(path, exist_ok=True)
     if meta is not None:
         with open(os.path.join(path, _SIDECAR), "w") as fh:
@@ -79,13 +90,16 @@ def load_ann_index(
     if os.path.exists(sidecar):
         with open(sidecar) as fh:
             meta = json.load(fh)
-    has_data = any(
+    frame = spark.read.parquet(path) if _has_parquet(path) else None
+    return frame, meta
+
+
+def _has_parquet(path: str) -> bool:
+    return any(
         f.endswith(".parquet") and not f.startswith(("_", "."))
         for _, _, files in os.walk(path)
         for f in files
     )
-    frame = spark.read.parquet(path) if has_data else None
-    return frame, meta
 
 
 # ----------------------------------------------------- thin typed wrappers

@@ -237,7 +237,7 @@ def minhash_dedup_incremental(
     shingle_n: int = 5,
     history_bands: DataFrame | None = None,
     return_bands: bool = False,
-    check_id_order: bool = True,
+    check_id_order: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental NEAR-dup (MinHash) dedup across crawl snapshots: the
     new shard is deduplicated against a persisted signature index, not
@@ -261,12 +261,19 @@ def minhash_dedup_incremental(
     Requires document ids to be globally monotone across snapshots
     (history ids < batch ids — crawl ids are), so "matches history"
     and "matches a smaller id" are the same total order the batch
-    rerun uses. ``check_id_order`` (default on) verifies this with one
-    cheap columnar aggregate per side (max history id vs min batch id)
-    and fails fast — a violating caller would otherwise silently get
-    drops that diverge from the documented batch-equivalent semantics.
-    Pass ``False`` to skip the two small jobs when the pipeline
-    guarantees monotone ids by construction.
+    rerun uses. ``check_id_order`` verifies this with one cheap
+    columnar aggregate per side (max history id vs min batch id) and
+    fails fast — a violating caller would otherwise silently get drops
+    that diverge from the documented batch-equivalent semantics. The
+    guard is an EAGER action at call time, and eagerly materializing a
+    CACHED history index before the candidate/verify joins compile
+    feeds exact InMemoryRelation statistics to the planner — the
+    cache-stats join-flip hazard documented on
+    ``trigram_similarity_pairs``' auto profile. ``'auto'`` (default)
+    therefore runs the guard only when ``history_signatures`` is not
+    cached; pass ``True`` to force it (accepting the stats effect) or
+    ``False`` to skip when the pipeline guarantees monotone ids by
+    construction.
 
     Scale shape: pass ``history_bands`` (the (id, band, bucket) frame —
     get it by persisting the third element of a ``return_bands=True``
@@ -290,6 +297,15 @@ def minhash_dedup_incremental(
     updated_signatures, updated_bands)`` — persist BOTH artifacts for
     the next snapshot (signatures verify, bands generate candidates).
     """
+    if history_bands is not None and history_signatures is None:
+        raise ValueError(
+            "minhash_dedup_incremental: history_bands requires "
+            "history_signatures (bands generate candidates, signatures "
+            "verify them) — with neither, the batch would silently dedup "
+            "only against itself"
+        )
+    if check_id_order == "auto":
+        check_id_order = history_signatures is not None and not history_signatures.is_cached
     if check_id_order and history_signatures is not None:
         hmax = history_signatures.agg(F.max(id_col)).first()[0]
         bmin = batch.agg(F.min(id_col)).first()[0]

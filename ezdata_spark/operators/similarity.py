@@ -709,6 +709,7 @@ def knn_join(
         return _knn_join_pq(
             lf, probes, indexed_corpus, pq_codebooks, k, left_id, right_id,
             round_ndigits, shard_corpus, pq_oversample, rescore,
+            prune_cells=nprobe < len(centroids),
         )
     right = indexed_corpus.select("cell", right_id, "v")
     keys = ["cell"]
@@ -842,6 +843,7 @@ def _knn_join_pq(
     shard_corpus: int,
     oversample: int,
     rescore: str = "broadcast",
+    prune_cells: bool = True,
 ) -> DataFrame:
     """PQ-compressed scoring path of :func:`knn_join` (see its
     ``pq_codebooks`` and ``rescore`` docs): ADC LUT-gather inside the
@@ -988,7 +990,7 @@ def _knn_join_pq(
     if rescore == "cogroup":
         resc = _rescore_cogroup(
             merged, lf, probes, indexed_corpus, left_id, right_id,
-            shard_corpus, lid_t, rid_t,
+            shard_corpus, lid_t, rid_t, prune_cells,
         )
     else:
         cand = merged.select(left_id, F.explode("top.rid").alias(right_id))
@@ -1037,6 +1039,7 @@ def _rescore_cogroup(
     shard_corpus: int,
     lid_t: str,
     rid_t: str,
+    prune_cells: bool = True,
 ) -> DataFrame:
     """Exact rescore of the ADC survivors with NOTHING broadcast — the
     unbounded-left form of :func:`knn_join`'s PQ path (its ``rescore``
@@ -1090,12 +1093,17 @@ def _rescore_cogroup(
         )
     )
     corpus_r = indexed_corpus.select("cell", right_id, "v")
-    # prune corpus cells no left row probed (candidate cells are a
-    # subset of probe cells): broadcast of <=n_cells ints — bounded by
-    # the index, not the data
-    corpus_r = corpus_r.join(
-        F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
-    )
+    if prune_cells:
+        # prune corpus cells no left row probed (candidate cells are a
+        # subset of probe cells): broadcast of <=n_cells ints — bounded
+        # by the index, not the data. The distinct re-derives the
+        # probe-cell HOF over the left table (one extra narrow pass) —
+        # only worth it under PARTIAL probing, so knn_join disables the
+        # prune when nprobe == n_cells (every cell is probed; the
+        # semi-join would filter nothing and still pay the pass)
+        corpus_r = corpus_r.join(
+            F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
+        )
     rkeys = ["cell"]
     if s > 1:
         # same rid-hash shard split as the ADC cogroup: both sides

@@ -2602,9 +2602,10 @@ def q143(spark, sf_dir):
     index. Rows-only (trained artifacts); tests/test_round9.py pins
     loaded-probe == in-session-probe bit-equality for LSH, IVF-PQ and
     OPQ artifacts. The build-save-reload runs per call (the query is
-    the round-trip); a real pipeline amortizes the build across jobs."""
-    import tempfile
-
+    the round-trip); a real pipeline amortizes the build across jobs.
+    The artifact lands at the deterministic _rt_path scratch dir (mode
+    overwrite), not a fresh mkdtemp — bench reps and the oracle gate
+    re-run queries many times per session."""
     from .operators.ann_index import load_ivf_pq_index, save_ivf_pq_index
     from .operators.similarity import ivf_index, ivf_pq_encode, knn_join, pq_train
 
@@ -2614,7 +2615,7 @@ def q143(spark, sf_dir):
     )
     indexed, cents = ivf_index(emb, n_cells=8)
     cb = pq_train(emb, m=8, k=16)
-    path = tempfile.mkdtemp(prefix="ezdata_z143_ivfpq_")
+    path = _rt_path("ivfpq", "z143_index")
     save_ivf_pq_index(path, ivf_pq_encode(indexed, cb), cents, cb)
     fr, cents2, cb2, _ = load_ivf_pq_index(spark, path)
     return knn_join(

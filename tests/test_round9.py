@@ -382,3 +382,85 @@ def test_minhash_index_roundtrip(spark, tmp_path):
     loaded = {r.doc_id for r in s_loaded.collect()}
     release_caches()
     assert live == loaded == {11}
+
+
+# ------------------------------------------------ code-review regressions
+def test_minhash_incremental_bands_require_signatures(spark):
+    """history_bands without history_signatures must fail fast — the
+    silent alternative dedups the batch only against itself."""
+    from ezdata_spark.operators.dedup import minhash_dedup_incremental
+
+    batch = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    bands = spark.createDataFrame([(0, 0, 7)], "doc_id long, band int, bucket long")
+    with pytest.raises(ValueError, match="history_bands requires"):
+        minhash_dedup_incremental(batch, history_bands=bands)
+
+
+def test_minhash_incremental_auto_guard_skips_cached_history(spark):
+    """check_id_order='auto' must NOT eagerly materialize a CACHED
+    history index (the cache-stats join-flip hazard): with cached,
+    out-of-order history the call builds plans without raising."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import minhash_dedup_incremental, minhash_signatures
+
+    hist = spark.createDataFrame(
+        [(5, "history words appear here")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(3, "batch doc with a smaller id")], "doc_id long, text string"
+    )
+    idx = minhash_signatures(hist, "text", "doc_id", 32, 3).persist()
+    try:
+        surv, _ = minhash_dedup_incremental(
+            batch, history_signatures=idx, num_hashes=32, bands=16, shingle_n=3
+        )  # auto: cached -> guard skipped, no raise
+        assert {r.doc_id for r in surv.collect()} == {3}
+        # forcing the guard still raises on the same inputs
+        with pytest.raises(ValueError, match="monotone"):
+            minhash_dedup_incremental(
+                batch, history_signatures=idx, num_hashes=32, bands=16,
+                shingle_n=3, check_id_order=True,
+            )
+    finally:
+        idx.unpersist()
+        release_caches()
+
+
+def test_save_ann_index_meta_only_onto_frame_raises(spark, tmp_path):
+    """A parameter-only re-save onto a path holding a data frame would
+    leave the old frame under the new sidecar — must fail fast."""
+    from ezdata_spark.operators.ann_index import load_ann_index, save_ann_index
+
+    p = str(tmp_path / "idx")
+    df = spark.createDataFrame([(1, 2.0)], "id long, x double")
+    save_ann_index(p, df, {"kind": "pq", "v": 1})
+    with pytest.raises(ValueError, match="already holds a data frame"):
+        save_ann_index(p, meta={"kind": "pq", "v": 2})
+    # coherent re-save (frame + meta together) still works
+    save_ann_index(p, df, {"kind": "pq", "v": 2})
+    fr, meta = load_ann_index(spark, p)
+    assert meta["v"] == 2 and fr.count() == 1
+
+
+def test_update_colorbar_position_preserves_nested_props():
+    from ezdata_spark.functions.figures import update_colorbar_position
+
+    fig = {"layout": {"xaxis": {"domain": [0.0, 0.5]}, "yaxis": {"domain": [0.0, 1.0]}}}
+    upd = update_colorbar_position(
+        fig, "xaxis", "yaxis", "coloraxis",
+        colorbar={"colorscale": "viridis",
+                  "colorbar": {"title": "density", "len": 0.4}},
+    )
+    cb = upd["coloraxis"]["colorbar"]
+    assert cb["title"] == "density" and cb["len"] == 0.4  # merged, not replaced
+    assert cb["x"] == round(0.5 * 1.05, 6)
+
+
+def test_get_color_fn_nan_and_out_of_range():
+    from ezdata_spark.functions.figures import get_color_fn, sample_colorscale
+
+    fn, _ = get_color_fn([1.0, float("nan"), 3.0], ["#000000", "#ffffff"], sampling=5)
+    seq = sample_colorscale(["#000000", "#ffffff"], 5)
+    assert fn(float("nan")) == seq[0]
+    assert fn(-99.0) == seq[0] and fn(99.0) == seq[4]  # clamped
+    assert fn(3.0) == seq[4] and fn(1.0) == seq[0]
