@@ -314,6 +314,23 @@ def sample_colorscale(cmap, sampling: int = 255) -> list[str]:
     return out
 
 
+def _anchor_scale(anchors) -> list[list]:
+    """Normalize an explicit anchor list into a plotly colorscale
+    ``[[pos, 'rgb(...)'], ...]`` over the ORIGINAL anchors."""
+    from .themes import normed_rgb
+
+    def rgb_str(a):
+        return "rgb({}, {}, {})".format(
+            *(int(round(v * 255)) for v in normed_rgb(a))
+        )
+
+    if len(anchors) == 1:
+        c = rgb_str(anchors[0])
+        return [[0.0, c], [1.0, c]]
+    n = len(anchors) - 1
+    return [[i / n, rgb_str(a)] for i, a in enumerate(anchors)]
+
+
 def get_color_fn(quant, cmap="viridis", sampling: int = 255, **colorbar):
     """Map quantitative values to colors + a colorbar-only dummy trace
     (reference plotly/tools.py:418-470): returns ``(color_fn,
@@ -324,6 +341,8 @@ def get_color_fn(quant, cmap="viridis", sampling: int = 255, **colorbar):
     trace). Constant input maps everything to the low end instead of
     dividing by zero (the one divergence from the reference, which
     would raise)."""
+    if sampling < 2:
+        raise ValueError(f"get_color_fn: sampling must be >= 2, got {sampling}")
     seq = sample_colorscale(cmap, sampling)
     q = np.asarray(quant, dtype=float)
     minval = float(np.nanmin(q))
@@ -349,9 +368,11 @@ def get_color_fn(quant, cmap="viridis", sampling: int = 255, **colorbar):
         "marker": {
             "size": 0,
             "color": [minval, maxval],
-            "colorscale": [
-                [i / hi, c] for i, c in enumerate(seq)
-            ] if not isinstance(cmap, str) else cmap,
+            # anchor-list cmaps: normalize the ORIGINAL anchors (a
+            # handful of stops), not the `sampling` interpolated colors
+            # — plotly interpolates between stops itself, and embedding
+            # 255 stops bloats the figure dict for no fidelity gain
+            "colorscale": cmap if isinstance(cmap, str) else _anchor_scale(cmap),
             "colorbar": cb,
             "showscale": True,
         },

@@ -56,6 +56,16 @@ def save_ann_index(
     if frame is None and meta is None:
         raise ValueError("save_ann_index: nothing to save (frame and meta both None)")
     if frame is not None:
+        # mode('overwrite') deletes the whole directory, sidecar
+        # included — a frame-only re-save (meta=None) onto an existing
+        # artifact would silently destroy the trained parameters
+        # (centroids/codebooks), surfacing only at next load. Carry the
+        # existing sidecar across the overwrite.
+        if meta is None:
+            sidecar = os.path.join(path, _SIDECAR)
+            if os.path.exists(sidecar):
+                with open(sidecar) as fh:
+                    meta = json.load(fh)
         w = frame.write.mode("overwrite")
         if partition_by:
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -133,8 +143,8 @@ def save_minhash_index(
     signatures: DataFrame,
     bands: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    n_bands: int = 16,
+    num_hashes: int | None = None,
+    n_bands: int | None = None,
     shingle_n: int = 5,
 ) -> None:
     """The incremental-dedup index pair (dedup.py::
@@ -145,7 +155,42 @@ def save_minhash_index(
     the join key instead, see the operator's docstring). The build
     parameters ride the sidecar so the next increment signs its shard
     with the SAME hashing geometry — mixing num_hashes/bands between
-    snapshots silently empties the candidate join."""
+    snapshots silently empties the candidate join.
+
+    ``num_hashes`` / ``n_bands`` are DERIVED from the frames
+    (signature length on one row; max band index + 1) so the sidecar
+    can never record a geometry the frames don't have; passing them
+    explicitly cross-checks and raises on mismatch. ``shingle_n`` is
+    not derivable from the frames — pass the value used to build them
+    (default 5, matching ``minhash_dedup_incremental``)."""
+    from pyspark.sql import functions as F
+
+    sig_row = signatures.select(F.size("signature").alias("n")).first()
+    derived_hashes = int(sig_row["n"]) if sig_row is not None else None
+    band_row = bands.agg(F.max("band").alias("b")).first()
+    derived_bands = (
+        int(band_row["b"]) + 1
+        if band_row is not None and band_row["b"] is not None
+        else None
+    )
+    for name, passed, derived in (
+        ("num_hashes", num_hashes, derived_hashes),
+        ("n_bands", n_bands, derived_bands),
+    ):
+        if passed is not None and derived is not None and passed != derived:
+            raise ValueError(
+                f"save_minhash_index: {name}={passed} does not match the "
+                f"frames (derived {derived}); a wrong sidecar would make "
+                "the next increment sign with mismatched hashing geometry "
+                "and silently empty the candidate join"
+            )
+    num_hashes = derived_hashes if derived_hashes is not None else num_hashes
+    n_bands = derived_bands if derived_bands is not None else n_bands
+    if num_hashes is None or n_bands is None:
+        raise ValueError(
+            "save_minhash_index: cannot derive hashing geometry from empty "
+            "frames; pass num_hashes and n_bands explicitly"
+        )
     save_ann_index(
         os.path.join(path, "signatures"),
         signatures.select(id_col, "signature"),

@@ -17,6 +17,8 @@ stable across runs and partitionings.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -306,6 +308,20 @@ def minhash_dedup_incremental(
         )
     if check_id_order == "auto":
         check_id_order = history_signatures is not None and not history_signatures.is_cached
+        if history_signatures is not None and not check_id_order:
+            # the skip closes the cache-stats join-flip hazard but
+            # reopens the silent-divergence window the guard exists
+            # for — make the skip visible so a cached out-of-order
+            # history is at least diagnosable
+            warnings.warn(
+                "minhash_dedup_incremental: id-order guard skipped "
+                "(history_signatures is cached; eager aggregates on a "
+                "cached index feed exact stats to the planner). Ids must "
+                "still be globally monotone across snapshots — pass "
+                "check_id_order=True to force the guard.",
+                UserWarning,
+                stacklevel=2,
+            )
     if check_id_order and history_signatures is not None:
         hmax = history_signatures.agg(F.max(id_col)).first()[0]
         bmin = batch.agg(F.min(id_col)).first()[0]
