@@ -712,6 +712,14 @@ def knn_join(
             prune_cells=nprobe < len(centroids),
         )
     right = indexed_corpus.select("cell", right_id, "v")
+    if nprobe < len(centroids):
+        # same probed-cell prune as the PQ path (see _knn_join_pq): at
+        # nprobe << n_cells the cogroup would otherwise shuffle every
+        # unprobed cell's RAW vectors into empty-left groups — on the
+        # raw path the waste is 8*dim bytes per corpus row, not m codes
+        right = right.join(
+            F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
+        )
     keys = ["cell"]
     if shard_corpus > 1:
         right = right.withColumn(
@@ -871,6 +879,20 @@ def _knn_join_pq(
     # keep the oracle contract.
     probes = probes.withColumn("qv", F.col("qv").cast("array<float>"))
     right = indexed_corpus.select("cell", right_id, "codes")
+    if prune_cells:
+        # the production shape is nprobe << n_cells with small/clustered
+        # left batches: without this prune the ADC cogroup shuffles
+        # EVERY cell's codes only to hand most of them to empty-left
+        # groups. Same broadcast semi-join on the distinct probe-cell
+        # ids as the rescore cogroup (<= n_cells ints, bounded by index
+        # geometry); the identical sub-plan lets ReuseExchange share the
+        # broadcast between the two prunes. On a cell-partitioned
+        # artifact (ann_index.save_ivf_pq_index) this becomes dynamic
+        # PARTITION pruning — unprobed cells never leave the scan
+        # (pinned by tests/test_round10.py's PartitionFilters assert).
+        right = right.join(
+            F.broadcast(probes.select("cell").distinct()), "cell", "left_semi"
+        )
     keys = ["cell"]
     if shard_corpus > 1:
         right = right.withColumn(

@@ -133,3 +133,131 @@ def test_auto_id_order_skip_warns_on_cached_history(spark):
             )
     finally:
         hist_sigs.unpersist()
+
+
+# ----------------------------------- directive 1: ADC corpus cell pruning
+@pytest.fixture(scope="module")
+def pq10_fixture(spark, sf_dir, tmp_path_factory):
+    from ezdata_spark.operators.ann_index import save_ivf_pq_index
+    from ezdata_spark.operators.similarity import ivf_index, ivf_pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    indexed, cents = ivf_index(emb, n_cells=8)
+    cb = pq_train(emb, m=8, k=16)
+    enc = ivf_pq_encode(indexed, cb).persist()
+    enc.count()
+    path = str(tmp_path_factory.mktemp("idx") / "ivfpq")
+    save_ivf_pq_index(path, enc, cents, cb)
+    yield emb, left, enc, cents, cb, path
+    enc.unpersist()
+
+
+def test_knn_join_pq_prune_equals_noprune(pq10_fixture):
+    """The probed-cell semi-join prune on the ADC cogroup's corpus side
+    is a pure execution-shape change: unprobed cells produce no pairs
+    either way, so pruned and unpruned runs must be BIT-IDENTICAL —
+    partial probe, both rescore modes."""
+    from ezdata_spark.operators.similarity import _fan_out, _knn_join_pq, _nearest_cells
+
+    emb, left, enc, cents, cb, _ = pq10_fixture
+    lf = _fan_out(left).select("doc_id", F.col("embedding").alias("qv"))
+    probes = lf.select(
+        "doc_id", "qv", F.explode(_nearest_cells("qv", cents, 3)).alias("cell")
+    )
+    for mode in ("broadcast", "cogroup"):
+        a = sorted(
+            (r.doc_id, r.vec_id, r.cosine, r.rank)
+            for r in _knn_join_pq(lf, probes, enc, cb, 5, "doc_id", "vec_id",
+                                  None, 1, 4, mode, prune_cells=True).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.vec_id, r.cosine, r.rank)
+            for r in _knn_join_pq(lf, probes, enc, cb, 5, "doc_id", "vec_id",
+                                  None, 1, 4, mode, prune_cells=False).collect()
+        )
+        assert len(a) > 0 and a == b, mode
+
+
+def test_knn_join_prune_plan_partial_probe(spark, pq10_fixture):
+    """nprobe < n_cells: the ADC corpus side must be pruned (left-semi
+    on the broadcast probed-cell list) — no full-corpus exchange; on the
+    loaded cell-partitioned artifact the prune must reach the SCAN as
+    dynamic partition pruning."""
+    from ezdata_spark.operators.ann_index import load_ivf_pq_index
+    from ezdata_spark.operators.similarity import knn_join
+
+    emb, left, enc, cents, cb, path = pq10_fixture
+    # in-memory corpus: the semi join must appear in the plan
+    res = knn_join(left, enc, cents, pq_codebooks=cb, k=5, nprobe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # loaded artifact: partition-level pruning on the cell scan
+    frame, c2, cb2, _rot = load_ivf_pq_index(spark, path)
+    res2 = knn_join(left, frame, c2, pq_codebooks=cb2, k=5, nprobe=3,
+                    rescore="cogroup")
+    plan2 = res2._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan2
+    assert "PartitionFilters: [isnotnull(cell" in plan2
+    # raw path prunes too
+    from ezdata_spark.operators.similarity import ivf_index
+    indexed, rcents = ivf_index(emb, n_cells=8)
+    res3 = knn_join(left, indexed, rcents, k=5, nprobe=3)
+    assert "LeftSemi" in res3._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_join_full_probe_skips_prune(pq10_fixture):
+    """nprobe == n_cells: every cell is probed — the semi-join would
+    filter nothing and still pay a pass over the left; knn_join must
+    not emit it (oracle forms keep their round-9 plan)."""
+    from ezdata_spark.operators.similarity import knn_join
+
+    emb, left, enc, cents, cb, _ = pq10_fixture
+    res = knn_join(left, enc, cents, pq_codebooks=cb, k=5, nprobe=8,
+                   round_ndigits=6)
+    assert "LeftSemi" not in res._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_join_raw_partial_probe_matches_numpy(spark):
+    """Raw-path partial probe with the prune active: per-left top-k over
+    the probed cells only, checked against a driver-side numpy replay of
+    the same cell assignment + cosine ranking."""
+    import numpy as np
+    from ezdata_spark.operators.similarity import ivf_index, knn_join
+
+    rng = np.random.default_rng(7)
+    corpus = [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    queries = [(1000 + i, rng.standard_normal(8).tolist()) for i in range(12)]
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    qdf = spark.createDataFrame(queries, ["doc_id", "embedding"])
+    indexed, cents = ivf_index(cdf, n_cells=6)
+    got = {}
+    res = knn_join(qdf, indexed, cents, k=4, nprobe=2, round_ndigits=9)
+    for r in res.collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.vec_id, r.cosine))
+    # numpy replay
+    cell_of = {r.vec_id: r.cell for r in indexed.select("vec_id", "cell").collect()}
+    C = np.array(cents)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    V = {i: np.asarray(v) for i, v in corpus}
+    for qid, qv in queries:
+        q = np.asarray(qv)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        # nearest 2 cells by cosine to centroids (ties: lower cell id)
+        sims = Cn @ qn
+        order = sorted(range(len(cents)), key=lambda c: (-sims[c], c))[:2]
+        probed = set(order)
+        cands = []
+        for vid, v in V.items():
+            if cell_of[vid] in probed:
+                cos = float(qn @ (v / (np.linalg.norm(v) or 1.0)))
+                cos = np.sign(cos) * np.floor(abs(cos) * 1e9 + 0.5) / 1e9
+                cands.append((-cos, vid))
+        cands.sort()
+        expect = [(rk + 1, vid, -negcos) for rk, (negcos, vid) in enumerate(cands[:4])]
+        have = sorted(got.get(qid, []))
+        assert [(r, v) for r, v, _ in have] == [(r, v) for r, v, _ in expect], qid
+        for (_, _, a), (_, _, b) in zip(have, expect):
+            assert abs(a - b) < 1e-9
