@@ -132,7 +132,25 @@ def _tree_rss_mb() -> int:
     return round(total_kb / 1024)
 
 
+def _wait_for_idle() -> float:
+    """Heavy-measurement hygiene (SCALE.md's idle-machine protocol,
+    applied to the bench): sub-second medians swing ±50 % on a loaded
+    host, and the last two rounds timed queries at load ~8-9/32. Poll
+    the 1-min load average until it drops under
+    $SPARK_GRAFT_BENCH_IDLE_LOAD (default 2.0) or the bounded deadline
+    $SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 180; 0 disables)
+    passes — bounded so a perpetually busy host still benches rather
+    than hanging the driver. Returns the seconds actually waited."""
+    limit = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    target = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < limit and os.getloadavg()[0] >= target:
+        time.sleep(5)
+    return round(time.perf_counter() - t0, 1)
+
+
 def main() -> None:
+    idle_wait_sec = _wait_for_idle()
     load_avg_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from ezdata_spark.cache import release_caches
@@ -206,11 +224,15 @@ def main() -> None:
         sf = None  # non-standard dir name: still emit the JSON line
     ref_parts = [timings[n] for n in REF_QUERIES if n in timings]
     ref_sec = round(sum(ref_parts), 3) if len(ref_parts) == len(REF_QUERIES) else None
+    # key order matters for durability: the driver archives only the
+    # LAST ~4 kB of stdout, so whatever leads this dict is what gets
+    # truncated. The raw per-query seconds (what the 2× gate is judged
+    # on) go LAST; the derived/normalized map — recomputable from the
+    # raw one — goes first and absorbs any cut.
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "reps": reps,
         # flat series = no cache/tempdir/handle accumulation across reps
@@ -221,19 +243,32 @@ def main() -> None:
         # the host was busy while this run timed queries
         "ref_queries": list(REF_QUERIES),
         "ref_sec": ref_sec,
+        # start-of-run load is the idleness evidence (the run's own
+        # 32-thread work dominates the end-of-run averages)
+        "idle_wait_sec": idle_wait_sec,
+        "load_avg_start": load_avg_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "queries_normalized": (
             {n: round(s / ref_sec, 2) for n, s in timings.items()}
             if ref_sec
             else None
         ),
-        # start-of-run load is the idleness evidence (the run's own
-        # 32-thread work dominates the end-of-run averages)
-        "load_avg_start": load_avg_start,
-        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "queries": timings,
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # truncation-proof duplicate: the stdout tail capture can still cut
+    # the line; the repo-root file always holds the complete result
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the contract
     spark.stop()
 
 
