@@ -300,15 +300,29 @@ def count_cat(
     specs: Sequence[BinSpec],
     cat: str,
     densify: bool = False,
+    max_categories: int = 10_000,
 ) -> DataFrame:
     """Datashader ``count_cat`` reduction (datashader.py:132-133): per
     raster cell, one count column per category — groupBy(bins, cat)
     then pivot. The category dimension must be low-cardinality (it
     becomes columns); the pivot values are collected once driver-side
-    for a deterministic column order."""
-    cats = sorted(
-        r[0] for r in df.select(cat).distinct().collect() if r[0] is not None
-    )
+    for a deterministic column order.
+
+    ``max_categories`` bounds that collect: a high-cardinality column
+    (user ids, raw text) would otherwise stream millions of pivot
+    values into the driver before the pivot itself became unusable —
+    fail fast with guidance instead. The probe fetches at most
+    ``max_categories + 1`` rows regardless of true cardinality."""
+    probe = df.select(cat).distinct().limit(max_categories + 1).collect()
+    if len(probe) > max_categories:
+        raise ValueError(
+            f"count_cat: column {cat!r} has more than {max_categories} "
+            "distinct values — each category becomes a pivot COLUMN, so "
+            "this is almost certainly the wrong column (did you mean a "
+            "binned/bucketed form of it?). Raise max_categories to "
+            "override deliberately."
+        )
+    cats = sorted(r[0] for r in probe if r[0] is not None)
     bin_cols = [
         (F.col(s.col) if s.categorical else _bin_id(s)).alias(f"{s.col}__bin")
         for s in specs

@@ -550,13 +550,33 @@ class Plotter:
         return df.groupBy("healpix").agg(parse_agg(EzTable(df), what).alias("value"))
 
     # -- grouping --------------------------------------------------------
-    def groupby(self, key: str) -> "Group":
+    def groupby(self, key: str, max_groups: int = 10_000) -> "Group":
         """One Plotter per group (plotter.py:992-1023). Group keys are
         discovered with a distinct scan; each member is a filter view
         (lazy — no materialization until a verb aggregates it). Verbs the
         Group can fuse (hist) run ONE groupBy(key, bin) job over the base
-        frame instead of one job per group — see Group.hist."""
-        keys = [r[0] for r in self.t.df.select(key).distinct().orderBy(key).collect()]
+        frame instead of one job per group — see Group.hist.
+
+        ``max_groups`` bounds the driver-side key collect: grouping a
+        plot by a high-cardinality column (ids, timestamps) fails fast
+        with guidance instead of OOMing the driver — the probe fetches
+        at most ``max_groups + 1`` keys regardless of cardinality."""
+        probe = (
+            self.t.df.select(key).distinct().limit(max_groups + 1).collect()
+        )
+        if len(probe) > max_groups:
+            raise ValueError(
+                f"Plotter.groupby: column {key!r} has more than "
+                f"{max_groups} distinct values — one sub-plot per group "
+                "cannot be meaningful at that cardinality (bin or bucket "
+                "the column first). Raise max_groups to override "
+                "deliberately."
+            )
+        # Spark's orderBy is asc-nulls-first; replicate it driver-side
+        # (Python can't sort None against values)
+        keys = sorted(r[0] for r in probe if r[0] is not None)
+        if any(r[0] is None for r in probe):
+            keys.insert(0, None)
         members = [
             Plotter(EzTable(self.t.df.filter(F.col(key) == k)), label=f"{key}={k}") for k in keys
         ]

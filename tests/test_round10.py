@@ -261,3 +261,36 @@ def test_knn_join_raw_partial_probe_matches_numpy(spark):
         assert [(r, v) for r, v, _ in have] == [(r, v) for r, v, _ in expect], qid
         for (_, _, a), (_, _, b) in zip(have, expect):
             assert abs(a - b) < 1e-9
+
+
+# --------------------------------- directive 8: driver-side collect caps
+def test_count_cat_cardinality_cap(spark):
+    from ezdata_spark.operators.binned import BinSpec, count_cat
+
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("u"), F.col("id")).alias("user"),
+    )
+    spec = BinSpec("x", lo=0.0, hi=100.0, nbins=4)
+    with pytest.raises(ValueError, match="more than 20 distinct"):
+        count_cat(df, [spec], "user", max_categories=20)
+    # below the cap: unchanged behavior
+    df2 = df.withColumn("cls", (F.col("x") % 3).cast("int"))
+    out = count_cat(df2, [spec], "cls")
+    assert set(out.columns) == {"x__bin", "0", "1", "2"}
+
+
+def test_plotter_groupby_cardinality_cap(spark):
+    from ezdata_spark import EzTable
+    from ezdata_spark.plotting import Plotter
+
+    df = spark.range(200).select(
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("g"), F.col("id")).alias("g"),
+    )
+    p = Plotter(EzTable(df))
+    with pytest.raises(ValueError, match="more than 50 distinct"):
+        p.groupby("g", max_groups=50)
+    df3 = df.withColumn("g3", (F.col("x") % 3).cast("int").cast("string"))
+    grp = Plotter(EzTable(df3)).groupby("g3")
+    assert grp.keys == ["0", "1", "2"]
