@@ -2624,6 +2624,44 @@ def q143(spark, sf_dir):
     )
 
 
+@query("z144_minhash_index_reload")
+def q144(spark, sf_dir):
+    """MinHash dedup index artifact round-trip (operators/ann_index.py::
+    save_minhash_index / load_minhash_index): build the incremental
+    near-dup index over the history partition ONCE (signatures — the
+    verify artifact — and the (id, band, bucket) table, band-partitioned
+    parquet + a geometry sidecar DERIVED from the frames), save, RELOAD,
+    and dedup the new shard against the loaded pair with the sidecar's
+    own hashing geometry — the cross-job path a real crawl pipeline
+    runs daily. Rows-only (Spark-hash signatures are not
+    SQL-expressible); tests/test_round10.py pins loaded-artifact
+    survivors == in-session survivors == batch rerun."""
+    from .operators.ann_index import load_minhash_index, save_minhash_index
+    from .operators.dedup import minhash_dedup_incremental
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 3
+    hist = docs.filter(F.col("doc_id") <= mid)
+    batch = docs.filter(F.col("doc_id") > mid)
+    _, sigs, bands = minhash_dedup_incremental(
+        hist, threshold=0.7, return_bands=True
+    )
+    path = _rt_path("minhash", "z144_index")
+    save_minhash_index(path, sigs, bands)
+    lsigs, lbands, params = load_minhash_index(spark, path)
+    survivors, _ = minhash_dedup_incremental(
+        batch,
+        history_signatures=lsigs,
+        history_bands=lbands,
+        threshold=0.7,
+        num_hashes=params["num_hashes"],
+        bands=params["bands"],
+        shingle_n=params["shingle_n"],
+        id_col=params["id_col"],
+    )
+    return survivors.select("doc_id", "source")
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

@@ -294,3 +294,51 @@ def test_plotter_groupby_cardinality_cap(spark):
     df3 = df.withColumn("g3", (F.col("x") % 3).cast("int").cast("string"))
     grp = Plotter(EzTable(df3)).groupby("g3")
     assert grp.keys == ["0", "1", "2"]
+
+
+# ------------------------- directive 7: minhash artifact end-to-end parity
+def test_minhash_loaded_artifact_equals_in_session_and_batch(spark, tmp_path):
+    """Dedup of a new shard against the LOADED minhash index pair must
+    equal (a) dedup against the in-session frames and (b) a batch rerun
+    over the union — the artifact is a pure persistence layer."""
+    from ezdata_spark.operators.ann_index import (
+        load_minhash_index,
+        save_minhash_index,
+    )
+    from ezdata_spark.operators.dedup import minhash_dedup, minhash_dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" variant {i % 7}") for i in range(40)]
+    rows += [(100 + i, base + f" variant {i % 7} extra") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    hist = docs.filter(F.col("doc_id") < 50)
+    batch = docs.filter(F.col("doc_id") >= 50)
+    _, sigs, bands = minhash_dedup_incremental(
+        hist, threshold=0.7, return_bands=True
+    )
+    path = str(tmp_path / "mh_idx")
+    save_minhash_index(path, sigs, bands)
+    lsigs, lbands, params = load_minhash_index(spark, path)
+    kw = dict(
+        threshold=0.7,
+        num_hashes=params["num_hashes"],
+        bands=params["bands"],
+        shingle_n=params["shingle_n"],
+        id_col=params["id_col"],
+    )
+    loaded, _ = minhash_dedup_incremental(
+        batch, history_signatures=lsigs, history_bands=lbands, **kw
+    )
+    insess, _ = minhash_dedup_incremental(
+        batch, history_signatures=sigs, history_bands=bands, **kw
+    )
+    got_loaded = sorted(r.doc_id for r in loaded.collect())
+    got_insess = sorted(r.doc_id for r in insess.collect())
+    assert got_loaded == got_insess
+    # batch rerun over the union: "drop iff near-dup of any smaller-id
+    # doc" — pairs are (id_a < id_b), so the dropped set is {id_b}
+    dropped = {
+        r.id_b for r in minhash_dedup(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    rerun = sorted(i for i, _ in rows if i >= 50 and i not in dropped)
+    assert got_loaded == rerun
