@@ -79,6 +79,8 @@ HEADLINE = [
     "q50a_knn_join",         # IVF cell equi-join + cogrouped BLAS kNN
     "q50b_knn_join_pq",      # PQ-compressed kNN join (ADC + exact rescore)
     "q59a_heavy_hitters",    # Misra-Gries candidates -> exact top-k
+    "q66a_logreg_train",     # on-cluster logistic-regression fit + score
+    "q90a_backoff_logprob",  # trigram stupid-backoff LM scoring
 ]
 
 # Fixed reference BASKET for cross-run normalization: four queries

@@ -268,6 +268,113 @@ def unigram_logprob(
     )
 
 
+def backoff_logprob(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean negative log-score under a trigram LM with
+    STUPID BACKOFF (Brants et al., EMNLP 2007 — the web-scale n-gram
+    smoothing: no discounting, a fixed backoff factor, scores instead
+    of probabilities) built from the corpus itself. Extends
+    :func:`unigram_logprob` (q90) to the real perplexity-filter shape:
+
+    ``S(c|a,b) = c3/c_ab`` when the trigram survives pruning, else
+    ``alpha * S(c|b)``; ``S(c|b) = c_bc/c_b`` when the bigram survives,
+    else ``alpha * S(c)``; ``S(c) = c_c/T``. Early positions start at
+    the highest order they have context for (no padding tokens).
+
+    ``min_count`` prunes the trigram/bigram tables (count >= min_count)
+    — the standard web-scale move (you never ship singleton n-grams at
+    100 TB), and what makes backoff actually trigger when the LM is
+    built from the scoring corpus itself (every observed n-gram would
+    otherwise have count >= 1). Unigrams are not pruned (every scored
+    token is in the corpus, so S > 0 always — no smoothing needed).
+
+    Returns (id, n_tok, avg_nll). Scale shape: positions are built
+    INSIDE the row (one transform over the token array — no window,
+    no self-join), each n-gram table is one map-side-combined
+    aggregate of the position stream, and scoring is five left
+    equi-joins of the stream against the (pruned, n-gram-bounded)
+    tables — Catalyst broadcasts the small ones, AQE handles the big;
+    the final per-doc mean is one hash aggregate.
+    """
+    a = float(alpha)
+    pos = track(
+        docs.select(F.col(id_col), tokens(text).alias("_t"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(_t, (c, i) -> struct(i AS pos, c AS c, "
+                    "CASE WHEN i >= 1 THEN _t[i - 1] END AS b, "
+                    "CASE WHEN i >= 2 THEN _t[i - 2] END AS a))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.pos", "p.a", "p.b", "p.c")
+    )
+    tri = (
+        pos.where(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .where(F.col("c3") >= min_count)
+    )
+    bi = (
+        pos.where(F.col("b").isNotNull())
+        .groupBy("b", "c")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .where(F.col("c2") >= min_count)
+    )
+    uni = track(pos.groupBy("c").agg(F.count(F.lit(1)).alias("c1")))
+    totals = uni.agg(F.sum("c1").alias("t_tokens"))
+    scored = (
+        pos.join(tri, ["a", "b", "c"], "left")
+        .join(
+            bi.select(
+                F.col("b").alias("a"), F.col("c").alias("b"), F.col("c2").alias("c_ab")
+            ),
+            ["a", "b"],
+            "left",
+        )
+        .join(bi.withColumnRenamed("c2", "c_bc"), ["b", "c"], "left")
+        .join(uni.select(F.col("c").alias("b"), F.col("c1").alias("c_b")), ["b"], "left")
+        .join(uni.withColumnRenamed("c1", "c_c"), ["c"])
+        .crossJoin(F.broadcast(totals))
+    )
+    s = (
+        F.when(
+            F.col("a").isNotNull() & F.col("c3").isNotNull() & F.col("c_ab").isNotNull(),
+            F.col("c3") / F.col("c_ab"),
+        )
+        .when(
+            F.col("b").isNotNull() & F.col("c_bc").isNotNull(),
+            F.when(F.col("a").isNotNull(), F.lit(a)).otherwise(F.lit(1.0))
+            * F.col("c_bc")
+            / F.col("c_b"),
+        )
+        .otherwise(
+            # 0.4^(start_order - 1): pos 0 starts at unigram (no
+            # penalty), pos 1 backs off once, pos >= 2 twice
+            F.when(F.col("a").isNotNull(), F.lit(a * a))
+            .when(F.col("b").isNotNull(), F.lit(a))
+            .otherwise(F.lit(1.0))
+            * F.col("c_c")
+            / F.col("t_tokens")
+        )
+    )
+    return (
+        scored.withColumn("nll", -F.log(s))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("avg_nll"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec: str = "embedding",

@@ -276,6 +276,112 @@ def linear_score(
     )
 
 
+def logreg_train(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+    vocab_size: int = 256,
+    epochs: int = 3,
+    lr: float = 1.0,
+    init_bias: float = 0.0,
+) -> tuple[dict[str, float], float]:
+    """Distributed logistic-regression TRAINING for the vocabulary
+    linear classifier — fits the (term -> weight) table and bias that
+    :func:`linear_score` / :func:`linear_score_stateless` consume, on
+    the SAME feature contract they score with: x_j = count of vocab
+    term j in the doc / n_tokens (all whitespace tokens, matched or
+    not), p = sigmoid(w.x + b). This is the Wiki-vs-crawl quality-model
+    fit a real curation pipeline runs on-cluster before model-based
+    filtering.
+
+    Full-batch gradient descent, DETERMINISTIC by construction: no
+    RNG anywhere (weights start at zero, the vocabulary is top-df with
+    ties broken by term), fixed ``epochs``; each epoch is two
+    aggregate passes over a persisted compact feature frame —
+    per-doc score/error (one groupBy on the doc id; the current
+    weights fold in as a broadcast LITERAL MAP, so scoring is
+    join-free) and the per-term gradient (one groupBy on the term,
+    vocabulary-bounded after partial aggregation) — plus a
+    vocabulary-sized collect for the driver-side update
+    w -= lr * grad / n_docs. Nothing scales with the corpus except the
+    two shuffles, and the term shuffle is map-side-combined down to
+    the vocabulary size.
+
+    ``vocab``: explicit term list, or None to take the ``vocab_size``
+    highest-document-frequency terms (ties by term ascending).
+    Returns ``(weights, bias)`` ready for
+    ``linear_score_stateless(docs, weights, bias=bias)``.
+    """
+    y = F.col(label_col).cast("double")
+    base = docs.select(
+        F.col(id_col), y.alias("_y"), token_count(text_col).alias("_n"),
+        tokens(text_col).alias("_toks"),
+    )
+    if vocab is None:
+        df_counts = (
+            base.select(F.col(id_col), F.explode("_toks").alias("term"))
+            .groupBy("term")
+            .agg(F.count_distinct(id_col).alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(vocab_size)
+        )
+        vocab = [r["term"] for r in df_counts.collect()]
+    if not vocab:
+        raise ValueError("logreg_train: empty vocabulary")
+    vset = set(vocab)
+    # compact features: one row per (doc, vocab term) with its count —
+    # the reusable per-epoch input (token-stream work happens ONCE)
+    feats = (
+        base.select(
+            F.col(id_col), "_y", "_n", F.explode("_toks").alias("term")
+        )
+        .where(F.col("term").isin(list(vset)))
+        .groupBy(id_col, "_y", "_n", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+    ).persist()
+    perdoc = base.select(F.col(id_col), "_y", "_n").persist()
+    n_docs = perdoc.count()
+
+    w = {t: 0.0 for t in vocab}
+    b = float(init_bias)
+    try:
+        for _ in range(epochs):
+            wmap = F.create_map(*[F.lit(x) for t in vocab for x in (t, w[t])])
+            scores = feats.groupBy(id_col).agg(
+                F.sum(F.element_at(wmap, F.col("term")) * F.col("_cnt")).alias("_s")
+            )
+            z = F.coalesce(F.col("_s"), F.lit(0.0)) / F.greatest(
+                F.col("_n"), F.lit(1)
+            ) + F.lit(b)
+            errs = perdoc.join(scores, id_col, "left").select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")).alias("_g"),
+            )
+            # one narrow frame feeds both the bias and the term gradient
+            errs = errs.persist()
+            grad_b = errs.agg(F.sum("_g")).first()[0] or 0.0
+            grad_rows = (
+                feats.join(errs, id_col)
+                .groupBy("term")
+                .agg(
+                    F.sum(
+                        F.col("_g") * F.col("_cnt") / F.greatest(F.col("_n"), F.lit(1))
+                    ).alias("g")
+                )
+                .collect()
+            )
+            errs.unpersist()
+            for r in grad_rows:
+                w[r["term"]] -= lr * float(r["g"]) / n_docs
+            b -= lr * float(grad_b) / n_docs
+    finally:
+        feats.unpersist()
+        perdoc.unpersist()
+    return w, b
+
+
 def linear_score_stateless(
     docs: DataFrame,
     weights: dict[str, float],

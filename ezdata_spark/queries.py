@@ -2315,6 +2315,65 @@ def q90(spark, sf_dir):
     return unigram_logprob(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "q90a_backoff_logprob",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id,
+                   toks[i] AS c,
+                   CASE WHEN i >= 2 THEN toks[i - 1] END AS b,
+                   CASE WHEN i >= 3 THEN toks[i - 2] END AS a
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+    tri AS (SELECT a, b, c, count(*) AS c3 FROM pos WHERE a IS NOT NULL
+            GROUP BY a, b, c HAVING count(*) >= 2),
+    bi AS (SELECT b, c, count(*) AS c2 FROM pos WHERE b IS NOT NULL
+           GROUP BY b, c HAVING count(*) >= 2),
+    uni AS (SELECT c, count(*) AS c1 FROM pos GROUP BY c),
+    tot AS (SELECT sum(c1) AS t_tokens FROM uni),
+    sc AS (SELECT pos.doc_id,
+              CASE
+                WHEN pos.a IS NOT NULL AND tri.c3 IS NOT NULL
+                     AND cab.c2 IS NOT NULL
+                  THEN tri.c3 / CAST(cab.c2 AS DOUBLE)
+                WHEN pos.b IS NOT NULL AND bc.c2 IS NOT NULL
+                  THEN (CASE WHEN pos.a IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+                             ELSE 1.0 END) * bc.c2 / CAST(ub.c1 AS DOUBLE)
+                ELSE (CASE WHEN pos.a IS NOT NULL
+                             THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                           WHEN pos.b IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+                           ELSE 1.0 END) * uc.c1 / CAST(tot.t_tokens AS DOUBLE)
+              END AS s
+           FROM pos
+           LEFT JOIN tri ON pos.a = tri.a AND pos.b = tri.b AND pos.c = tri.c
+           LEFT JOIN bi cab ON pos.a = cab.b AND pos.b = cab.c
+           LEFT JOIN bi bc ON pos.b = bc.b AND pos.c = bc.c
+           LEFT JOIN uni ub ON pos.b = ub.c
+           JOIN uni uc ON pos.c = uc.c
+           CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           ROUND(sum(-ln(s)) / count(*), 6) AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q90a(spark, sf_dir):
+    """Trigram stupid-backoff LM scoring (operators/corpus.py::
+    backoff_logprob; Brants et al. EMNLP 2007): the real
+    perplexity-filter shape between q90's unigram proxy and
+    model-based filtering. Positions build inside the row (one
+    transform over the token array — no window), the pruned
+    trigram/bigram tables (count >= 2, the web-scale move that also
+    makes backoff trigger on a same-corpus LM) are map-side-combined
+    aggregates, and scoring is five left equi-joins plus one per-doc
+    hash aggregate. pytest pins the operator to a pure-Python
+    reference."""
+    from .operators.corpus import backoff_logprob
+
+    return backoff_logprob(load(spark, sf_dir, "documents"))
+
+
 @query("q91_semantic_dedup")
 def q91(spark, sf_dir):
     """SemDeDup-style semantic dedup (arXiv:2303.09540): KMeans cells,
@@ -3252,6 +3311,77 @@ def q111(spark, sf_dir):
         )
     )
     out = linear_score(docs, weights, bias=-1.0)
+    return out.select("doc_id", "n_tokens", F.round("prob", 6).alias("prob"))
+
+
+@query(
+    "q66a_logreg_train",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                           x -> x <> '')) AS term
+                 FROM documents),
+    cnt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+    base AS (SELECT d.doc_id, CAST(length(d.source) = 4 AS DOUBLE) AS y,
+                    COALESCE(cnt.n_tokens, 0) AS n
+             FROM documents d LEFT JOIN cnt USING (doc_id)),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    vocab AS (SELECT term FROM (SELECT term, count(DISTINCT doc_id) AS df
+                                FROM tok GROUP BY term)
+              ORDER BY df DESC, term ASC LIMIT 64),
+    feats AS (SELECT tok.doc_id, tok.term, CAST(count(*) AS DOUBLE) AS c
+              FROM tok JOIN vocab USING (term) GROUP BY tok.doc_id, tok.term),
+    -- epoch 1 from zero weights: p = sigmoid(0) = 0.5 for every doc
+    e1 AS (SELECT doc_id, 0.5 - y AS g, n FROM base),
+    g1 AS (SELECT term, sum(e1.g * feats.c / GREATEST(e1.n, 1)) AS g
+           FROM feats JOIN e1 USING (doc_id) GROUP BY term),
+    w1 AS (SELECT v.term, -COALESCE(g1.g, 0.0) / nd.n_docs AS w
+           FROM vocab v LEFT JOIN g1 USING (term) CROSS JOIN nd),
+    b1 AS (SELECT -sum(g) / (SELECT n_docs FROM nd) AS b FROM e1),
+    -- epoch 2
+    s2 AS (SELECT feats.doc_id, sum(w1.w * feats.c) AS s
+           FROM feats JOIN w1 USING (term) GROUP BY feats.doc_id),
+    e2 AS (SELECT base.doc_id,
+                  1.0 / (1.0 + exp(-(COALESCE(s2.s, 0.0) / GREATEST(base.n, 1)
+                                     + (SELECT b FROM b1)))) - base.y AS g,
+                  base.n
+           FROM base LEFT JOIN s2 USING (doc_id)),
+    g2 AS (SELECT term, sum(e2.g * feats.c / GREATEST(e2.n, 1)) AS g
+           FROM feats JOIN e2 USING (doc_id) GROUP BY term),
+    w2 AS (SELECT w1.term, w1.w - COALESCE(g2.g, 0.0) / nd.n_docs AS w
+           FROM w1 LEFT JOIN g2 USING (term) CROSS JOIN nd),
+    b2 AS (SELECT (SELECT b FROM b1) - sum(g) / (SELECT n_docs FROM nd) AS b
+           FROM e2),
+    sf AS (SELECT feats.doc_id, sum(w2.w * feats.c) AS s
+           FROM feats JOIN w2 USING (term) GROUP BY feats.doc_id)
+    SELECT base.doc_id, base.n AS n_tokens,
+           ROUND(1.0 / (1.0 + exp(-(COALESCE(sf.s, 0.0) / GREATEST(base.n, 1)
+                                    + (SELECT b FROM b2)))), 6) AS prob
+    FROM base LEFT JOIN sf USING (doc_id)
+    """,
+)
+def q66a(spark, sf_dir):
+    """Distributed logistic-regression TRAINING + scoring
+    (operators/textstats.py::logreg_train): fits the Wiki-vs-crawl-style
+    quality model ON-CLUSTER — labels derived deterministically from the
+    source column, top-64-df vocabulary, 2 full-batch GD epochs from
+    zero init (no RNG anywhere), each epoch two aggregate passes with
+    the current weights folded in as a broadcast literal map — then
+    scores every document with the trained weights through
+    linear_score's contract. The oracle replays the SAME unrolled
+    gradient descent in SQL; pytest additionally pins the fit to a
+    numpy reference. Completes the q111 story: that query scores with
+    derived weights, this one TRAINS them."""
+    from .operators.textstats import linear_score, logreg_train
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "label", (F.length("source") == 4).cast("double")
+    )
+    w, b = logreg_train(docs, vocab_size=64, epochs=2, lr=1.0)
+    weights = spark.createDataFrame(
+        sorted(w.items()), ["term", "weight"]
+    )
+    out = linear_score(docs, weights, bias=b)
     return out.select("doc_id", "n_tokens", F.round("prob", 6).alias("prob"))
 
 

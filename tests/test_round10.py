@@ -342,3 +342,127 @@ def test_minhash_loaded_artifact_equals_in_session_and_batch(spark, tmp_path):
     }
     rerun = sorted(i for i, _ in rows if i >= 50 and i not in dropped)
     assert got_loaded == rerun
+
+
+# ---------------------------- directive 5: logistic-regression training
+def test_logreg_train_matches_numpy_reference(spark):
+    """Distributed full-batch GD must equal a driver-side numpy fit on
+    the same features (x_j = count_j / n_tokens, zero init, fixed
+    epochs, no RNG) to float tolerance, and the trained model must
+    separate an obviously separable corpus."""
+    from ezdata_spark.operators.textstats import linear_score_stateless, logreg_train
+
+    rng = np.random.default_rng(42)
+    good_words = ["science", "theory", "proof", "study", "result"]
+    bad_words = ["click", "buy", "cheap", "offer", "win"]
+    common = ["the", "a", "of", "and", "to"]
+    rows = []
+    for i in range(120):
+        label = i % 2
+        pool = (good_words if label else bad_words) + common
+        text = " ".join(rng.choice(pool, size=rng.integers(8, 20)))
+        rows.append((i, text, label))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    w, b = logreg_train(docs, vocab_size=16, epochs=4, lr=2.0)
+
+    # ---- numpy replay on identical features
+    toks = {i: t.lower().split() for i, t, _ in rows}
+    from collections import Counter
+    df_cnt = Counter()
+    for tl in toks.values():
+        df_cnt.update(set(tl))
+    vocab = sorted(df_cnt, key=lambda t: (-df_cnt[t], t))[:16]
+    vidx = {t: j for j, t in enumerate(vocab)}
+    X = np.zeros((len(rows), 16))
+    y = np.array([float(l) for _, _, l in rows])
+    for r, (i, _, _) in enumerate(rows):
+        tl = toks[i]
+        n = max(len(tl), 1)
+        for t in tl:
+            if t in vidx:
+                X[r, vidx[t]] += 1.0 / n
+    wr = np.zeros(16)
+    br = 0.0
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ wr + br)))
+        g = p - y
+        wr -= 2.0 * (X.T @ g) / len(rows)
+        br -= 2.0 * g.sum() / len(rows)
+    assert set(w) == set(vocab)
+    assert abs(b - br) < 1e-10
+    for t in vocab:
+        assert abs(w[t] - wr[vidx[t]]) < 1e-10, t
+    # the fit separates: good words positive, bad words negative
+    for t in good_words:
+        if t in w:
+            assert w[t] > 0
+    for t in bad_words:
+        if t in w:
+            assert w[t] < 0
+    scored = {
+        r.doc_id: r.prob
+        for r in linear_score_stateless(docs, w, bias=b).collect()
+    }
+    p_np = 1.0 / (1.0 + np.exp(-(X @ wr + br)))
+    for r, (i, _, _) in enumerate(rows):
+        assert abs(scored[i] - p_np[r]) < 1e-9
+
+
+# --------------------------------- directive 6: stupid-backoff trigram LM
+def test_backoff_logprob_matches_python_reference(spark):
+    """backoff_logprob == a pure-Python stupid-backoff replay: same
+    tokenization, same pruning (count >= 2), same 0.4 backoff chain,
+    same start-order handling for the first two positions."""
+    import math
+    from collections import Counter
+
+    from ezdata_spark.operators.corpus import backoff_logprob
+
+    rows = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "the dog ran in the park the dog ran far"),
+        (3, "a completely different sentence with unique words here"),
+        (4, "the cat sat on the mat once more today"),
+        (5, "the cat sat"),
+        (6, "single"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tok, r.avg_nll) for r in backoff_logprob(docs).collect()}
+
+    toks = {i: t.lower().split() for i, t in rows}
+    tri, bi, uni = Counter(), Counter(), Counter()
+    for tl in toks.values():
+        for i, c in enumerate(tl):
+            uni[c] += 1
+            if i >= 1:
+                bi[(tl[i - 1], c)] += 1
+            if i >= 2:
+                tri[(tl[i - 2], tl[i - 1], c)] += 1
+    tri = {k: v for k, v in tri.items() if v >= 2}
+    bi = {k: v for k, v in bi.items() if v >= 2}
+    T = sum(uni.values())
+    A = 0.4
+    for did, tl in toks.items():
+        nll = 0.0
+        for i, c in enumerate(tl):
+            a = tl[i - 2] if i >= 2 else None
+            b = tl[i - 1] if i >= 1 else None
+            if a is not None and (a, b, c) in tri and (a, b) in bi:
+                s = tri[(a, b, c)] / bi[(a, b)]
+            elif b is not None and (b, c) in bi:
+                s = (A if a is not None else 1.0) * bi[(b, c)] / uni[b]
+            else:
+                pen = A * A if a is not None else (A if b is not None else 1.0)
+                s = pen * uni[c] / T
+            nll += -math.log(s)
+        assert got[did] == (len(tl), round(nll / len(tl), 6)), did
+
+
+def test_backoff_logprob_drops_empty_docs(spark):
+    from ezdata_spark.operators.corpus import backoff_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    ids = {r.doc_id for r in backoff_logprob(docs).collect()}
+    assert ids == {1}
