@@ -668,7 +668,22 @@ def remove_duplicate_spans(
     tokens (distinct acts as the pre-shuffle combiner for overlapping
     windows), an anti-join, and one per-doc aggregate whose order is
     restored by array_sort (no collect_list-order dependence).
-    Returns (id, kept_text, n_tokens_before, n_tokens_after)."""
+    Returns (id, kept_text, n_tokens_before, n_tokens_after).
+
+    Measured stage breakdown (30M-sweep fixture: 3M docs x 20 tokens,
+    window=10, hash_grams=True, dedicated idle 16g JVM; cumulative
+    noop-sink timings): token explode 2.7 s; gram build + dup
+    aggregate 15.8 s (the zip_with cascade plus the one corpus-wide
+    shuffle — irreducible per-byte work); covered-position join 14.7 s
+    (ReuseExchange shares the gram exchange, so approximately the dup
+    aggregate re-read); anti-join +1.6 s; REBUILD +15.1 s — the
+    collect_list shuffle + per-doc sort of every (doc, pos, tok) row,
+    paid even when nothing was cut. Hence the touched-doc gate below:
+    untouched docs (no covered position) skip the rebuild and emit the
+    per-row token rejoin — full operator 31.4 -> ~17-21 s on that
+    fixture (zero touched docs); on an adversarial every-doc-touched
+    fixture the gate costs ~10% (post-anti semi pass over the rebuild's
+    own input, see inline comment)."""
     from .dedup import _fan_out
 
     # the window-gram fold is the CPU-heavy per-row stage (n zip_with
@@ -731,7 +746,26 @@ def remove_duplicate_spans(
         # than shipping the duplicates into the join
         .distinct()
     )
-    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    # TOUCHED-DOC GATE (round-10, measured): docs with no covered
+    # position need no rebuild at all — their output is the per-row
+    # token rejoin. Without the gate the rebuild shuffled ALL
+    # (doc, pos, tok) rows and re-assembled every document even when
+    # nothing was cut; the 30M-fixture stage breakdown (docstring
+    # below) put that at ~half the operator. The touched-id list is
+    # covered-id-bounded; AQE broadcasts the semi/anti joins when it is
+    # small (the common case — most docs carry no corpus-wide repeated
+    # span), so the untouched path is shuffle-free.
+    touched = covered.select(id_col).distinct()
+    # gate AFTER the anti-join, not before: a pre-anti semi pass would
+    # re-scan all token rows against the touched-id table (measured
+    # +~30% on an every-doc-touched fixture); post-anti, the semi only
+    # filters the anti-join's survivors, which the rebuild was about to
+    # shuffle anyway — so the gate costs one bounded pass in the worst
+    # case and removes the rebuild entirely in the common one
+    kept = (
+        tok.join(covered, [id_col, "pos"], "left_anti")
+        .join(touched, id_col, "left_semi")
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -742,12 +776,24 @@ def remove_duplicate_spans(
         ).alias("kept_text"),
         F.count(F.lit(1)).alias("n_tokens_after"),
     )
-    base = docs.select(F.col(id_col), F.size(t).alias("n_tokens_before")).where(
-        F.size(t) > 0
+    base = docs.select(
+        F.col(id_col), t.alias("_t"), F.size(t).alias("n_tokens_before")
+    ).where(F.size(t) > 0)
+    touched_out = (
+        base.join(touched, id_col, "left_semi")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            # a fully-covered doc has no kept row: empty text, 0 tokens
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+        )
     )
-    return base.join(rebuilt, id_col, "left").select(
+    untouched_out = base.join(touched, id_col, "left_anti").select(
         F.col(id_col),
-        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        F.array_join("_t", " ").alias("kept_text"),
         "n_tokens_before",
-        F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+        F.col("n_tokens_before").cast("long").alias("n_tokens_after"),
     )
+    return touched_out.unionByName(untouched_out)

@@ -466,3 +466,52 @@ def test_backoff_logprob_drops_empty_docs(spark):
     )
     ids = {r.doc_id for r in backoff_logprob(docs).collect()}
     assert ids == {1}
+
+
+# -------------------------- directive 2: dup_span touched-doc rebuild gate
+def test_dup_span_gate_mixed_touched_untouched(spark):
+    """The touched-doc gate must not change results: untouched docs
+    come back token-rejoined with n_after == n_before, touched docs
+    lose exactly the covered positions, fully-covered docs come back
+    empty with n_after 0."""
+    from ezdata_spark.operators.corpus import remove_duplicate_spans
+
+    span = " ".join(f"s{i}" for i in range(5))
+    rows = [
+        # two docs sharing a 5-token span (both touched)
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"{span} epsilon zeta eta theta iota"),
+        # fully covered: the duplicated span IS the whole doc
+        (3, span),
+        (4, span),
+        # untouched
+        (5, "completely unique words nobody repeats anywhere near"),
+        (6, "another entirely distinct document with fresh content"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.kept_text, r.n_tokens_before, r.n_tokens_after)
+        for r in remove_duplicate_spans(docs, window=5, min_count=2).collect()
+    }
+    assert out[5] == (rows[4][1], 7, 7)
+    assert out[6] == (rows[5][1], 7, 7)
+    assert out[3] == ("", 5, 0)
+    assert out[4] == ("", 5, 0)
+    assert out[1] == ("alpha beta gamma delta", 9, 4)
+    assert out[2] == ("epsilon zeta eta theta iota", 10, 5)
+    assert len(out) == 6
+
+
+def test_dup_span_gate_hash_grams_parity(spark):
+    """hash_grams=True must produce identical output through the gated
+    pipeline (the gate sits downstream of both gram key forms)."""
+    from ezdata_spark.operators.corpus import remove_duplicate_spans
+
+    span = " ".join(f"x{i}" for i in range(6))
+    rows = [(i, f"doc {i} words {span} tail{i} end") for i in range(4)]
+    rows += [(10 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(8)))
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, remove_duplicate_spans(docs, window=6).collect()))
+    b = sorted(map(tuple, remove_duplicate_spans(docs, window=6, hash_grams=True).collect()))
+    assert a == b and len(a) == 7
