@@ -737,7 +737,13 @@ def knn_join(
 
     def _score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
-            return pd.DataFrame({left_id: [], right_id: [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    left_id: pd.Series(dtype="object"),
+                    right_id: pd.Series(dtype="object"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
         # sort the cell's corpus rows by id so the boundary-exact
         # selection below breaks exact-cosine ties by ascending
         # right_id — deterministic across shuffle arrival orders
@@ -933,7 +939,17 @@ def _knn_join_pq(
 
     def _adc_score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf) or not len(rpdf):
-            return pd.DataFrame({left_id: [], "top": []})
+            # dtype=object on purpose: a bare [] column defaults to
+            # float64 and Arrow cannot convert an empty FLOAT column to
+            # the list<struct> output type (NumPyConverter error) — hit
+            # only by cogroups with corpus rows but no probes, i.e.
+            # small unpruned left batches
+            return pd.DataFrame(
+                {
+                    left_id: pd.Series(dtype="object"),
+                    "top": pd.Series(dtype="object"),
+                }
+            )
         # the cogroup key — constant across the call's rows
         cell_val = int(lpdf["cell"].iloc[0]) if with_cell else None
         # rid-ascending corpus order: _select_topk_desc breaks exact
@@ -1162,7 +1178,13 @@ def _rescore_cogroup(
 
     def _exact(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf):
-            return pd.DataFrame({left_id: [], right_id: [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    left_id: pd.Series(dtype="object"),
+                    right_id: pd.Series(dtype="object"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
         idx_map = pd.Index(rpdf[right_id].to_numpy() if len(rpdf) else [])
         V = (
             np.stack(rpdf["v"].to_numpy())

@@ -436,7 +436,8 @@ def main() -> None:
         enc_p.write.format("noop").mode("overwrite").save()
         run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
         enc_p.unpersist()
-    if only is None or {"knn_join_ivf", "knn_join_pq", "knn_join_pq_cg"} & only:
+    if only is None or {"knn_join_ivf", "knn_join_pq", "knn_join_pq_cg",
+                        "knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
         # embedding kNN JOIN: large left x large right through the IVF
         # cell equi-join (never a cross join). Balanced candidate
         # volume would be |L| * |R| * nprobe / n_cells (~1.4G dots at
@@ -481,7 +482,8 @@ def main() -> None:
         # artifact shape, like ivf_index); shuffle_mb deltas pin the
         # exchange-volume drop vs the raw row above. The eager
         # train/encode builds only run when this row is selected.
-        if only is None or {"knn_join_pq", "knn_join_pq_cg"} & only:
+        if only is None or {"knn_join_pq", "knn_join_pq_cg", "knn_join_pq_probe",
+                            "knn_join_pq_probe_ctl"} & only:
             from ezdata_spark.operators.similarity import ivf_pq_encode, pq_train
 
             pq_cbs = pq_train(emb, m=16, k=256,
@@ -527,6 +529,82 @@ def main() -> None:
                 sb1 = _shuffle_write_bytes(spark)
                 if sb0 is not None and sb1 is not None and "knn_join_pq_cg" in results:
                     results["knn_join_pq_cg"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+            # round-10: the production PROBE shape — a small left batch
+            # (100 queries, nprobe=4 over 256 cells) against the
+            # PERSISTED cell-partitioned artifact. The probed-cell
+            # semi-join prune reaches the parquet scan as dynamic
+            # partition pruning, so unprobed cells' codes never leave
+            # disk; shuffle_mb vs the unpruned control pins the
+            # corpus-side exchange drop (~union-of-probed-cells /
+            # n_cells). Artifact write is untimed build (like
+            # ivf_index / pq_encode).
+            if only is None or {"knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
+                import tempfile
+
+                from ezdata_spark.operators.ann_index import (
+                    load_ivf_pq_index,
+                    save_ivf_pq_index,
+                )
+
+                art = os.path.join(tempfile.gettempdir(), "scale_ivfpq_art")
+                save_ivf_pq_index(art, pq_corpus, cents, pq_cbs)
+                lframe, lcents, lcbs, _ = load_ivf_pq_index(spark, art)
+                # warm the artifact read AND the ADC-kernel Python
+                # workers untimed (page cache, parquet footers, worker
+                # spin-up + numpy import): whichever row ran first
+                # measured +5-15 s of one-time costs, swamping the
+                # pruned-vs-control delta this pair exists to isolate
+                # CLUSTERED batch (the production probe shape): 100
+                # queries = jittered copies of 4 seed vectors, so the
+                # union of probed cells is ~4 * nprobe of 256 — this is
+                # what makes cell pruning bite; a uniform-random batch
+                # probes most of the index (measured: only ~12% shuffle
+                # drop) and full scoring is then the honest cost
+                probe_left = spark.range(100).select(
+                    F.col("id").alias("doc_id"),
+                    F.expr(
+                        "transform(sequence(1, 64),"
+                        " i -> pmod(xxhash64(pmod(id, 4) + 777, i), 2000) / 1000.0D - 1.0D"
+                        "      + pmod(xxhash64(id, i + 100), 100) / 10000.0D)"
+                    ).alias("embedding"),
+                )
+                lframe.write.format("noop").mode("overwrite").save()
+                knn_join(
+                    probe_left.limit(4), lframe, lcents, k=10, nprobe=4,
+                    pq_codebooks=lcbs, pq_oversample=4,
+                ).write.format("noop").mode("overwrite").save()
+                sb0 = _shuffle_write_bytes(spark)
+                run("knn_join_pq_probe",
+                    knn_join(probe_left, lframe, lcents, k=10, nprobe=4,
+                             pq_codebooks=lcbs, pq_oversample=4),
+                    rows_in=100)
+                sb1 = _shuffle_write_bytes(spark)
+                if sb0 is not None and sb1 is not None and "knn_join_pq_probe" in results:
+                    results["knn_join_pq_probe"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+                # unpruned CONTROL: same probes, prune_cells=False — the
+                # round-9 plan that cogrouped every cell's codes
+                from ezdata_spark.operators.similarity import (
+                    _fan_out,
+                    _knn_join_pq,
+                    _nearest_cells,
+                )
+
+                plf = _fan_out(probe_left).select(
+                    "doc_id", F.col("embedding").alias("qv")
+                )
+                pprobes = plf.select(
+                    "doc_id", "qv",
+                    F.explode(_nearest_cells("qv", lcents, 4)).alias("cell"),
+                )
+                sb0 = _shuffle_write_bytes(spark)
+                run("knn_join_pq_probe_ctl",
+                    _knn_join_pq(plf, pprobes, lframe, lcbs, 10, "doc_id",
+                                 "vec_id", None, 1, 4, "broadcast",
+                                 prune_cells=False),
+                    rows_in=100)
+                sb1 = _shuffle_write_bytes(spark)
+                if sb0 is not None and sb1 is not None and "knn_join_pq_probe_ctl" in results:
+                    results["knn_join_pq_probe_ctl"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
             pq_corpus.unpersist()
         ivf_p.unpersist()
     if only is None:
@@ -1095,6 +1173,31 @@ def main() -> None:
             "  4.9 -> 11.6 s, lsh_probe_indexed 3.6 -> 14.6 s when cg\n"
             "  ran inline, round-9 measurement). Published rows are\n"
             "  the isolated-JVM numbers on both counts.\n"
+            "\nRound-10 rows:\n"
+            "- `knn_join_pq_probe` vs `knn_join_pq_probe_ctl`: the\n"
+            "  production PROBE shape — a 100-query CLUSTERED batch\n"
+            "  (4 jittered seeds, so the probed-cell union is ~4*nprobe\n"
+            "  of 256) against the PERSISTED cell-partitioned IVF-PQ\n"
+            "  artifact (save_ivf_pq_index -> load_ivf_pq_index). The\n"
+            "  probed-cell semi-join prune reaches the parquet scan as\n"
+            "  dynamic partition pruning (PartitionFilters on cell,\n"
+            "  pytest-pinned), so unprobed cells' codes never leave\n"
+            "  disk: shuffle-write measured ~90 vs ~151 MB (the delta\n"
+            "  is the unprobed cells' codes; the residual is the probe\n"
+            "  side + candidate/rescore exchanges, shared by both).\n"
+            "  Wall-clock is parity at 3M vectors — the DPP subquery's\n"
+            "  fixed cost cancels the saved shuffle here; the saved\n"
+            "  bytes grow with the corpus while the overhead does not,\n"
+            "  which is the 100 TB argument. Results are bit-identical\n"
+            "  with the prune on/off (pytest, both rescore modes).\n"
+            "- `dup_span_removal` gained the touched-doc rebuild gate:\n"
+            "  docs with no covered position skip the collect_list\n"
+            "  rebuild entirely (per-row token rejoin instead). Stage\n"
+            "  A/B at this fixture attributed ~half the operator to\n"
+            "  that rebuild; 31.4 -> ~17-21 s dedicated-JVM (the\n"
+            "  fixture has zero touched docs — the common shape); an\n"
+            "  every-doc-touched adversarial fixture pays ~10% for the\n"
+            "  post-anti-join semi pass (measured 70-77 vs 76-89 s).\n"
         )
     spark.stop()
 
