@@ -59,13 +59,21 @@ def save_ann_index(
         # mode('overwrite') deletes the whole directory, sidecar
         # included — a frame-only re-save (meta=None) onto an existing
         # artifact would silently destroy the trained parameters
-        # (centroids/codebooks), surfacing only at next load. Carry the
-        # existing sidecar across the overwrite.
-        if meta is None:
-            sidecar = os.path.join(path, _SIDECAR)
-            if os.path.exists(sidecar):
-                with open(sidecar) as fh:
-                    meta = json.load(fh)
+        # (centroids/codebooks), surfacing only at next load. Carrying
+        # the old sidecar over is no better: a frame re-encoded with
+        # RETRAINED params would then load cleanly and probe with the
+        # wrong codebooks (silently wrong neighbors). Mirror the
+        # meta-only guard below: the caller must pass frame and meta
+        # together so the artifact stays coherent by construction
+        # (load_ann_index returns the current meta to re-pass when the
+        # parameters genuinely haven't changed).
+        if meta is None and os.path.exists(os.path.join(path, _SIDECAR)):
+            raise ValueError(
+                f"save_ann_index: {path} already holds a parameter "
+                "sidecar; pass meta together with the frame (reload it "
+                "via load_ann_index if unchanged) so a re-encoded frame "
+                "can never silently pair with stale trained parameters"
+            )
         w = frame.write.mode("overwrite")
         if partition_by:
             cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)

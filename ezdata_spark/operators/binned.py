@@ -313,16 +313,15 @@ def count_cat(
     values into the driver before the pivot itself became unusable —
     fail fast with guidance instead. The probe fetches at most
     ``max_categories + 1`` rows regardless of true cardinality."""
-    probe = df.select(cat).distinct().limit(max_categories + 1).collect()
-    if len(probe) > max_categories:
-        raise ValueError(
-            f"count_cat: column {cat!r} has more than {max_categories} "
-            "distinct values — each category becomes a pivot COLUMN, so "
-            "this is almost certainly the wrong column (did you mean a "
-            "binned/bucketed form of it?). Raise max_categories to "
-            "override deliberately."
-        )
-    cats = sorted(r[0] for r in probe if r[0] is not None)
+    from .util import capped_distinct
+
+    vals = capped_distinct(
+        df, cat, max_categories, "count_cat",
+        "each category becomes a pivot COLUMN, so this is almost "
+        "certainly the wrong column (did you mean a binned/bucketed "
+        "form of it?).",
+    )
+    cats = sorted(v for v in vals if v is not None)
     bin_cols = [
         (F.col(s.col) if s.categorical else _bin_id(s)).alias(f"{s.col}__bin")
         for s in specs

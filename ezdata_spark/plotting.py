@@ -561,24 +561,26 @@ class Plotter:
         plot by a high-cardinality column (ids, timestamps) fails fast
         with guidance instead of OOMing the driver — the probe fetches
         at most ``max_groups + 1`` keys regardless of cardinality."""
-        probe = (
-            self.t.df.select(key).distinct().limit(max_groups + 1).collect()
+        from .operators.util import capped_distinct
+
+        vals = capped_distinct(
+            self.t.df, key, max_groups, "Plotter.groupby",
+            "one sub-plot per group cannot be meaningful at that "
+            "cardinality (bin or bucket the column first).",
         )
-        if len(probe) > max_groups:
-            raise ValueError(
-                f"Plotter.groupby: column {key!r} has more than "
-                f"{max_groups} distinct values — one sub-plot per group "
-                "cannot be meaningful at that cardinality (bin or bucket "
-                "the column first). Raise max_groups to override "
-                "deliberately."
-            )
         # Spark's orderBy is asc-nulls-first; replicate it driver-side
         # (Python can't sort None against values)
-        keys = sorted(r[0] for r in probe if r[0] is not None)
-        if any(r[0] is None for r in probe):
+        keys = sorted(v for v in vals if v is not None)
+        if any(v is None for v in vals):
             keys.insert(0, None)
         members = [
-            Plotter(EzTable(self.t.df.filter(F.col(key) == k)), label=f"{key}={k}") for k in keys
+            # eqNullSafe, not ==: a null group key must select its own
+            # rows (== is null-comparison and matches nothing, silently
+            # emptying the None member while the fused Group.hist path's
+            # groupBy DOES aggregate the null group — the two documented-
+            # identical paths would diverge)
+            Plotter(EzTable(self.t.df.filter(F.col(key).eqNullSafe(F.lit(k)))), label=f"{key}={k}")
+            for k in keys
         ]
         return Group(members, keys, base=self.t, key=key)
 

@@ -12,24 +12,29 @@ import pytest
 from pyspark.sql import functions as F
 
 
-# ------------------------------------------- ADVICE 1: sidecar preserved
-def test_frame_only_resave_preserves_sidecar(spark, tmp_path):
-    """A frame-only save_ann_index onto an existing artifact must carry
-    the sidecar across the parquet overwrite — mode('overwrite') deletes
-    the directory, and losing the trained centroids/codebooks only
-    surfaced at next load."""
+# --------------------------------------- ADVICE 1: sidecar never orphaned
+def test_frame_only_resave_over_sidecar_raises(spark, tmp_path):
+    """A frame-only save_ann_index onto an artifact holding a parameter
+    sidecar must FAIL FAST: overwrite would destroy the trained
+    centroids/codebooks, and carrying the old sidecar over would let a
+    re-encoded frame silently pair with stale parameters — both
+    branches of the coherence guard raise, symmetrically."""
     from ezdata_spark.operators.ann_index import load_ann_index, save_ann_index
 
     path = str(tmp_path / "idx")
     df = spark.range(5).select(F.col("id"), (F.col("id") % 2).alias("cell"))
     meta = {"kind": "ivf_pq", "centroids": [[0.5, 1.5]], "codebooks": [[[1.0]]]}
     save_ann_index(path, df, meta, partition_by="cell")
-    # re-save the frame alone (e.g. a re-encoded corpus, same params)
     df2 = spark.range(7).select(F.col("id"), (F.col("id") % 2).alias("cell"))
-    save_ann_index(path, df2, meta=None, partition_by="cell")
+    with pytest.raises(ValueError, match="pass meta together with the frame"):
+        save_ann_index(path, df2, meta=None, partition_by="cell")
+    # artifact untouched by the refused save
     frame, got = load_ann_index(spark, path)
-    assert got == meta
-    assert frame.count() == 7
+    assert got == meta and frame.count() == 5
+    # the documented recovery: reload the meta and pass it back
+    save_ann_index(path, df2, meta=got, partition_by="cell")
+    frame, got2 = load_ann_index(spark, path)
+    assert got2 == meta and frame.count() == 7
 
 
 def test_frame_only_save_fresh_path_has_no_sidecar(spark, tmp_path):
@@ -515,3 +520,21 @@ def test_dup_span_gate_hash_grams_parity(spark):
     a = sorted(map(tuple, remove_duplicate_spans(docs, window=6).collect()))
     b = sorted(map(tuple, remove_duplicate_spans(docs, window=6, hash_grams=True).collect()))
     assert a == b and len(a) == 7
+
+
+# --------------------------------- code-review: None group key member rows
+def test_plotter_groupby_null_key_member_selects_null_rows(spark):
+    """A null group key must select its own rows (eqNullSafe) — with ==
+    the None member was silently empty while the fused Group.hist path
+    aggregated the null group, diverging the two documented-identical
+    paths."""
+    from ezdata_spark import EzTable
+    from ezdata_spark.plotting import Plotter
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, None), (3.0, "a"), (4.0, None)], ["x", "g"]
+    )
+    grp = Plotter(EzTable(df)).groupby("g")
+    assert grp.keys == [None, "a"]
+    counts = {k: m.t.df.count() for k, m in zip(grp.keys, grp.members)}
+    assert counts == {None: 2, "a": 2}
