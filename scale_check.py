@@ -538,7 +538,13 @@ def main() -> None:
             # corpus-side exchange drop (~union-of-probed-cells /
             # n_cells). Artifact write is untimed build (like
             # ivf_index / pq_encode).
-            if only is None or {"knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
+            # Inline only when explicitly selected — in the full sweep
+            # this pair runs in its own child JVM (_fork_rows below):
+            # the ADC probe kernels' allocation volume pollutes the old
+            # gen exactly like the cg row does, and with the pair inline
+            # the downstream lsh_probe_topk measured 25.2 s vs its 8.3 s
+            # clean-heap number (the round-9 documented G1 effect).
+            if only is not None and {"knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
                 import tempfile
 
                 from ezdata_spark.operators.ann_index import (
@@ -609,6 +615,8 @@ def main() -> None:
         ivf_p.unpersist()
     if only is None:
         _fork_rows(n, results, ("knn_join_pq_cg",), "knn-pq-cg")
+        _fork_rows(n, results, ("knn_join_pq_probe", "knn_join_pq_probe_ctl"),
+                   "knn-pq-probe")
     run("lsh_probe_topk", cosine_topk_lsh(emb, qvecs, k=10, dim=64), rows_in=vec_n)
     if only is None or "lsh_probe_indexed" in only:
         # the recurring 100 TB shape: the (id, tbl, bucket) index is a
@@ -1182,9 +1190,10 @@ def main() -> None:
             "  probed-cell semi-join prune reaches the parquet scan as\n"
             "  dynamic partition pruning (PartitionFilters on cell,\n"
             "  pytest-pinned), so unprobed cells' codes never leave\n"
-            "  disk: shuffle-write measured ~90 vs ~151 MB (the delta\n"
-            "  is the unprobed cells' codes; the residual is the probe\n"
-            "  side + candidate/rescore exchanges, shared by both).\n"
+            "  disk: shuffle-write measured 66.6 vs 151.2 MB, 2.3x\n"
+            "  less (the delta is the unprobed cells' codes; the\n"
+            "  residual is the probe side + candidate/rescore\n"
+            "  exchanges, shared by both paths).\n"
             "  Wall-clock is parity at 3M vectors — the DPP subquery's\n"
             "  fixed cost cancels the saved shuffle here; the saved\n"
             "  bytes grow with the corpus while the overhead does not,\n"
