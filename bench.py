@@ -81,6 +81,7 @@ HEADLINE = [
     "q59a_heavy_hitters",    # Misra-Gries candidates -> exact top-k
     "q66a_logreg_train",     # on-cluster logistic-regression fit + score
     "q90a_backoff_logprob",  # trigram stupid-backoff LM scoring
+    "q90b_backoff_external", # persisted-LM scoring of a new shard (OOV floor)
 ]
 
 # Fixed reference BASKET for cross-run normalization: four queries

@@ -213,6 +213,41 @@ def save_minhash_index(
     save_ann_index(os.path.join(path, "bands"), bands, partition_by="band")
 
 
+def save_ngram_lm(
+    path: str,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    min_count: int = 2,
+    alpha: float = 0.4,
+) -> None:
+    """Persist a stupid-backoff LM (corpus.py::ngram_lm_build) as three
+    parquet tables plus a sidecar carrying the build/score parameters —
+    the train-once artifact :func:`load_ngram_lm` + corpus.py::
+    backoff_score consume per shard/stream. The trigram table is the
+    big one; at true scale re-write it bucketed by its join key."""
+    save_ann_index(
+        os.path.join(path, "tri"),
+        tri,
+        {"kind": "ngram_lm", "min_count": min_count, "alpha": alpha},
+    )
+    save_ann_index(os.path.join(path, "bi"), bi)
+    save_ann_index(os.path.join(path, "uni"), uni)
+
+
+def load_ngram_lm(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Returns ``(tri, bi, uni, params)`` for
+    ``backoff_score(docs, tri, bi, uni, alpha=params['alpha'])``."""
+    tri, meta = load_ann_index(spark, os.path.join(path, "tri"))
+    bi, _ = load_ann_index(spark, os.path.join(path, "bi"))
+    uni, _ = load_ann_index(spark, os.path.join(path, "uni"))
+    if tri is None or bi is None or uni is None or meta.get("kind") != "ngram_lm":
+        raise ValueError(f"{path}: not an ngram_lm artifact")
+    return tri, bi, uni, meta
+
+
 def load_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, dict]:

@@ -301,8 +301,17 @@ def backoff_logprob(
     tables — Catalyst broadcasts the small ones, AQE handles the big;
     the final per-doc mean is one hash aggregate.
     """
-    a = float(alpha)
-    pos = track(
+    pos = track(_ngram_positions(docs, text, id_col))
+    tri, bi, uni = _ngram_tables(pos, min_count)
+    uni = track(uni)
+    return _backoff_join_score(pos, tri, bi, uni, id_col, alpha, smooth_oov=False)
+
+
+def _ngram_positions(docs: DataFrame, text: str, id_col: str) -> DataFrame:
+    """(id, pos, a, b, c) position stream: c = token, b/a = the one/two
+    preceding tokens (null at the document start) — built inside the
+    row with one transform over the token array, no window."""
+    return (
         docs.select(F.col(id_col), tokens(text).alias("_t"))
         .select(
             F.col(id_col),
@@ -316,6 +325,13 @@ def backoff_logprob(
         )
         .select(id_col, "p.pos", "p.a", "p.b", "p.c")
     )
+
+
+def _ngram_tables(
+    pos: DataFrame, min_count: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Pruned trigram (a,b,c,c3) / bigram (b,c,c2) tables plus the
+    unpruned unigram (c,c1) table from a position stream."""
     tri = (
         pos.where(F.col("a").isNotNull())
         .groupBy("a", "b", "c")
@@ -328,8 +344,31 @@ def backoff_logprob(
         .agg(F.count(F.lit(1)).alias("c2"))
         .where(F.col("c2") >= min_count)
     )
-    uni = track(pos.groupBy("c").agg(F.count(F.lit(1)).alias("c1")))
-    totals = uni.agg(F.sum("c1").alias("t_tokens"))
+    uni = pos.groupBy("c").agg(F.count(F.lit(1)).alias("c1"))
+    return tri, bi, uni
+
+
+def _backoff_join_score(
+    pos: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    id_col: str,
+    alpha: float,
+    smooth_oov: bool,
+) -> DataFrame:
+    """Score a position stream against LM tables: five left equi-joins
+    + the stupid-backoff CASE + one per-doc aggregate. ``smooth_oov``
+    selects the unigram floor: False = c_c / T with an INNER unigram
+    join (same-corpus scoring — every token is in the LM by
+    construction); True = Laplace (c_c + 1) / (T + V) with a LEFT join,
+    so tokens the LM never saw still get positive mass (external-LM
+    scoring of a new shard — without the floor an OOV token would score
+    0 and -log would blow up)."""
+    a = float(alpha)
+    totals = uni.agg(
+        F.sum("c1").alias("t_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
     scored = (
         pos.join(tri, ["a", "b", "c"], "left")
         .join(
@@ -341,16 +380,22 @@ def backoff_logprob(
         )
         .join(bi.withColumnRenamed("c2", "c_bc"), ["b", "c"], "left")
         .join(uni.select(F.col("c").alias("b"), F.col("c1").alias("c_b")), ["b"], "left")
-        .join(uni.withColumnRenamed("c1", "c_c"), ["c"])
+        .join(uni.withColumnRenamed("c1", "c_c"), ["c"], "left" if smooth_oov else "inner")
         .crossJoin(F.broadcast(totals))
     )
+    if smooth_oov:
+        s_uni = (F.coalesce(F.col("c_c"), F.lit(0)) + F.lit(1)) / (
+            F.col("t_tokens") + F.col("vocab")
+        )
+    else:
+        s_uni = F.col("c_c") / F.col("t_tokens")
     s = (
         F.when(
             F.col("a").isNotNull() & F.col("c3").isNotNull() & F.col("c_ab").isNotNull(),
             F.col("c3") / F.col("c_ab"),
         )
         .when(
-            F.col("b").isNotNull() & F.col("c_bc").isNotNull(),
+            F.col("b").isNotNull() & F.col("c_bc").isNotNull() & F.col("c_b").isNotNull(),
             F.when(F.col("a").isNotNull(), F.lit(a)).otherwise(F.lit(1.0))
             * F.col("c_bc")
             / F.col("c_b"),
@@ -361,8 +406,7 @@ def backoff_logprob(
             F.when(F.col("a").isNotNull(), F.lit(a * a))
             .when(F.col("b").isNotNull(), F.lit(a))
             .otherwise(F.lit(1.0))
-            * F.col("c_c")
-            / F.col("t_tokens")
+            * s_uni
         )
     )
     return (
@@ -373,6 +417,47 @@ def backoff_logprob(
             F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("avg_nll"),
         )
     )
+
+
+def ngram_lm_build(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the stupid-backoff LM's count tables ONCE from a reference
+    corpus: pruned trigram (a, b, c, c3) and bigram (b, c, c2) tables
+    (count >= ``min_count`` — the web-scale pruning) plus the unpruned
+    unigram (c, c1) table. Persist them (``save_ngram_lm``) and score
+    any number of new shards/streams with :func:`backoff_score` —
+    the train-once / score-daily split a real perplexity filter runs
+    (:func:`backoff_logprob` is the same-corpus one-shot form). Each
+    table is one map-side-combined aggregate of the position stream."""
+    pos = _ngram_positions(docs, text, id_col)
+    return _ngram_tables(pos, min_count)
+
+
+def backoff_score(
+    docs: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score documents against an EXTERNAL stupid-backoff LM (built by
+    :func:`ngram_lm_build`, possibly reloaded from a persisted
+    artifact): same position stream, joins and backoff chain as
+    :func:`backoff_logprob`, but the LM tables arrive as arguments and
+    the unigram floor is Laplace-smoothed ((c + 1) / (T + V)) so
+    out-of-vocabulary tokens score positive mass instead of -log(0).
+    Returns (id, n_tok, avg_nll). The joins are stream-static, so the
+    position/score pipeline also runs on a readStream frame (the
+    per-doc aggregate then needs a watermark/output-mode choice; the
+    batch form is the oracle-checked contract)."""
+    pos = _ngram_positions(docs, text, id_col)
+    return _backoff_join_score(pos, tri, bi, uni, id_col, alpha, smooth_oov=True)
 
 
 def semantic_dedup(

@@ -2374,6 +2374,82 @@ def q90a(spark, sf_dir):
     return backoff_logprob(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "q90b_backoff_external",
+    oracle=r"""
+    WITH lt AS (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id % 3 = 0),
+    lpos AS (SELECT toks[i] AS c,
+                    CASE WHEN i >= 2 THEN toks[i - 1] END AS b,
+                    CASE WHEN i >= 3 THEN toks[i - 2] END AS a
+             FROM lt, unnest(range(1, len(toks) + 1)) AS u(i)),
+    tri AS (SELECT a, b, c, count(*) AS c3 FROM lpos WHERE a IS NOT NULL
+            GROUP BY a, b, c HAVING count(*) >= 2),
+    bi AS (SELECT b, c, count(*) AS c2 FROM lpos WHERE b IS NOT NULL
+           GROUP BY b, c HAVING count(*) >= 2),
+    uni AS (SELECT c, count(*) AS c1 FROM lpos GROUP BY c),
+    tot AS (SELECT sum(c1) AS t_tokens, count(*) AS vocab FROM uni),
+    st AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 3 <> 0),
+    spos AS (SELECT doc_id, toks[i] AS c,
+                    CASE WHEN i >= 2 THEN toks[i - 1] END AS b,
+                    CASE WHEN i >= 3 THEN toks[i - 2] END AS a
+             FROM st, unnest(range(1, len(toks) + 1)) AS u(i)),
+    sc AS (SELECT spos.doc_id,
+              CASE
+                WHEN spos.a IS NOT NULL AND tri.c3 IS NOT NULL
+                     AND cab.c2 IS NOT NULL
+                  THEN tri.c3 / CAST(cab.c2 AS DOUBLE)
+                WHEN spos.b IS NOT NULL AND bc.c2 IS NOT NULL
+                     AND ub.c1 IS NOT NULL
+                  THEN (CASE WHEN spos.a IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+                             ELSE 1.0 END) * bc.c2 / CAST(ub.c1 AS DOUBLE)
+                ELSE (CASE WHEN spos.a IS NOT NULL
+                             THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                           WHEN spos.b IS NOT NULL THEN CAST(0.4 AS DOUBLE)
+                           ELSE 1.0 END)
+                     * ((COALESCE(uc.c1, 0) + 1)
+                        / CAST(tot.t_tokens + tot.vocab AS DOUBLE))
+              END AS s
+           FROM spos
+           LEFT JOIN tri ON spos.a = tri.a AND spos.b = tri.b AND spos.c = tri.c
+           LEFT JOIN bi cab ON spos.a = cab.b AND spos.b = cab.c
+           LEFT JOIN bi bc ON spos.b = bc.b AND spos.c = bc.c
+           LEFT JOIN uni ub ON spos.b = ub.c
+           LEFT JOIN uni uc ON spos.c = uc.c
+           CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           ROUND(sum(-ln(s)) / count(*), 6) AS avg_nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q90b(spark, sf_dir):
+    """External-LM perplexity scoring — the train-once / score-daily
+    split of q90a (operators/corpus.py::ngram_lm_build + backoff_score,
+    artifact via ann_index.py::save_ngram_lm/load_ngram_lm): the
+    stupid-backoff LM builds on one corpus partition, persists as three
+    parquet tables + a parameter sidecar, RELOADS, and scores the other
+    partition with a Laplace-smoothed unigram floor so OOV tokens get
+    positive mass instead of -log(0). The artifact round-trip sits
+    INSIDE the oracle check: parquet counts reload exactly, so the
+    loaded-LM scores hash-match SQL rebuilt from scratch."""
+    from .operators.ann_index import load_ngram_lm, save_ngram_lm
+    from .operators.corpus import backoff_score, ngram_lm_build
+
+    docs = load(spark, sf_dir, "documents")
+    lm_corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    shard = docs.filter(F.col("doc_id") % 3 != 0)
+    tri, bi, uni = ngram_lm_build(lm_corpus, min_count=2)
+    path = _rt_path("ngram_lm", "q90b_lm")
+    save_ngram_lm(path, tri, bi, uni, min_count=2, alpha=0.4)
+    ltri, lbi, luni, params = load_ngram_lm(spark, path)
+    return backoff_score(shard, ltri, lbi, luni, alpha=params["alpha"])
+
+
 @query("q91_semantic_dedup")
 def q91(spark, sf_dir):
     """SemDeDup-style semantic dedup (arXiv:2303.09540): KMeans cells,

@@ -33,9 +33,10 @@ BNLJ_ALLOWED = {
     "q87_tfidf_topterms",
     "q88_bm25_search",
     "q90_unigram_logprob",
-    # q90a: same 1-row scalar fold-in as q90 — crossJoin(broadcast) of
-    # the ungrouped corpus-token-total aggregate onto the scored stream
+    # q90a/q90b: same 1-row scalar fold-in as q90 — crossJoin(broadcast)
+    # of the ungrouped corpus-token-total aggregate onto the scored stream
     "q90a_backoff_logprob",
+    "q90b_backoff_external",
     # q111: same scalar fold-in — crossJoin(broadcast(1-row n_docs agg))
     # inside the on-the-fly idf weight derivation; production weights
     # arrive as a file and the fold-in disappears entirely

@@ -538,3 +538,73 @@ def test_plotter_groupby_null_key_member_selects_null_rows(spark):
     assert grp.keys == [None, "a"]
     counts = {k: m.t.df.count() for k, m in zip(grp.keys, grp.members)}
     assert counts == {None: 2, "a": 2}
+
+
+# ------------------- external-LM scoring + persisted ngram-LM artifact
+def test_backoff_score_external_lm_matches_python(spark, tmp_path):
+    """backoff_score against an ngram_lm_build LM == a pure-Python
+    replay: Laplace unigram floor gives OOV tokens positive mass, the
+    backoff chain and pruning match q90a's, and the persisted artifact
+    (save_ngram_lm/load_ngram_lm) scores identically to the in-session
+    tables."""
+    import math
+    from collections import Counter
+
+    from ezdata_spark.operators.ann_index import load_ngram_lm, save_ngram_lm
+    from ezdata_spark.operators.corpus import backoff_score, ngram_lm_build
+
+    lm_rows = [
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "the dog ran in the park the dog ran far"),
+        (3, "the cat sat on the mat once more"),
+    ]
+    shard_rows = [
+        (10, "the cat sat on the mat"),          # in-LM trigrams
+        (11, "zebras quantum xylophone"),          # fully OOV
+        (12, "the cat leaps over unknown words"),  # mixed
+        (13, "single"),
+    ]
+    lm_docs = spark.createDataFrame(lm_rows, ["doc_id", "text"])
+    shard = spark.createDataFrame(shard_rows, ["doc_id", "text"])
+    tri, bi, uni = ngram_lm_build(lm_docs, min_count=2)
+    got = {r.doc_id: (r.n_tok, r.avg_nll)
+           for r in backoff_score(shard, tri, bi, uni).collect()}
+
+    # persisted-artifact parity
+    path = str(tmp_path / "lm")
+    save_ngram_lm(path, tri, bi, uni)
+    ltri, lbi, luni, params = load_ngram_lm(spark, path)
+    assert params["alpha"] == 0.4 and params["min_count"] == 2
+    got_loaded = {r.doc_id: (r.n_tok, r.avg_nll)
+                  for r in backoff_score(shard, ltri, lbi, luni).collect()}
+    assert got == got_loaded
+
+    # pure-python replay
+    tric, bic, unic = Counter(), Counter(), Counter()
+    for _, t in lm_rows:
+        tl = t.lower().split()
+        for i, c in enumerate(tl):
+            unic[c] += 1
+            if i >= 1:
+                bic[(tl[i - 1], c)] += 1
+            if i >= 2:
+                tric[(tl[i - 2], tl[i - 1], c)] += 1
+    tric = {k: v for k, v in tric.items() if v >= 2}
+    bic = {k: v for k, v in bic.items() if v >= 2}
+    T, V = sum(unic.values()), len(unic)
+    A = 0.4
+    for did, t in shard_rows:
+        tl = t.lower().split()
+        nll = 0.0
+        for i, c in enumerate(tl):
+            a = tl[i - 2] if i >= 2 else None
+            b = tl[i - 1] if i >= 1 else None
+            if a is not None and (a, b, c) in tric and (a, b) in bic:
+                s = tric[(a, b, c)] / bic[(a, b)]
+            elif b is not None and (b, c) in bic and b in unic:
+                s = (A if a is not None else 1.0) * bic[(b, c)] / unic[b]
+            else:
+                pen = A * A if a is not None else (A if b is not None else 1.0)
+                s = pen * ((unic.get(c, 0) + 1) / (T + V))
+            nll += -math.log(s)
+        assert got[did] == (len(tl), round(nll / len(tl), 6)), did
