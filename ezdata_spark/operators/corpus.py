@@ -460,6 +460,118 @@ def backoff_score(
     return _backoff_join_score(pos, tri, bi, uni, id_col, alpha, smooth_oov=True)
 
 
+def collect_ngram_lm(
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    max_entries: int = 100_000,
+) -> tuple[dict, dict, dict]:
+    """Collect :func:`ngram_lm_build` tables into literal dicts keyed by
+    space-joined n-grams (tokens are whitespace-split, so the join is
+    collision-free) — the bounded-model input of
+    :func:`backoff_score_stateless`. ``max_entries`` bounds each
+    driver-side collect (fetch cap+1, fail fast past it): a web-scale
+    LM does NOT fit in a plan literal — prune harder (min_count) or use
+    the DataFrame-join form (:func:`backoff_score`)."""
+    out = []
+    for df, key_cols, cnt, name in (
+        (tri, ("a", "b", "c"), "c3", "trigram"),
+        (bi, ("b", "c"), "c2", "bigram"),
+        (uni, ("c",), "c1", "unigram"),
+    ):
+        rows = df.limit(max_entries + 1).collect()
+        if len(rows) > max_entries:
+            raise ValueError(
+                f"collect_ngram_lm: {name} table exceeds {max_entries} "
+                "entries — a plan-literal LM must be bounded; raise "
+                "min_count, prune the tables, or score with the "
+                "DataFrame-join form (backoff_score)."
+            )
+        out.append({" ".join(r[k] for k in key_cols): int(r[cnt]) for r in rows})
+    return out[0], out[1], out[2]
+
+
+def backoff_score_stateless(
+    docs: DataFrame,
+    tri: dict[str, int],
+    bi: dict[str, int],
+    uni: dict[str, int],
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Append-mode-safe variant of :func:`backoff_score`: the LM
+    arrives as literal maps (:func:`collect_ngram_lm`) folded into the
+    plan, so scoring is ONE per-row expression — no explode, no joins,
+    no aggregation — and runs unchanged on a readStream frame in append
+    mode (the same bounded-model trade as ``linear_score_stateless``
+    and ``decontaminate_stateless``). Same backoff chain and Laplace
+    OOV floor as the join form; pytest pins rounded-score equality.
+    Docs with zero tokens are dropped (no defined mean), matching the
+    join form."""
+    if not uni:
+        raise ValueError("backoff_score_stateless: empty unigram map")
+    a = float(alpha)
+    m3 = F.create_map(*[F.lit(x) for k, v in sorted(tri.items()) for x in (k, float(v))]) if tri else None
+    m2 = F.create_map(*[F.lit(x) for k, v in sorted(bi.items()) for x in (k, float(v))]) if bi else None
+    m1 = F.create_map(*[F.lit(x) for k, v in sorted(uni.items()) for x in (k, float(v))])
+    t_tokens = float(sum(uni.values()))
+    vocab = float(len(uni))
+    t = tokens(text)
+
+    def pos_nll(tarr):
+        def f(c, i):
+            b = F.when(i >= 1, F.element_at(tarr, i))  # element_at is 1-based
+            aa = F.when(i >= 2, F.element_at(tarr, i - 1))
+            c3 = (
+                F.element_at(m3, F.concat(aa, F.lit(" "), b, F.lit(" "), c))
+                if m3 is not None
+                else F.lit(None).cast("double")
+            )
+            c_ab = (
+                F.element_at(m2, F.concat(aa, F.lit(" "), b))
+                if m2 is not None
+                else F.lit(None).cast("double")
+            )
+            c_bc = (
+                F.element_at(m2, F.concat(b, F.lit(" "), c))
+                if m2 is not None
+                else F.lit(None).cast("double")
+            )
+            c_b = F.element_at(m1, b)
+            c_c = F.element_at(m1, c)
+            s = (
+                F.when(
+                    aa.isNotNull() & c3.isNotNull() & c_ab.isNotNull(),
+                    c3 / c_ab,
+                )
+                .when(
+                    b.isNotNull() & c_bc.isNotNull() & c_b.isNotNull(),
+                    F.when(aa.isNotNull(), F.lit(a)).otherwise(F.lit(1.0))
+                    * c_bc
+                    / c_b,
+                )
+                .otherwise(
+                    F.when(aa.isNotNull(), F.lit(a * a))
+                    .when(b.isNotNull(), F.lit(a))
+                    .otherwise(F.lit(1.0))
+                    * ((F.coalesce(c_c, F.lit(0.0)) + F.lit(1.0))
+                       / F.lit(t_tokens + vocab))
+                )
+            )
+            return -F.log(s)
+
+        return f
+
+    n = F.size(t)
+    total = F.aggregate(F.transform(t, pos_nll(t)), F.lit(0.0), lambda acc, x: acc + x)
+    return docs.where(n > 0).select(
+        F.col(id_col),
+        n.cast("long").alias("n_tok"),
+        F.round(total / n, 6).alias("avg_nll"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec: str = "embedding",

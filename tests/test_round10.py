@@ -608,3 +608,67 @@ def test_backoff_score_external_lm_matches_python(spark, tmp_path):
                 s = pen * ((unic.get(c, 0) + 1) / (T + V))
             nll += -math.log(s)
         assert got[did] == (len(tl), round(nll / len(tl), 6)), did
+
+
+def test_backoff_score_stateless_matches_join_form_and_stream(spark, tmp_path):
+    """backoff_score_stateless (literal-map LM, per-row expression) ==
+    the DataFrame-join form on rounded scores, and it runs unchanged on
+    a readStream frame in append mode (stream == batch)."""
+    from ezdata_spark.operators.corpus import (
+        backoff_score,
+        backoff_score_stateless,
+        collect_ngram_lm,
+        ngram_lm_build,
+    )
+
+    lm_docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),
+            (2, "the dog ran in the park the dog ran far"),
+            (3, "the cat sat on the mat once more"),
+        ],
+        ["doc_id", "text"],
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, "the cat sat on the mat"),
+            (11, "zebras quantum xylophone"),
+            (12, "the cat leaps over unknown words"),
+            (13, "single"),
+            (14, ""),
+        ],
+        "doc_id long, text string",
+    )
+    tri, bi, uni = ngram_lm_build(lm_docs, min_count=2)
+    want = {r.doc_id: (r.n_tok, r.avg_nll)
+            for r in backoff_score(shard, tri, bi, uni).collect()}
+    td, bd, ud = collect_ngram_lm(tri, bi, uni)
+    got = {r.doc_id: (r.n_tok, r.avg_nll)
+           for r in backoff_score_stateless(shard, td, bd, ud).collect()}
+    assert got == want and 14 not in got  # empty doc dropped in both
+
+    path = str(tmp_path / "shard")
+    shard.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(shard.schema).parquet(path)
+    scored = backoff_score_stateless(stream, td, bd, ud)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory").queryName("ez_backoff_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got_s = {r.doc_id: (r.n_tok, r.avg_nll)
+             for r in spark.sql("SELECT * FROM ez_backoff_stream").collect()}
+    assert got_s == want
+
+
+def test_collect_ngram_lm_entry_cap(spark):
+    from ezdata_spark.operators.corpus import collect_ngram_lm, ngram_lm_build
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    tri, bi, uni = ngram_lm_build(docs, min_count=1)
+    with pytest.raises(ValueError, match="exceeds 50 entries"):
+        collect_ngram_lm(tri, bi, uni, max_entries=50)
