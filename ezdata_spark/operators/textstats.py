@@ -382,6 +382,125 @@ def logreg_train(
     return w, b
 
 
+def logreg_train_hashed(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    epochs: int = 3,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    init_bias: float = 0.0,
+) -> tuple[list[float], float]:
+    """Feature-HASHED logistic-regression training (the hashing trick,
+    Weinberger et al. ICML'09) — the web-scale form of
+    :func:`logreg_train`: features are ``x_j = count of tokens hashing
+    to bucket j / n_tokens`` with ``j = xxhash64(token) mod n_buckets``,
+    so NOTHING is collected that scales with the data — no vocabulary
+    derivation, no driver-side term list; the model is a fixed-size
+    weight vector regardless of corpus size (collisions are the
+    documented trade). Same deterministic full-batch GD (zero init, no
+    RNG), two aggregate passes per epoch (per-doc error via a broadcast
+    bucket-weight join; per-bucket gradient map-side-combined down to
+    ``n_buckets`` rows), plus optional L2 (``w -= lr*(grad/n + l2*w)``;
+    bias unregularized). Returns ``(weights, bias)`` for
+    :func:`linear_score_hashed`."""
+    spark = docs.sparkSession
+    y = F.col(label_col).cast("double")
+    base = docs.select(
+        F.col(id_col), y.alias("_y"), token_count(text_col).alias("_n"),
+        tokens(text_col).alias("_toks"),
+    )
+    feats = (
+        base.select(F.col(id_col), "_y", "_n", F.explode("_toks").alias("term"))
+        .select(
+            F.col(id_col), "_y", "_n",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+        .groupBy(id_col, "_y", "_n", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+    ).persist()
+    perdoc = base.select(F.col(id_col), "_y", "_n").persist()
+    n_docs = perdoc.count()
+
+    w = [0.0] * n_buckets
+    b = float(init_bias)
+    try:
+        for _ in range(epochs):
+            w_df = spark.createDataFrame(
+                list(enumerate(w)), "bucket int, _w double"
+            )
+            scores = (
+                feats.join(F.broadcast(w_df), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("_w") * F.col("_cnt")).alias("_s"))
+            )
+            z = F.coalesce(F.col("_s"), F.lit(0.0)) / F.greatest(
+                F.col("_n"), F.lit(1)
+            ) + F.lit(b)
+            errs = perdoc.join(scores, id_col, "left").select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")).alias("_g"),
+            ).persist()
+            grad_b = errs.agg(F.sum("_g")).first()[0] or 0.0
+            grad_rows = (
+                feats.join(errs, id_col)
+                .groupBy("bucket")
+                .agg(
+                    F.sum(
+                        F.col("_g") * F.col("_cnt") / F.greatest(F.col("_n"), F.lit(1))
+                    ).alias("g")
+                )
+                .collect()
+            )
+            errs.unpersist()
+            grad = {r["bucket"]: float(r["g"]) for r in grad_rows}
+            w = [
+                wj - lr * (grad.get(j, 0.0) / n_docs + l2 * wj)
+                for j, wj in enumerate(w)
+            ]
+            b -= lr * float(grad_b) / n_docs
+    finally:
+        feats.unpersist()
+        perdoc.unpersist()
+    return w, b
+
+
+def linear_score_hashed(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "prob",
+) -> DataFrame:
+    """Score with a :func:`logreg_train_hashed` model: ONE per-row
+    expression — each token hashes to its bucket and indexes the
+    weight-vector literal, summed by an in-row aggregate — no explode,
+    no join, no aggregation, so it runs unchanged on a readStream frame
+    in append mode (the model is fixed-size by construction, so the
+    literal never grows with the data)."""
+    if not weights:
+        raise ValueError("weights must be a non-empty list")
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    nb = len(weights)
+    t = tokens(text_col)
+    n = F.size(t)
+    s = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda acc, tok: acc
+        + F.element_at(warr, F.pmod(F.xxhash64(tok), F.lit(nb)).cast("int") + F.lit(1)),
+    )
+    z = s / F.greatest(n, F.lit(1)) + F.lit(float(bias))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias(out),
+    )
+
+
 def linear_score_stateless(
     docs: DataFrame,
     weights: dict[str, float],

@@ -2797,6 +2797,27 @@ def q144(spark, sf_dir):
     return survivors.select("doc_id", "source")
 
 
+@query("z145_logreg_hashed")
+def q145(spark, sf_dir):
+    """Feature-HASHED logistic-regression training + scoring
+    (operators/textstats.py::logreg_train_hashed / linear_score_hashed;
+    Weinberger et al. ICML'09): the web-scale form of q66a — features
+    hash to a fixed bucket count, so nothing collected scales with the
+    data (no vocabulary derivation) and the trained model is a
+    fixed-size weight vector folded into a per-row scoring expression
+    (append-mode-streaming safe). Rows-only (xxhash64 buckets are not
+    SQL-expressible); tests/test_round10.py pins the fit to a numpy
+    replay on extracted bucket assignments, incl. L2."""
+    from .operators.textstats import linear_score_hashed, logreg_train_hashed
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "label", (F.length("source") == 4).cast("double")
+    )
+    w, b = logreg_train_hashed(docs, n_buckets=512, epochs=2, lr=1.0, l2=0.001)
+    out = linear_score_hashed(docs, w, b)
+    return out.select("doc_id", "n_tokens", F.round("prob", 6).alias("prob"))
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

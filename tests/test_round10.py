@@ -672,3 +672,82 @@ def test_collect_ngram_lm_entry_cap(spark):
     tri, bi, uni = ngram_lm_build(docs, min_count=1)
     with pytest.raises(ValueError, match="exceeds 50 entries"):
         collect_ngram_lm(tri, bi, uni, max_entries=50)
+
+
+# ------------------------------ feature-hashed logistic regression
+def test_logreg_train_hashed_matches_numpy(spark):
+    """Hashed-feature GD == numpy replay on the same bucket assignments
+    (extracted once via Spark — xxhash64 has no stdlib twin), including
+    L2; the fixed-size model trains with no data-sized driver collect."""
+    from ezdata_spark.operators.textstats import (
+        linear_score_hashed,
+        logreg_train_hashed,
+    )
+
+    rng = np.random.default_rng(3)
+    good = ["science", "theory", "proof", "study", "result"]
+    bad = ["click", "buy", "cheap", "offer", "win"]
+    common = ["the", "a", "of"]
+    rows = []
+    for i in range(100):
+        label = i % 2
+        pool = (good if label else bad) + common
+        rows.append((i, " ".join(rng.choice(pool, size=rng.integers(6, 15))), label))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    D = 64
+    w, b = logreg_train_hashed(docs, n_buckets=D, epochs=4, lr=2.0, l2=0.01)
+    assert len(w) == D
+
+    # bucket map for every distinct token, via Spark (the only xxhash64)
+    terms = sorted({t for _, txt, _ in rows for t in txt.lower().split()})
+    tdf = spark.createDataFrame([(t,) for t in terms], ["term"])
+    bmap = {
+        r.term: r.bucket
+        for r in tdf.select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(D)).cast("int").alias("bucket")
+        ).collect()
+    }
+    X = np.zeros((len(rows), D))
+    y = np.array([float(l) for _, _, l in rows])
+    for r, (_, txt, _) in enumerate(rows):
+        tl = txt.lower().split()
+        for t in tl:
+            X[r, bmap[t]] += 1.0 / max(len(tl), 1)
+    wr = np.zeros(D)
+    br = 0.0
+    for _ in range(4):
+        p = 1.0 / (1.0 + np.exp(-(X @ wr + br)))
+        g = p - y
+        wr = wr - 2.0 * ((X.T @ g) / len(rows) + 0.01 * wr)
+        br -= 2.0 * g.sum() / len(rows)
+    assert abs(b - br) < 1e-10
+    assert np.max(np.abs(np.array(w) - wr)) < 1e-10
+
+    scored = {r.doc_id: r.prob for r in linear_score_hashed(docs, w, b).collect()}
+    p_np = 1.0 / (1.0 + np.exp(-(X @ wr + br)))
+    for r, (i, _, _) in enumerate(rows):
+        assert abs(scored[i] - p_np[r]) < 1e-9
+
+
+def test_linear_score_hashed_streams(spark, tmp_path):
+    from ezdata_spark.operators.textstats import linear_score_hashed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    w = [0.5, -0.25, 0.1, 0.0] * 4  # 16 buckets
+    want = {r.doc_id: (r.n_tokens, r.prob)
+            for r in linear_score_hashed(docs, w, 0.2).collect()}
+    path = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    scored = linear_score_hashed(stream, w, 0.2)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory").queryName("ez_hashed_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.n_tokens, r.prob)
+           for r in spark.sql("SELECT * FROM ez_hashed_stream").collect()}
+    assert got == want
