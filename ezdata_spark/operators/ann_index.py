@@ -146,6 +146,77 @@ def load_ivf_pq_index(
     return frame, meta["centroids"], meta["codebooks"], meta.get("rotation")
 
 
+def save_ivf_pq_index_bucketed(
+    table_name: str,
+    encoded_corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_buckets: int = 32,
+    rotation: list[list[float]] | None = None,
+) -> None:
+    """The CO-LOCATED form of :func:`save_ivf_pq_index`: the encoded
+    corpus persists as a managed table BUCKETED by ``cell``
+    (sources/bucketed.py::write_bucketed), so the kNN join's cogroup
+    reads it with NO corpus-side Exchange at all — the bucketed scan
+    itself satisfies the cogroup's hash-clustered distribution
+    (pytest-pinned plan assert). This is the strongest at-scale layout:
+    the cell-PARTITIONED path artifact prunes unprobed cells but still
+    shuffles the probed ones; the bucketed table ships nothing.
+    Trade-offs: bucketing binds to a metastore table (not a bare path),
+    and it pairs with ``shard_corpus=1`` — a shard split changes the
+    cogroup key to (cell, shard), which the layout no longer matches.
+    The sidecar lands inside the table's storage location (underscore
+    prefix: invisible to the reader), same as the path artifact."""
+    from ..sources.bucketed import write_bucketed
+
+    spark = encoded_corpus.sparkSession
+    # an in-memory catalog forgets tables across sessions but the
+    # warehouse directory persists; saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS. Drop both halves so overwrite means
+    # overwrite. (Local-FS cleanup, like the sidecar I/O — on a real
+    # metastore the DROP TABLE alone removes the managed location.)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    wh = wh[len("file:"):] if wh.startswith("file:") else wh
+    stale = os.path.join(wh, table_name.lower())
+    if wh and os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale)
+    write_bucketed(encoded_corpus, table_name, bucket_by="cell",
+                   n_buckets=n_buckets, sort_by="cell")
+    loc = _table_location(spark, table_name)
+    meta = {"kind": "ivf_pq", "centroids": centroids, "codebooks": codebooks}
+    if rotation is not None:
+        meta["rotation"] = rotation
+    with open(os.path.join(loc, _SIDECAR), "w") as fh:
+        json.dump(meta, fh)
+
+
+def load_ivf_pq_index_bucketed(
+    spark: SparkSession, table_name: str
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]], list[list[float]] | None]:
+    frame = spark.table(table_name)
+    loc = _table_location(spark, table_name)
+    sidecar = os.path.join(loc, _SIDECAR)
+    if not os.path.exists(sidecar):
+        raise ValueError(f"{table_name}: not an ivf_pq bucketed index table")
+    with open(sidecar) as fh:
+        meta = json.load(fh)
+    if meta.get("kind") != "ivf_pq":
+        raise ValueError(f"{table_name}: not an ivf_pq bucketed index table")
+    return frame, meta["centroids"], meta["codebooks"], meta.get("rotation")
+
+
+def _table_location(spark: SparkSession, table_name: str) -> str:
+    """Local-filesystem storage path of a managed table."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect():
+        if r["col_name"] == "Location":
+            loc = r["data_type"]
+            return loc[len("file:"):] if loc.startswith("file:") else loc
+    raise ValueError(f"{table_name}: no Location in catalog")
+
+
 def save_minhash_index(
     path: str,
     signatures: DataFrame,

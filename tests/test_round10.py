@@ -751,3 +751,36 @@ def test_linear_score_hashed_streams(spark, tmp_path):
     got = {r.doc_id: (r.n_tokens, r.prob)
            for r in spark.sql("SELECT * FROM ez_hashed_stream").collect()}
     assert got == want
+
+
+# ------------------------ bucketed IVF-PQ artifact: exchange-free cogroup
+def test_bucketed_ivfpq_artifact_shuffle_free_corpus_side(spark, pq10_fixture):
+    """The bucketed-table artifact must (a) return results identical to
+    the path artifact / in-session frames and (b) feed the ADC cogroup
+    with NO corpus-side Exchange — the bucketed scan satisfies the
+    cogroup's distribution requirement."""
+    from ezdata_spark.operators.ann_index import (
+        load_ivf_pq_index_bucketed,
+        save_ivf_pq_index_bucketed,
+    )
+    from ezdata_spark.operators.similarity import knn_join
+
+    emb, left, enc, cents, cb, _ = pq10_fixture
+    save_ivf_pq_index_bucketed("r10_bkt_idx", enc, cents, cb, n_buckets=8)
+    bframe, bcents, bcb, _rot = load_ivf_pq_index_bucketed(spark, "r10_bkt_idx")
+    kw = dict(k=5, nprobe=3, pq_oversample=4)
+    want = sorted(
+        (r.doc_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join(left, enc, cents, pq_codebooks=cb, **kw).collect()
+    )
+    res = knn_join(left, bframe, bcents, pq_codebooks=bcb, **kw)
+    got = sorted((r.doc_id, r.vec_id, r.cosine, r.rank) for r in res.collect())
+    assert len(got) > 0 and got == want
+    # plan: every Exchange below the cogroup must be on the probes side
+    # (qv present) — the corpus/codes side reads bucketed, no shuffle
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    import re
+    exch_lines = [l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)]
+    codes_exchanges = [l for l in exch_lines if "codes" in l]
+    assert codes_exchanges == [], codes_exchanges
