@@ -178,7 +178,17 @@ def save_ivf_pq_index_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
     wh = wh[len("file:"):] if wh.startswith("file:") else wh
-    stale = os.path.join(wh, table_name.lower())
+    # compute the managed location the way Spark lays it out:
+    # <warehouse>/<tbl> for the default database, <warehouse>/<db>.db/<tbl>
+    # otherwise — a qualified name ("ns.idx") or a non-default current
+    # database must map to the same directory saveAsTable will claim
+    parts = table_name.lower().split(".")
+    tbl = parts[-1]
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase().lower()
+    stale = (
+        os.path.join(wh, tbl) if db == "default"
+        else os.path.join(wh, f"{db}.db", tbl)
+    )
     if wh and os.path.isdir(stale):
         import shutil
 

@@ -343,6 +343,10 @@ def logreg_train(
     ).persist()
     perdoc = base.select(F.col(id_col), "_y", "_n").persist()
     n_docs = perdoc.count()
+    if n_docs == 0:
+        perdoc.unpersist()
+        feats.unpersist()
+        raise ValueError("logreg_train: empty training input")
 
     w = {t: 0.0 for t in vocab}
     b = float(init_bias)
@@ -423,6 +427,10 @@ def logreg_train_hashed(
     ).persist()
     perdoc = base.select(F.col(id_col), "_y", "_n").persist()
     n_docs = perdoc.count()
+    if n_docs == 0:
+        perdoc.unpersist()
+        feats.unpersist()
+        raise ValueError("logreg_train_hashed: empty training input")
 
     w = [0.0] * n_buckets
     b = float(init_bias)

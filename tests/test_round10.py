@@ -784,3 +784,51 @@ def test_bucketed_ivfpq_artifact_shuffle_free_corpus_side(spark, pq10_fixture):
     exch_lines = [l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)]
     codes_exchanges = [l for l in exch_lines if "codes" in l]
     assert codes_exchanges == [], codes_exchanges
+
+
+def test_bucketed_artifact_qualified_name_cross_session_overwrite(spark, pq10_fixture):
+    """The stale-location cleanup must map a QUALIFIED table name to the
+    directory saveAsTable will actually claim (<wh>/<db>.db/<tbl>), so a
+    re-save after a catalog-forgetting restart still means overwrite.
+    Simulated here by dropping the table from the catalog while leaving
+    the warehouse directory behind, then re-saving."""
+    from ezdata_spark.operators.ann_index import (
+        load_ivf_pq_index_bucketed,
+        save_ivf_pq_index_bucketed,
+    )
+
+    _, _, enc, cents, cb, _ = pq10_fixture
+    spark.sql("CREATE DATABASE IF NOT EXISTS r10ns")
+    try:
+        save_ivf_pq_index_bucketed("r10ns.bkt_idx", enc, cents, cb, n_buckets=4)
+        # forget the table but keep its managed directory — the
+        # in-memory-catalog restart hazard the cleanup exists for
+        spark.sql("ALTER TABLE r10ns.bkt_idx SET TBLPROPERTIES ('x'='y')")
+        import os, shutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        wh = wh[len("file:"):] if wh.startswith("file:") else wh
+        loc = os.path.join(wh, "r10ns.db", "bkt_idx")
+        assert os.path.isdir(loc), loc
+        spark.sql("DROP TABLE r10ns.bkt_idx")
+        os.makedirs(loc, exist_ok=True)  # leftover dir, catalog empty
+        with open(os.path.join(loc, "stray.parquet"), "w") as fh:
+            fh.write("junk")
+        save_ivf_pq_index_bucketed("r10ns.bkt_idx", enc, cents, cb, n_buckets=4)
+        frame, c2, _cb2, _ = load_ivf_pq_index_bucketed(spark, "r10ns.bkt_idx")
+        assert frame.count() == enc.count() and c2 == cents
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r10ns.bkt_idx")
+        spark.sql("DROP DATABASE IF EXISTS r10ns")
+
+
+def test_logreg_train_empty_input_raises(spark):
+    """Both trainers reject an empty training frame with a clear error
+    instead of a ZeroDivisionError from inside the epoch loop."""
+    from ezdata_spark.operators.textstats import logreg_train, logreg_train_hashed
+
+    empty = spark.createDataFrame([], "doc_id long, text string, label double")
+    with pytest.raises(ValueError, match="empty training input"):
+        logreg_train_hashed(empty, n_buckets=16, epochs=1)
+    with pytest.raises(ValueError, match="empty training input"):
+        logreg_train(empty, vocab=["a", "b"], epochs=1)
