@@ -1,0 +1,138 @@
+"""Distributed PCA over embedding columns: one-pass covariance, driver
+eigendecomposition, broadcast projection.
+
+Extension tier (the reference has no vector decomposition): the
+standard dimensionality-reduction step in front of the ANN / semantic-
+dedup tier (similarity.py, corpus.py::semantic_dedup) — projecting
+768-d model embeddings to 64-128 d cuts every downstream shuffle,
+codebook, and distance kernel proportionally, and PCA is also the
+initialization OPQ rotates (similarity.py::opq_train).
+
+Scale shape — the same train/apply split as the PQ/OPQ tier:
+
+* ``pca_train`` makes ONE pass over the corpus: each Arrow batch
+  reduces to a (count, sum-vector, X^T X) partial — d*(d+1) float64s,
+  ~33 KB at d=64 — via ``mapInPandas`` (one BLAS syrk-shaped dgemm per
+  batch); the driver combines the P bounded partials and runs the d x d
+  symmetric eigendecomposition locally (milliseconds for any d that
+  fits a float column). Nothing corpus-sized ever reaches the driver,
+  and the pass is embarrassingly parallel — no shuffle at all
+  (the partials frame collapses through a coalesce-free collect of
+  one row per batch).
+* ``pca_project`` broadcasts the (k x d) component matrix inside an
+  Arrow-batched pandas UDF: one dgemm per batch, linear, stateless,
+  column-appending (composes with any downstream frame op).
+
+Sign convention: each component is flipped so its largest-magnitude
+coordinate is positive — eigenvectors are sign-ambiguous, and a
+deterministic convention makes train runs reproducible across
+partitionings (the covariance itself is permutation-invariant up to
+float association; see the last-ulp caveat on window.py's prefix sums).
+
+Public background: snapshot-matrix PCA via the covariance eigenproblem
+is textbook (Jolliffe, "Principal Component Analysis"); the
+sum/outer-product single-pass reduction is the same moment-combining
+used by Spark MLlib's RowMatrix.computeCovariance.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def pca_train(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA on an ``array<float>``/``array<double>`` column.
+
+    Returns ``(mean, components, explained_variance_ratio)``:
+    ``mean`` is the d-vector to center with, ``components`` the k x d
+    row-major principal axes (orthonormal, descending variance),
+    ``explained_variance_ratio`` each axis' share of total variance.
+    Plain Python lists — JSON-serializable, so the fit persists through
+    an ann_index.py-style sidecar.
+    """
+    if k < 1:
+        raise ValueError(f"pca_train: k must be >= 1, got {k}")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        emb.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, "n long, s array<double>, xtx array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_train: no non-null vectors in input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    xtx = np.sum([r["xtx"] for r in rows], axis=0)
+    d = s.shape[0]
+    if k > d:
+        raise ValueError(f"pca_train: k={k} exceeds dimensionality d={d}")
+    if n < 2:
+        raise ValueError(f"pca_train: need >= 2 vectors, got {n}")
+    mean = s / n
+    cov = (xtx.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|coord| of each axis made positive
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    total = float(evals.sum())
+    ratio = (evals[order] / total) if total > 0 else np.zeros(k)
+    return mean.tolist(), comps.tolist(), ratio.tolist()
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Append ``out_col`` = (x - mean) @ components^T as
+    ``array<double>`` — the k-d reduced embedding. One broadcast dgemm
+    per Arrow batch; all other columns pass through untouched."""
+    mu = np.asarray(mean, dtype=np.float64)
+    C = np.asarray(components, dtype=np.float64)
+    if C.ndim != 2 or C.shape[1] != mu.shape[0]:
+        raise ValueError(
+            f"pca_project: components {C.shape} do not match mean d={mu.shape[0]}"
+        )
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(col: pd.Series) -> pd.Series:
+        out = np.empty(len(col), dtype=object)
+        out[:] = None
+        mask = col.notna().to_numpy()
+        if mask.any():
+            X = np.stack(col[mask].to_numpy()).astype(np.float64)
+            Y = (X - mu) @ C.T
+            for i, y in zip(np.flatnonzero(mask), Y):
+                out[i] = y
+        return pd.Series(out)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -1,0 +1,121 @@
+"""Classifier evaluation at corpus scale: exact ROC-AUC and threshold
+confusion metrics, fully distributed.
+
+Extension tier (the reference has no model evaluation): closes the loop
+on the training-pipeline classifiers (textstats.py::logreg_train /
+logreg_train_hashed / linear_score) — a quality classifier is only
+usable once its ranking power is measured on held-out data, and at
+corpus scale that measurement must not collect scores to the driver or
+funnel them through a single-partition global window.
+
+``binary_auc`` computes the exact Mann-Whitney / rank-sum AUC:
+
+    AUC = [ sum_s p_s * N_<(s)  +  1/2 * sum_s p_s * n_s ] / (P * N)
+
+where the sums run over DISTINCT scores (p_s / n_s = positives /
+negatives at score s, N_<(s) = negatives strictly below s). The
+grouping collapses the n-row score column to its distinct values
+before any ordering work, and the one ordered pass is the distributed
+prefix-sum (window.py::global_cumsum — range-repartition + partition-
+local running sum + a P-row offset fold-in), so no stage ever sees a
+single-partition window. Everything up to the final division is BIGINT
+arithmetic (the 1/2 is cleared by doubling both sides), so the result
+is exact and engine-independent — the DuckDB oracle reproduces it
+bit-for-bit.
+
+Ties are handled by the trapezoidal (average-rank) convention, the one
+sklearn.metrics.roc_auc_score implements; a score column with heavy
+ties (integer heuristics, quantized model outputs) is the expected
+input. Scores may be any orderable numeric type; prefer exact types
+(ints, decimals) when cross-engine determinism of the GROUPING matters
+— computed floats can split tie groups differently across engines
+(queries.py float-stability policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .window import global_cumsum
+
+
+def binary_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` against binary ``label_col``
+    (anything castable to 0/1 long). Returns one row
+    ``(auc double, n_pos bigint, n_neg bigint)``; ``auc`` is NULL when
+    either class is empty (AUC is undefined, not 0 — non-ANSI division
+    by zero).
+
+    Scale shape: one shuffle to group by distinct score, the
+    distributed prefix-sum over the (bounded) distinct-score table,
+    one final scalar aggregate. Nothing is proportional to the row
+    count past the first groupBy.
+    """
+    lbl = F.col(label_col).cast("long")
+    agg = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(lbl).alias("__p"),
+        (F.count(F.lit(1)) - F.sum(lbl)).alias("__n"),
+    )
+    cum = global_cumsum(agg, "__n", ["__s"], name="__cum_n")
+    # 2*numerator = sum p * (2*N_<  +  n_ties); all-long arithmetic
+    num2 = F.sum(
+        F.col("__p") * (F.lit(2) * (F.col("__cum_n") - F.col("__n")) + F.col("__n"))
+    )
+    return (
+        cum.agg(
+            num2.alias("__num2"),
+            F.sum("__p").alias("n_pos"),
+            F.sum("__n").alias("n_neg"),
+        )
+        .select(
+            (
+                F.col("__num2").cast("double")
+                / (F.lit(2).cast("double") * F.col("n_pos") * F.col("n_neg"))
+            ).alias("auc"),
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
+def classification_report(
+    scored: DataFrame,
+    threshold: float,
+    score_col: str = "score",
+    label_col: str = "label",
+    digits: int = 9,
+) -> DataFrame:
+    """Confusion counts and derived metrics at ``score >= threshold``:
+    one row ``(tp, fp, fn, tn, accuracy, precision, recall, f1)``.
+    One scalar aggregate over the scored frame — a single map-side-
+    combinable pass, no shuffle beyond the final 1-row exchange.
+
+    Ratios are ROUND()ed to ``digits`` (cross-engine float-stability
+    policy); undefined ratios (empty denominator) are NULL, not 0.
+    """
+    y = F.col(label_col).cast("long")
+    pred = (F.col(score_col) >= F.lit(threshold)).cast("long")
+    counts = scored.agg(
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred * (1 - y)).alias("fp"),
+        F.sum((1 - pred) * y).alias("fn"),
+        F.sum((1 - pred) * (1 - y)).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    return counts.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((tp + tn) / (tp + fp + fn + tn), digits).alias("accuracy"),
+        F.round(prec, digits).alias("precision"),
+        F.round(rec, digits).alias("recall"),
+        F.round(2 * prec * rec / (prec + rec), digits).alias("f1"),
+    )

@@ -2818,6 +2818,122 @@ def q145(spark, sf_dir):
     return out.select("doc_id", "n_tokens", F.round("prob", 6).alias("prob"))
 
 
+_AUC_SCORED_SQL = r"""
+    SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '' AND length(x) >= 5)) AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+    FROM documents
+"""
+
+
+@query(
+    "q149_classifier_auc",
+    oracle=rf"""
+    WITH sc AS ({_AUC_SCORED_SQL}),
+    agg AS (SELECT score, SUM(label) AS p, COUNT(*) - SUM(label) AS n
+            FROM sc GROUP BY score),
+    cum AS (SELECT p, n,
+                   SUM(n) OVER (ORDER BY score
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_n
+            FROM agg)
+    SELECT ROUND(CAST(SUM(p * (2 * (cum_n - n) + n)) AS DOUBLE)
+                 / (2.0 * CAST((SELECT SUM(p) FROM agg) AS DOUBLE)
+                        * CAST((SELECT SUM(n) FROM agg) AS DOUBLE)), 9) AS auc,
+           CAST((SELECT SUM(p) FROM agg) AS BIGINT) AS n_pos,
+           CAST((SELECT SUM(n) FROM agg) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+)
+def q149(spark, sf_dir):
+    """Exact distributed ROC-AUC (operators/evaluate.py::binary_auc;
+    Mann-Whitney rank-sum with the average-rank tie convention) —
+    classifier evaluation for the training tier (q66a/z145): scores
+    collapse to their DISTINCT values before any ordering, the one
+    ordered pass is the distributed prefix-sum (no single-partition
+    window), and everything up to the final division is BIGINT-exact,
+    so the DuckDB oracle reproduces the double bit-for-bit. The score
+    here is the integer rare-word count (>= 5 chars) so cross-engine
+    tie GROUPS are exact by construction; label = (lang = 'en')."""
+    from .operators.evaluate import binary_auc
+    from .operators.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(F.filter(tokens("text"), lambda t: F.length(t) >= 5)).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    res = binary_auc(scored)
+    return res.select(F.round("auc", 9).alias("auc"), "n_pos", "n_neg")
+
+
+@query(
+    "q150_classification_report",
+    oracle=rf"""
+    WITH sc AS ({_AUC_SCORED_SQL}),
+    c AS (SELECT
+      CAST(SUM(CASE WHEN score >= 27 THEN label ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN score >= 27 THEN 1 - label ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN score < 27 THEN label ELSE 0 END) AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN score < 27 THEN 1 - label ELSE 0 END) AS BIGINT) AS tn
+    FROM sc)
+    SELECT tp, fp, fn, tn,
+      ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
+            / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+               + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)), 9) AS accuracy,
+      ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 9)
+        AS precision,
+      ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 9)
+        AS recall,
+      ROUND(2 * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+              * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)))
+            / (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+               + CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))),
+            9) AS f1
+    FROM c
+    """,
+)
+def q150(spark, sf_dir):
+    """Threshold confusion metrics (operators/evaluate.py::
+    classification_report): one map-side-combinable scalar aggregate
+    over the scored frame — tp/fp/fn/tn as BIGINTs plus
+    accuracy/precision/recall/f1 ROUND()ed per the float-stability
+    policy. Same integer score / lang label as q149; threshold = the
+    corpus median rare-word count."""
+    from .operators.evaluate import classification_report
+    from .operators.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(F.filter(tokens("text"), lambda t: F.length(t) >= 5)).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return classification_report(scored, threshold=27)
+
+
+@query("z151_pca_project")
+def q151(spark, sf_dir):
+    """Distributed PCA (operators/decomp.py): ONE corpus pass reduces
+    each Arrow batch to (count, sum, X^T X) partials (~33 KB each at
+    d=64, no shuffle), the driver eigendecomposes the d x d covariance,
+    and the k x d rotation broadcasts back through a batched dgemm —
+    the dimensionality-reduction front of the ANN/semantic-dedup tier.
+    Rows-only: eigendecomposition is not SQL-expressible;
+    tests/test_round10.py pins the fit against numpy PCA on the
+    collected matrix (components, variance ratios, projections) and
+    the projection's orthonormal-invariant properties."""
+    from .operators.decomp import pca_project, pca_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean, comps, _ratio = pca_train(emb, k=4)
+    out = pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 4).alias("pc1"),
+        F.round(F.element_at("pca", 2), 4).alias("pc2"),
+    )
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

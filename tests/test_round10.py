@@ -832,3 +832,125 @@ def test_logreg_train_empty_input_raises(spark):
         logreg_train_hashed(empty, n_buckets=16, epochs=1)
     with pytest.raises(ValueError, match="empty training input"):
         logreg_train(empty, vocab=["a", "b"], epochs=1)
+
+
+# ------------------------------------------------ round-10b: evaluation tier
+def test_binary_auc_matches_pairwise_reference(spark):
+    """binary_auc (distributed rank-sum) must equal the O(n^2) pairwise
+    definition P(s_pos > s_neg) + 0.5 P(s_pos = s_neg) EXACTLY — the
+    integer-score fixture has heavy ties, exercising the average-rank
+    correction."""
+    from ezdata_spark.operators.evaluate import binary_auc
+
+    rng = np.random.RandomState(7)
+    scores = rng.randint(0, 12, size=400)
+    labels = (rng.rand(400) < 1 / (1 + np.exp(-(scores - 6) / 3.0))).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(l)) for s, l in zip(scores, labels)], "score int, label int"
+    )
+    row = binary_auc(df).first()
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    want = (gt + 0.5 * eq) / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc"] == pytest.approx(want, abs=0, rel=0), (row["auc"], want)
+
+
+def test_binary_auc_extremes_and_single_class(spark):
+    from ezdata_spark.operators.evaluate import binary_auc
+
+    # perfectly separated -> 1.0; inverted -> 0.0
+    sep = spark.createDataFrame(
+        [(10, 1)] * 5 + [(1, 0)] * 7, "score int, label int"
+    )
+    assert binary_auc(sep).first()["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(1, 1)] * 5 + [(10, 0)] * 7, "score int, label int"
+    )
+    assert binary_auc(inv).first()["auc"] == 0.0
+    # one class only -> undefined, NULL (not 0)
+    mono = spark.createDataFrame([(3, 1), (5, 1)], "score int, label int")
+    r = binary_auc(mono).first()
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_classification_report_matches_hand_counts(spark):
+    from ezdata_spark.operators.evaluate import classification_report
+
+    rows = [(9, 1), (8, 1), (7, 0), (5, 1), (4, 0), (2, 0), (1, 1), (0, 0)]
+    df = spark.createDataFrame(rows, "score int, label int")
+    r = classification_report(df, threshold=5).first()
+    # pred=1 for score>=5: (9,1)TP (8,1)TP (7,0)FP (5,1)TP; rest pred=0
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 1, 3)
+    assert r["accuracy"] == pytest.approx(6 / 8)
+    assert r["precision"] == pytest.approx(3 / 4)
+    assert r["recall"] == pytest.approx(3 / 4)
+    assert r["f1"] == pytest.approx(0.75)
+
+
+def test_classification_report_degenerate_null_not_zero(spark):
+    from ezdata_spark.operators.evaluate import classification_report
+
+    df = spark.createDataFrame([(1, 0), (2, 0)], "score int, label int")
+    r = classification_report(df, threshold=10).first()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 2)
+    assert r["precision"] is None and r["recall"] is None and r["f1"] is None
+    assert r["accuracy"] == 1.0
+
+
+# ------------------------------------------------ round-10b: distributed PCA
+def test_pca_train_matches_numpy_reference(spark, sf_dir):
+    """One-pass distributed (count, sum, X^T X) covariance + driver eigh
+    must reproduce numpy PCA on the collected matrix: same covariance,
+    same axes (up to the pinned sign convention), same variance ratios,
+    and orthonormal components."""
+    from ezdata_spark.operators.decomp import pca_project, pca_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        np.float64
+    )
+    mean, comps, ratio = pca_train(emb, k=5)
+    mu = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:5]
+    want = evecs[:, order].T
+    flip = np.sign(want[np.arange(5), np.abs(want).argmax(axis=1)])
+    want = want * flip[:, None]
+    C = np.asarray(comps)
+    assert np.allclose(np.asarray(mean), mu, atol=1e-10)
+    assert np.allclose(C, want, atol=1e-8)
+    assert np.allclose(C @ C.T, np.eye(5), atol=1e-10)  # orthonormal
+    assert np.allclose(np.asarray(ratio), evals[order] / evals.sum(), atol=1e-10)
+    assert all(ratio[i] >= ratio[i + 1] for i in range(4))  # descending
+    # projection: (X - mean) @ C.T, computed on-cluster
+    out = pca_project(emb, mean, comps).orderBy("vec_id")
+    Y = np.stack([r["pca"] for r in out.select("pca").collect()])
+    ids = [r["vec_id"] for r in out.select("vec_id").collect()]
+    Xo = np.stack(
+        [r["embedding"] for r in emb.orderBy("vec_id").select("embedding").collect()]
+    ).astype(np.float64)
+    assert Y.shape == (len(ids), 5)
+    assert np.allclose(Y, (Xo - mu) @ C.T, atol=1e-8)
+
+
+def test_pca_null_vectors_and_guards(spark):
+    from ezdata_spark.operators.decomp import pca_project, pca_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, None), (2, [4.0, 0.0, 1.0]), (3, [2.0, 2.0, 2.0])],
+        "id long, embedding array<double>",
+    )
+    mean, comps, _ = pca_train(df, k=2)  # nulls skipped in the fit
+    out = {r["id"]: r["pca"] for r in pca_project(df, mean, comps).collect()}
+    assert out[1] is None and out[0] is not None  # nulls pass through
+    with pytest.raises(ValueError, match="k=9 exceeds dimensionality"):
+        pca_train(df, k=9)
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        pca_train(empty, k=1)
+    with pytest.raises(ValueError, match="do not match mean"):
+        pca_project(df, mean, [[1.0, 0.0]])
