@@ -294,6 +294,34 @@ def save_minhash_index(
     save_ann_index(os.path.join(path, "bands"), bands, partition_by="band")
 
 
+def save_pca(
+    path: str,
+    mean: list[float],
+    components: list[list[float]],
+    explained_variance_ratio: list[float] | None = None,
+) -> None:
+    """Persist a PCA fit (decomp.py::pca_train) as a parameter-only
+    artifact: the (k+1) x d doubles ride the JSON sidecar (shortest-repr
+    round-trip — a reloaded fit projects bit-identically), no data
+    frame. The train-once / project-everywhere split of the PQ tier,
+    one tier earlier in the embedding pipeline."""
+    meta: dict = {"kind": "pca", "mean": mean, "components": components}
+    if explained_variance_ratio is not None:
+        meta["explained_variance_ratio"] = explained_variance_ratio
+    save_ann_index(path, None, meta)
+
+
+def load_pca(
+    spark: SparkSession, path: str
+) -> tuple[list[float], list[list[float]], list[float] | None]:
+    """Returns ``(mean, components, explained_variance_ratio)`` for
+    ``decomp.pca_project(df, mean, components)``."""
+    _, meta = load_ann_index(spark, path)
+    if meta.get("kind") != "pca":
+        raise ValueError(f"{path}: not a pca artifact")
+    return meta["mean"], meta["components"], meta.get("explained_variance_ratio")
+
+
 def save_ngram_lm(
     path: str,
     tri: DataFrame,

@@ -83,6 +83,54 @@ def binary_auc(
     )
 
 
+def average_precision(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step-interpolated): AP = sum_n (R_n - R_{n-1}) * P_n over the
+    distinct-score thresholds in DESCENDING order — the public
+    scikit-learn ``average_precision_score`` definition, with tied
+    scores collapsing to one threshold (both engines and the reference
+    definition agree on that convention).
+
+    Returns one row ``(ap double, n_pos bigint, n_neg bigint)``; ``ap``
+    is NULL when there are no positives.
+
+    Same scale shape as :func:`binary_auc`: group to distinct scores,
+    two descending distributed prefix-sums (cumulative positives /
+    cumulative total at each threshold), one scalar aggregate. The
+    per-threshold numerator ``p_s * cumP(s)`` stays BIGINT-exact; only
+    the final sum of per-threshold ratios is floating (same float-
+    stability footing as any SUM(double) oracle query — callers should
+    ROUND the result).
+    """
+    lbl = F.col(label_col).cast("long")
+    agg = scored.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(lbl).alias("__p"),
+        F.count(F.lit(1)).alias("__t"),
+    )
+    desc = [F.col("__s").desc()]
+    cum = global_cumsum(agg, "__p", desc, name="__cum_p")
+    cum = global_cumsum(cum, "__t", desc, name="__cum_t")
+    term = (F.col("__p") * F.col("__cum_p")).cast("double") / F.col(
+        "__cum_t"
+    ).cast("double")
+    return (
+        cum.agg(
+            F.sum(term).alias("__num"),
+            F.sum("__p").alias("n_pos"),
+            (F.sum("__t") - F.sum("__p")).alias("n_neg"),
+        )
+        .select(
+            (F.col("__num") / F.col("n_pos").cast("double")).alias("ap"),
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
 def classification_report(
     scored: DataFrame,
     threshold: float,

@@ -2911,6 +2911,45 @@ def q150(spark, sf_dir):
     return classification_report(scored, threshold=27)
 
 
+@query(
+    "q152_average_precision",
+    oracle=rf"""
+    WITH sc AS ({_AUC_SCORED_SQL}),
+    agg AS (SELECT score, SUM(label) AS p, COUNT(*) AS t
+            FROM sc GROUP BY score),
+    cum AS (SELECT p, t,
+              SUM(p) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cum_p,
+              SUM(t) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cum_t
+            FROM agg)
+    SELECT ROUND(SUM(CAST(p * cum_p AS DOUBLE) / CAST(cum_t AS DOUBLE))
+                 / CAST((SELECT SUM(p) FROM agg) AS DOUBLE), 6) AS ap,
+           CAST((SELECT SUM(p) FROM agg) AS BIGINT) AS n_pos,
+           CAST((SELECT SUM(t) - SUM(p) FROM agg) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+)
+def q152(spark, sf_dir):
+    """Exact average precision / PR-AUC (operators/evaluate.py::
+    average_precision; the scikit-learn step-interpolated definition
+    with tied scores collapsed per distinct threshold): two DESCENDING
+    distributed prefix-sums over the distinct-score table — same
+    no-single-partition-window shape as q149 — with the per-threshold
+    numerator BIGINT-exact; the final ratio sum is ROUND()ed per the
+    float-stability policy. Same integer score / lang label as q149."""
+    from .operators.evaluate import average_precision
+    from .operators.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.size(F.filter(tokens("text"), lambda t: F.length(t) >= 5)).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    res = average_precision(scored)
+    return res.select(F.round("ap", 6).alias("ap"), "n_pos", "n_neg")
+
+
 @query("z151_pca_project")
 def q151(spark, sf_dir):
     """Distributed PCA (operators/decomp.py): ONE corpus pass reduces

@@ -1017,6 +1017,24 @@ def main() -> None:
         # guarantee check is an action), so the timed region is the call
         run("heavy_hitters", lambda: heavy_hitters(hh, "value", k=20))
 
+    # round-10 rows: evaluation + decomposition tiers
+    from ezdata_spark.operators.evaluate import binary_auc
+    from ezdata_spark.operators.decomp import pca_project, pca_train
+
+    auc_in = fact.select(
+        F.col("quantity").cast("int").alias("score"),
+        (F.col("flag") == "F0").cast("int").alias("label"),
+    )
+    # 30M scored rows -> 50 distinct scores -> prefix-sum -> 1 row
+    run("binary_auc", binary_auc(auc_in))
+    # ONE-PASS fit (count/sum/XtX partials, no shuffle) + projection
+    # dgemm over the same 3M x 64 vectors the ANN tier uses
+    run(
+        "pca_train_project",
+        lambda: pca_project(emb, *pca_train(emb, k=16)[:2]),
+        rows_in=vec_n,
+    )
+
     total = round(sum(r["sec"] for r in results.values()), 2)
     line = {"metric": "scale_smoke_total", "value": total, "unit": "sec",
             "n_rows": n, "ops": results}

@@ -954,3 +954,76 @@ def test_pca_null_vectors_and_guards(spark):
         pca_train(empty, k=1)
     with pytest.raises(ValueError, match="do not match mean"):
         pca_project(df, mean, [[1.0, 0.0]])
+
+
+def test_average_precision_matches_sklearn_definition(spark):
+    """average_precision must equal the step-interpolated sklearn
+    definition computed per distinct DESCENDING threshold (ties
+    collapsed) — checked against a pure-numpy replay on a heavy-ties
+    fixture."""
+    from ezdata_spark.operators.evaluate import average_precision
+
+    rng = np.random.RandomState(11)
+    scores = rng.randint(0, 15, size=300)
+    labels = (rng.rand(300) < (scores + 1) / 20.0).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(l)) for s, l in zip(scores, labels)], "score int, label int"
+    )
+    row = average_precision(df).first()
+    P = labels.sum()
+    ap = 0.0
+    for s in np.unique(scores)[::-1]:
+        p_s = labels[scores == s].sum()
+        cum_p = labels[scores >= s].sum()
+        cum_t = (scores >= s).sum()
+        ap += (p_s * cum_p) / cum_t / P
+    assert row["n_pos"] == P and row["n_neg"] == 300 - P
+    assert row["ap"] == pytest.approx(ap, rel=1e-12)
+    # perfect ranking -> 1.0; no positives -> NULL
+    sep = spark.createDataFrame([(9, 1)] * 4 + [(1, 0)] * 6, "score int, label int")
+    assert average_precision(sep).first()["ap"] == 1.0
+    nopos = spark.createDataFrame([(1, 0), (2, 0)], "score int, label int")
+    assert average_precision(nopos).first()["ap"] is None
+
+
+def test_pca_artifact_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    """save_pca/load_pca: parameter-only sidecar; a reloaded fit
+    projects BIT-identically (JSON shortest-repr double round-trip)."""
+    from ezdata_spark.operators.ann_index import load_pca, save_pca
+    from ezdata_spark.operators.decomp import pca_project, pca_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, ratio = pca_train(emb, k=3)
+    path = str(tmp_path / "pca_art")
+    save_pca(path, mean, comps, ratio)
+    m2, c2, r2 = load_pca(spark, path)
+    assert m2 == mean and c2 == comps and r2 == ratio  # bit-exact lists
+    a = pca_project(emb, mean, comps).orderBy("vec_id").select("pca").collect()
+    b = pca_project(emb, m2, c2).orderBy("vec_id").select("pca").collect()
+    assert [r["pca"] for r in a] == [r["pca"] for r in b]
+    with pytest.raises(ValueError, match="not a pca artifact"):
+        load_pca(spark, str(tmp_path / "nope"))
+
+
+def test_pca_then_ivf_composition(spark, sf_dir):
+    """The pipeline composition PCA reduce -> IVF ANN must run end-to-end
+    on the reduced vectors and keep useful recall vs brute force in the
+    REDUCED space (the reduction is the approximation under test
+    upstream; here we pin that the operators compose)."""
+    from ezdata_spark.operators.decomp import pca_project, pca_train
+    from ezdata_spark.operators.similarity import cosine_topk, ivf_index, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    mean, comps, _ = pca_train(emb, k=16)
+    red = pca_project(emb, mean, comps).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    indexed, centroids = ivf_index(red, n_cells=8)
+    qs = red.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), "embedding")
+    approx = ivf_topk(indexed, centroids, qs, k=5, nprobe=8)  # full probe
+    exact = cosine_topk(red, qs, k=5)
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) == 1.0  # full probe == exact in reduced space
