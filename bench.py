@@ -82,6 +82,8 @@ HEADLINE = [
     "q66a_logreg_train",     # on-cluster logistic-regression fit + score
     "q90a_backoff_logprob",  # trigram stupid-backoff LM scoring
     "q90b_backoff_external", # persisted-LM scoring of a new shard (OOV floor)
+    "q149_classifier_auc",   # exact rank-sum ROC-AUC (distributed prefix-sum)
+    "q152_average_precision",# exact PR-AUC (descending prefix-sums)
 ]
 
 # Fixed reference BASKET for cross-run normalization: four queries

@@ -60,6 +60,8 @@ def decontaminate(
     id_col: str = "doc_id",
     n: int = 8,
     hash_ngrams: bool = False,
+    prefilter: str | None = None,
+    bloom_bits_per_gram: int = 16,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     ``n``-gram with a held-out benchmark set (the standard n-gram
@@ -73,18 +75,37 @@ def decontaminate(
     ``hash_ngrams=True`` the join key is xxhash64(ngram) — 8 bytes
     instead of the string — for the 100 TB run (oracle queries keep
     strings so DuckDB can replicate).
+
+    ``prefilter='bloom'`` inserts a map-side Bloom screen BEFORE the
+    doc-side distinct — the dominant cost at corpus scale is that
+    distinct's shuffle of every doc n-gram, and almost none of them can
+    match a bounded benchmark set. The benchmark's distinct grams fold
+    into a bit array literal (``bloom_bits_per_gram`` bits each, 7
+    xxhash64-seeded probes; ~2 MB per million grams) evaluated inside
+    whole-stage codegen, so only probable hits reach the shuffle.
+    The RESULT IS BIT-IDENTICAL to the exact path: a Bloom filter has
+    no false negatives by construction (every inserted gram sets the
+    same bits the probe tests), and false positives (~0.1% at 16
+    bits/gram) only pass extra grams through to the exact equi-join,
+    which discards them. Requires a driver-side collect of the
+    benchmark's distinct-gram BIT POSITIONS (not the grams) — the same
+    bounded-benchmark contract as ``decontaminate_stateless``.
     """
+    if prefilter not in (None, "bloom"):
+        raise ValueError(f"decontaminate: unknown prefilter {prefilter!r}")
     key = (lambda c: F.xxhash64(c)) if hash_ngrams else (lambda c: c)
-    doc_grams = (
-        docs.select(F.col(id_col), F.explode(word_ngrams(text, n)).alias("ng"))
-        .select(id_col, key(F.col("ng")).alias("ng"))
-        .distinct()
+    doc_grams_raw = docs.select(
+        F.col(id_col), F.explode(word_ngrams(text, n)).alias("ng")
     )
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(text, n)).alias("ng"))
-        .select(key(F.col("ng")).alias("ng"))
-        .distinct()
+    bench_str_grams = (
+        benchmark.select(F.explode(word_ngrams(text, n)).alias("ng")).distinct()
     )
+    if prefilter == "bloom":
+        doc_grams_raw = doc_grams_raw.where(
+            _bloom_test("ng", *_bloom_build(bench_str_grams, "ng", bloom_bits_per_gram))
+        )
+    doc_grams = doc_grams_raw.select(id_col, key(F.col("ng")).alias("ng")).distinct()
+    bench_grams = bench_str_grams.select(key(F.col("ng")).alias("ng"))
     hits = (
         doc_grams.join(bench_grams, "ng")
         .groupBy(id_col)
@@ -95,6 +116,52 @@ def decontaminate(
         .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
         .withColumn("contaminated", F.col("n_hit") > 0)
     )
+
+
+_BLOOM_SEEDS = (101, 211, 307, 401, 503, 601, 701)
+
+
+def _bloom_build(grams: DataFrame, col: str, bits_per_gram: int) -> tuple[list[int], int]:
+    """Bit-array words for a Bloom filter over a bounded gram frame.
+
+    Bit positions are computed IN SPARK with the same
+    ``pmod(xxhash64(g, seed), m)`` expressions the probe uses, so
+    build and test agree by construction (no Python reimplementation
+    of xxhash64 to drift); only the integer positions reach the
+    driver. Returns ``(words, m_bits)``.
+    """
+    n_grams = grams.count()
+    m_bits = max(64, ((max(n_grams, 1) * bits_per_gram + 63) // 64) * 64)
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits)).alias(f"p{i}")
+        for i, s in enumerate(_BLOOM_SEEDS)
+    ]
+    words = [0] * (m_bits // 64)
+    for r in grams.select(*pos_cols).collect():
+        for i in range(len(_BLOOM_SEEDS)):
+            p = r[i]
+            words[p >> 6] |= 1 << (p & 63)
+    # keep words signed-64 for the BIGINT array literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words, m_bits
+
+
+def _bloom_test(col: str, words: list[int], m_bits: int) -> Column:
+    """AND of the 7 bit probes, as pure codegen SQL (shiftright by a
+    computed amount has no Python-function form)."""
+    import functools
+    import operator
+
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    probes = [
+        F.expr(
+            f"(shiftright(element_at({arr}, "
+            f"int(pmod(xxhash64({col}, {s}), {m_bits}) div 64) + 1), "
+            f"int(pmod(xxhash64({col}, {s}), {m_bits}) % 64)) & 1) = 1"
+        )
+        for s in _BLOOM_SEEDS
+    ]
+    return functools.reduce(operator.and_, probes)
 
 
 def tf_idf_top_terms(

@@ -2197,6 +2197,47 @@ def q86(spark, sf_dir):
 
 
 @query(
+    "q86b_decontaminate_bloom",
+    oracle=r"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws) - 1),
+                                       i -> array_to_string(ws[i:i+2], ' '))) AS ng
+          FROM w WHERE len(ws) >= 3),
+    gd AS (SELECT DISTINCT doc_id, ng FROM g),
+    bench AS (SELECT DISTINCT ng FROM gd WHERE doc_id % 97 = 0),
+    hits AS (SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+             FROM gd JOIN bench USING (ng)
+             WHERE gd.doc_id % 97 <> 0 GROUP BY gd.doc_id)
+    SELECT d.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def q86b(spark, sf_dir):
+    """q86 through the map-side BLOOM screen (corpus.py::decontaminate
+    prefilter='bloom'): the benchmark's distinct grams fold into a
+    codegen bit-array literal tested BEFORE the doc-side distinct, so
+    at corpus scale the dominant shuffle carries only probable hits
+    (~0.1% fp at 16 bits/gram) instead of every doc n-gram. Same SQL
+    oracle as q86 — the Bloom has no false negatives and the exact
+    equi-join discards false positives, so the result is bit-identical
+    by construction (also pinned by pytest against the exact path)."""
+    from .operators.corpus import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3, prefilter="bloom").select(
+        "doc_id", "n_hit", "contaminated"
+    )
+
+
+@query(
     "q87_tfidf_topterms",
     oracle=r"""
     WITH tok AS (SELECT doc_id,

@@ -297,6 +297,16 @@ def main() -> None:
     bench_docs = docs.filter(F.col("doc_id") % 1000 == 0)
     run("decontaminate", decontaminate(docs, bench_docs, n=5, hash_ngrams=True),
         rows_in=doc_n)
+    # r10: same join, Bloom screen ahead of the doc-side distinct —
+    # bit-identical output, the data-sized gram shuffle reduced to
+    # probable hits (build-side position collect is part of the timing)
+    run(
+        "decontaminate_bloom",
+        lambda: decontaminate(
+            docs, bench_docs, n=5, hash_ngrams=True, prefilter="bloom"
+        ),
+        rows_in=doc_n,
+    )
     run("unigram_logprob", unigram_logprob(docs), rows_in=doc_n)
     srcdocs = docs.select(
         "doc_id",

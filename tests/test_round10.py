@@ -1027,3 +1027,53 @@ def test_pca_then_ivf_composition(spark, sf_dir):
     a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
     e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) == 1.0  # full probe == exact in reduced space
+
+
+def test_decontaminate_bloom_prefilter_bit_identical(spark, sf_dir):
+    """The Bloom-screened path must return EXACTLY the exact path's
+    result (no false negatives by construction; false positives die in
+    the exact equi-join), on both the string-key and hashed-key forms,
+    and the screen must actually drop the overwhelming share of
+    non-matching grams before the distinct's shuffle."""
+    from ezdata_spark.operators.corpus import (
+        _bloom_build,
+        _bloom_test,
+        decontaminate,
+        word_ngrams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    cols = ("doc_id", "n_hit", "contaminated")
+    want = sorted(map(tuple, decontaminate(train, bench, n=3).select(*cols).collect()))
+    got = sorted(
+        map(
+            tuple,
+            decontaminate(train, bench, n=3, prefilter="bloom").select(*cols).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
+    hashed = sorted(
+        map(
+            tuple,
+            decontaminate(
+                train, bench, n=3, hash_ngrams=True, prefilter="bloom"
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert hashed == want
+    # screen selectivity: with a DISJOINT benchmark, almost everything
+    # must be dropped map-side (fp rate ~1e-3 at 16 bits/gram)
+    fake_bench = spark.createDataFrame(
+        [(f"zz{i} qq{i} kk{i} vv{i}",) for i in range(50)], "text string"
+    )
+    grams = train.select(F.explode(word_ngrams("text", 3)).alias("ng"))
+    raw = grams.count()
+    bench_grams = fake_bench.select(F.explode(word_ngrams("text", 3)).alias("ng")).distinct()
+    screened = grams.where(_bloom_test("ng", *_bloom_build(bench_grams, "ng", 16))).count()
+    assert screened <= raw * 0.01
+    with pytest.raises(ValueError, match="unknown prefilter"):
+        decontaminate(train, bench, prefilter="cuckoo")
