@@ -131,6 +131,41 @@ def average_precision(
     )
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "qid",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result frame against the exact
+    reference frame — the standard ANN quality metric, computed
+    per query: ``(query_col, n_exact, n_hit, recall)``.
+
+    Both inputs are (query, neighbor) result frames as produced by the
+    similarity tier (``cosine_topk`` / ``ivf_topk`` / ``pq_topk`` /
+    ``knn_join``); extra columns (scores, ranks) are ignored. Scale
+    shape: one left-semi equi-join on (query, id) + two per-query
+    counts — candidate-proportional, never all-pairs, and queries with
+    zero approximate hits still appear (left join, recall 0.0).
+    """
+    a = approx.select(query_col, id_col).distinct()
+    e = exact.select(query_col, id_col).distinct()
+    tot = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hit = (
+        e.join(a, [query_col, id_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        tot.join(hit, query_col, "left")
+        .withColumn("n_hit", F.coalesce(F.col("n_hit"), F.lit(0)))
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
+
+
 def classification_report(
     scored: DataFrame,
     threshold: float,

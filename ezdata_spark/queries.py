@@ -2991,6 +2991,31 @@ def q152(spark, sf_dir):
     return res.select(F.round("ap", 6).alias("ap"), "n_pos", "n_neg")
 
 
+@query("z154_ann_recall")
+def q154(spark, sf_dir):
+    """ANN quality evaluation (operators/evaluate.py::topk_recall):
+    recall@10 of the LSH hyperplane index against brute-force cosine
+    top-10, per query — the standard measurement a production ANN
+    deployment tracks. Rows-only (the LSH planes are xxhash64-seeded,
+    Spark-specific); pytest pins topk_recall itself on a hand fixture
+    and the LSH recall here is separately property-tested in the
+    similarity suite."""
+    from .operators.evaluate import topk_recall
+    from .operators.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    approx = cosine_topk_lsh(emb, qs, k=10, dim=64)
+    exact = cosine_topk(emb, qs, k=10)
+    return topk_recall(approx, exact).select(
+        "qid", "n_exact", "n_hit", F.round("recall", 6).alias("recall")
+    )
+
+
 @query("z151_pca_project")
 def q151(spark, sf_dir):
     """Distributed PCA (operators/decomp.py): ONE corpus pass reduces

@@ -59,6 +59,10 @@ BNLJ_ALLOWED = {
     # compression is the point: m table lookups per vector over the
     # codes column only, with IVF cells as the pruning composition
     "z101_pq_ann",
+    # z154: the exact-reference side IS q50's cosine_topk (the
+    # allowlisted broadcast-queries crossJoin); topk_recall itself
+    # adds only (query, id) equi-joins
+    "z154_ann_recall",
 }
 
 

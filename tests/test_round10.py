@@ -1077,3 +1077,23 @@ def test_decontaminate_bloom_prefilter_bit_identical(spark, sf_dir):
     assert screened <= raw * 0.01
     with pytest.raises(ValueError, match="unknown prefilter"):
         decontaminate(train, bench, prefilter="cuckoo")
+
+
+def test_topk_recall_hand_fixture(spark):
+    """topk_recall on a hand-computed overlap, including a query the
+    approximate side missed entirely (left join -> recall 0.0) and
+    duplicate result rows (distinct first)."""
+    from ezdata_spark.operators.evaluate import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "qid int, vec_id int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 99), (2, 21), (2, 20)], "qid int, vec_id int"
+    )
+    out = {r["qid"]: r for r in topk_recall(approx, exact).collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 1
+    assert out[1]["recall"] == pytest.approx(1 / 3)
+    assert out[2]["recall"] == 1.0
+    assert out[3]["n_hit"] == 0 and out[3]["recall"] == 0.0
