@@ -57,9 +57,15 @@ def binary_auc(
     count past the first groupBy.
     """
     lbl = F.col(label_col).cast("long")
-    agg = scored.groupBy(F.col(score_col).alias("__s")).agg(
-        F.sum(lbl).alias("__p"),
-        (F.count(F.lit(1)) - F.sum(lbl)).alias("__n"),
+    # NULL scores are unrankable — drop them (they would otherwise sort
+    # as the lowest tie group, silently skewing the statistic)
+    agg = (
+        scored.where(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(lbl).alias("__p"),
+            (F.count(F.lit(1)) - F.sum(lbl)).alias("__n"),
+        )
     )
     cum = global_cumsum(agg, "__n", ["__s"], name="__cum_n")
     # 2*numerator = sum p * (2*N_<  +  n_ties); all-long arithmetic
@@ -107,9 +113,14 @@ def average_precision(
     ROUND the result).
     """
     lbl = F.col(label_col).cast("long")
-    agg = scored.groupBy(F.col(score_col).alias("__s")).agg(
-        F.sum(lbl).alias("__p"),
-        F.count(F.lit(1)).alias("__t"),
+    # NULL scores are unrankable — drop them (same contract as binary_auc)
+    agg = (
+        scored.where(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(lbl).alias("__p"),
+            F.count(F.lit(1)).alias("__t"),
+        )
     )
     desc = [F.col("__s").desc()]
     cum = global_cumsum(agg, "__p", desc, name="__cum_p")

@@ -1235,6 +1235,22 @@ def main() -> None:
             "  fixture has zero touched docs — the common shape); an\n"
             "  every-doc-touched adversarial fixture pays ~10% for the\n"
             "  post-anti-join semi pass (measured 70-77 vs 76-89 s).\n"
+            "- `decontaminate_bloom` is `decontaminate` with the\n"
+            "  benchmark folded into a codegen Bloom bit-array tested\n"
+            "  BEFORE the doc-side distinct (bit-identical output —\n"
+            "  no false negatives; the exact join eats the ~0.1% fps).\n"
+            "  This 50-word-vocabulary fixture is the screen's WORST\n"
+            "  case (most grams genuinely match) and it still wins;\n"
+            "  real benchmark/corpus gram disjointness sends the\n"
+            "  screened fraction -> 100% and the distinct's shuffle\n"
+            "  -> candidate-sized.\n"
+            "- `binary_auc` (30M scored rows -> 50 distinct scores ->\n"
+            "  descending prefix-sum -> 1 row) and `pca_train_project`\n"
+            "  (3M x 64 fit: one (count, sum, XtX)-partials pass, no\n"
+            "  shuffle; + the full projection dgemm pass) pin the\n"
+            "  evaluation/decomposition tier: nothing in either plan\n"
+            "  is proportional to the row count past the first\n"
+            "  hash aggregate / Arrow batch scan.\n"
         )
     spark.stop()
 

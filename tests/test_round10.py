@@ -1097,3 +1097,19 @@ def test_topk_recall_hand_fixture(spark):
     assert out[1]["recall"] == pytest.approx(1 / 3)
     assert out[2]["recall"] == 1.0
     assert out[3]["n_hit"] == 0 and out[3]["recall"] == 0.0
+
+
+def test_auc_and_ap_drop_null_scores(spark):
+    """NULL scores are unrankable and must be DROPPED, not ranked as the
+    lowest tie group: adding null-score rows leaves both statistics
+    unchanged."""
+    from ezdata_spark.operators.evaluate import average_precision, binary_auc
+
+    base = [(3, 1), (2, 0), (5, 1), (1, 0), (2, 1)]
+    with_nulls = base + [(None, 1), (None, 0), (None, 0)]
+    clean = spark.createDataFrame(base, "score int, label int")
+    noisy = spark.createDataFrame(with_nulls, "score int, label int")
+    a1, a2 = binary_auc(clean).first(), binary_auc(noisy).first()
+    assert (a1["auc"], a1["n_pos"], a1["n_neg"]) == (a2["auc"], a2["n_pos"], a2["n_neg"])
+    p1, p2 = average_precision(clean).first(), average_precision(noisy).first()
+    assert (p1["ap"], p1["n_pos"], p1["n_neg"]) == (p2["ap"], p2["n_pos"], p2["n_neg"])
