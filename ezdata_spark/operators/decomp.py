@@ -106,6 +106,30 @@ def pca_train(
     return mean.tolist(), comps.tolist(), ratio.tolist()
 
 
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    k: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss reduction: append ``out_col`` =
+    ``x @ R^T / sqrt(k)`` with a seeded Gaussian ``k x dim`` matrix —
+    the TRAIN-FREE alternative to :func:`pca_project` (no corpus pass
+    at all; pairwise distances preserved within the JL distortion
+    bound in expectation). The matrix derives deterministically from
+    ``seed`` on the driver (a few KB) and broadcasts inside the same
+    batched-dgemm pandas UDF, so two jobs — or two SHARDS of one
+    corpus, or a stream and its batch history — project identically
+    by sharing the seed.
+    """
+    if k < 1 or dim < 1:
+        raise ValueError(f"random_projection: need k,dim >= 1, got k={k} dim={dim}")
+    R = np.random.RandomState(seed).standard_normal((k, dim)) / np.sqrt(k)
+    return pca_project(df, [0.0] * dim, R.tolist(), vec_col=vec_col, out_col=out_col)
+
+
 def pca_project(
     df: DataFrame,
     mean: list[float],

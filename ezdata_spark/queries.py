@@ -3016,6 +3016,26 @@ def q154(spark, sf_dir):
     )
 
 
+@query("z155_random_projection")
+def q155(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (decomp.py::
+    random_projection): train-free embedding reduction — a seeded
+    Gaussian k x d matrix broadcast through the batched-dgemm kernel,
+    no corpus pass; shards/streams sharing the seed project
+    identically. Rows-only (seeded Gaussian matrices are not
+    SQL-expressible); pytest pins determinism and the JL distance-
+    preservation property."""
+    from .operators.decomp import random_projection
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = random_projection(emb, dim=64, k=16)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("rp", 1), 4).alias("rp1"),
+        F.round(F.element_at("rp", 2), 4).alias("rp2"),
+    )
+
+
 @query("z151_pca_project")
 def q151(spark, sf_dir):
     """Distributed PCA (operators/decomp.py): ONE corpus pass reduces

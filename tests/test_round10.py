@@ -1113,3 +1113,32 @@ def test_auc_and_ap_drop_null_scores(spark):
     assert (a1["auc"], a1["n_pos"], a1["n_neg"]) == (a2["auc"], a2["n_pos"], a2["n_neg"])
     p1, p2 = average_precision(clean).first(), average_precision(noisy).first()
     assert (p1["ap"], p1["n_pos"], p1["n_neg"]) == (p2["ap"], p2["n_pos"], p2["n_neg"])
+
+
+def test_random_projection_deterministic_and_jl(spark, sf_dir):
+    """Same seed -> bit-identical projection (the cross-shard/stream
+    contract); distances in the reduced space track originals within a
+    loose JL distortion band; different seed -> different matrix."""
+    from ezdata_spark.operators.decomp import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    a = [r["rp"] for r in random_projection(emb, 64, 32).orderBy("vec_id").collect()]
+    b = [r["rp"] for r in random_projection(emb, 64, 32).orderBy("vec_id").collect()]
+    assert a == b  # bit-identical across invocations
+    c = [r["rp"] for r in random_projection(emb, 64, 32, seed=7).orderBy("vec_id").collect()]
+    assert a != c
+    X = np.stack(
+        [r["embedding"] for r in emb.orderBy("vec_id").select("embedding").collect()]
+    ).astype(np.float64)
+    Y = np.asarray(a)
+    # JL property: median pairwise-distance ratio ~1, spread bounded
+    rng = np.random.RandomState(0)
+    i, j = rng.randint(0, len(X), 200), rng.randint(0, len(X), 200)
+    keep = i != j
+    dx = np.linalg.norm(X[i[keep]] - X[j[keep]], axis=1)
+    dy = np.linalg.norm(Y[i[keep]] - Y[j[keep]], axis=1)
+    ratio = dy / dx
+    assert 0.8 < np.median(ratio) < 1.2
+    assert (np.abs(ratio - 1) < 0.6).mean() > 0.95
+    with pytest.raises(ValueError, match="need k,dim >= 1"):
+        random_projection(emb, 64, 0)
