@@ -132,6 +132,19 @@ def _bloom_build(grams: DataFrame, col: str, bits_per_gram: int) -> tuple[list[i
     """
     n_grams = grams.count()
     m_bits = max(64, ((max(n_grams, 1) * bits_per_gram + 63) // 64) * 64)
+    if m_bits > (1 << 23):
+        # the bit array embeds as a plan literal in each of the 7
+        # probes; past ~8M bits (≈0.5M benchmark grams at 16 b/g) that
+        # is tens of MB of expression tree — at that size the
+        # "benchmark" is corpus-shaped and the exact hashed-key
+        # equi-join is the right tool (its shuffle is already
+        # candidate-bounded by the distinct gram set)
+        raise ValueError(
+            f"decontaminate prefilter='bloom': benchmark has {n_grams} "
+            f"distinct n-grams ({m_bits} filter bits) — too large for a "
+            "plan-literal Bloom; use the exact path (prefilter=None, "
+            "hash_ngrams=True) or lower bloom_bits_per_gram"
+        )
     pos_cols = [
         F.pmod(F.xxhash64(F.col(col), F.lit(s)), F.lit(m_bits)).alias(f"p{i}")
         for i, s in enumerate(_BLOOM_SEEDS)

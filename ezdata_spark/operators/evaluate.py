@@ -1,5 +1,8 @@
-"""Classifier evaluation at corpus scale: exact ROC-AUC and threshold
-confusion metrics, fully distributed.
+"""Model evaluation at corpus scale, fully distributed: exact ROC-AUC
+(:func:`binary_auc`), exact average precision
+(:func:`average_precision`), threshold confusion metrics
+(:func:`classification_report`), and ANN recall@k
+(:func:`topk_recall`).
 
 Extension tier (the reference has no model evaluation): closes the loop
 on the training-pipeline classifiers (textstats.py::logreg_train /

@@ -1142,3 +1142,14 @@ def test_random_projection_deterministic_and_jl(spark, sf_dir):
     assert (np.abs(ratio - 1) < 0.6).mean() > 0.95
     with pytest.raises(ValueError, match="need k,dim >= 1"):
         random_projection(emb, 64, 0)
+
+
+def test_bloom_prefilter_oversized_benchmark_raises(spark):
+    """A corpus-shaped 'benchmark' must be rejected before embedding a
+    multi-MB bit array into the plan (the exact hashed-key join is the
+    right tool there)."""
+    from ezdata_spark.operators.corpus import _bloom_build
+
+    big = spark.range(600_000).select(F.concat(F.lit("g"), "id").alias("ng"))
+    with pytest.raises(ValueError, match="too large for a plan-literal Bloom"):
+        _bloom_build(big, "ng", 16)
