@@ -1239,11 +1239,15 @@ def main() -> None:
             "  benchmark folded into a codegen Bloom bit-array tested\n"
             "  BEFORE the doc-side distinct (bit-identical output —\n"
             "  no false negatives; the exact join eats the ~0.1% fps).\n"
-            "  This 50-word-vocabulary fixture is the screen's WORST\n"
-            "  case (most grams genuinely match) and it still wins;\n"
-            "  real benchmark/corpus gram disjointness sends the\n"
-            "  screened fraction -> 100% and the distinct's shuffle\n"
-            "  -> candidate-sized.\n"
+            "  Measured honestly at this fixture: the screen cuts the\n"
+            "  distinct's input 48M -> 89k rows (540x — candidate\n"
+            "  rows, per-partition hash state, and exchange payload\n"
+            "  all shrink with it) but WALL parity (22.3 vs 22.6 s\n"
+            "  idle A/B), because the stage is gram-GENERATION-bound\n"
+            "  (the 48M-string explode dominates either way) and a\n"
+            "  local[32] exchange is memory-speed. The saving lands\n"
+            "  where it matters at cluster scale: network shuffle\n"
+            "  bytes and the distinct's hash-aggregate memory.\n"
             "- `binary_auc` (30M scored rows -> 50 distinct scores ->\n"
             "  descending prefix-sum -> 1 row) and `pca_train_project`\n"
             "  (3M x 64 fit: one (count, sum, XtX)-partials pass, no\n"
