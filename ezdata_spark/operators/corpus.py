@@ -22,6 +22,7 @@ __all__ = [
     "word_ngrams",
     "decontaminate",
     "decontaminate_stateless",
+    "decontaminate_stateless_bloom",
     "tf_idf_top_terms",
     "bm25_scores",
     "cap_per_key",
@@ -159,22 +160,56 @@ def _bloom_build(grams: DataFrame, col: str, bits_per_gram: int) -> tuple[list[i
     return words, m_bits
 
 
-def _bloom_test(col: str, words: list[int], m_bits: int) -> Column:
-    """AND of the 7 bit probes, as pure codegen SQL (shiftright by a
-    computed amount has no Python-function form)."""
+def _bloom_probe(g: Column, words: list[int], m_bits: int) -> Column:
+    """AND of the 7 bit probes on an arbitrary string expression ``g``
+    (pure column DSL — getbit takes a computed position — so the probe
+    composes into HOF lambdas for the per-row array form)."""
     import functools
     import operator
 
-    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
-    probes = [
-        F.expr(
-            f"(shiftright(element_at({arr}, "
-            f"int(pmod(xxhash64({col}, {s}), {m_bits}) div 64) + 1), "
-            f"int(pmod(xxhash64({col}, {s}), {m_bits}) % 64)) & 1) = 1"
-        )
-        for s in _BLOOM_SEEDS
-    ]
+    arr = F.lit(words).cast("array<bigint>")
+    probes = []
+    for s in _BLOOM_SEEDS:
+        p = F.pmod(F.xxhash64(g, F.lit(s)), F.lit(m_bits))
+        word = F.element_at(arr, (p / F.lit(64)).cast("int") + F.lit(1))
+        probes.append(F.getbit(word, p % F.lit(64)) == F.lit(1))
     return functools.reduce(operator.and_, probes)
+
+
+def _bloom_test(col: str, words: list[int], m_bits: int) -> Column:
+    return _bloom_probe(F.col(col), words, m_bits)
+
+
+def decontaminate_stateless_bloom(
+    docs: DataFrame,
+    bench_ngrams: list[str],
+    text: str = "text",
+    n: int = 8,
+    bits_per_gram: int = 16,
+) -> DataFrame:
+    """The SCALABLE stateless screen: like :func:`decontaminate_
+    stateless` (per-row, no join or aggregate — append-mode streaming
+    safe) but the benchmark folds into the plan as a packed Bloom bit
+    array (~2 bytes/gram at 16 bits/gram) instead of the raw gram-
+    string array literal (~30-60 bytes/gram, compared per gram by
+    arrays_overlap) — 10^5-10^6-gram eval suites stop bloating the
+    plan, and each doc gram probes in O(1).
+
+    Returns ``maybe_contaminated``: a SUPERSET flag (~0.1% false-
+    positive rate at 16 bits/gram, NO false negatives). Streams route
+    probable hits to the exact batch confirm (`decontaminate`) or
+    quarantine them; the stateless exact flag needs the literal-array
+    form. Build parameters ride the plan, so a restart re-derives the
+    identical filter from the same benchmark list.
+    """
+    spark = docs.sparkSession
+    grams = sorted(set(bench_ngrams))
+    gdf = spark.createDataFrame([(g,) for g in grams], "ng string")
+    words, m_bits = _bloom_build(gdf, "ng", bits_per_gram)
+    return docs.withColumn(
+        "maybe_contaminated",
+        F.exists(word_ngrams(text, n), lambda g: _bloom_probe(g, words, m_bits)),
+    )
 
 
 def tf_idf_top_terms(

@@ -1153,3 +1153,75 @@ def test_bloom_prefilter_oversized_benchmark_raises(spark):
     big = spark.range(600_000).select(F.concat(F.lit("g"), "id").alias("ng"))
     with pytest.raises(ValueError, match="too large for a plan-literal Bloom"):
         _bloom_build(big, "ng", 16)
+
+
+def test_decontaminate_stateless_bloom_superset_and_stream(spark, sf_dir, tmp_path):
+    """The stateless Bloom screen must (a) flag a SUPERSET of the exact
+    stateless flags (no false negatives), (b) stay selective on a
+    disjoint benchmark (~0.1% fp at 16 bits/gram), and (c) run under
+    Structured Streaming append mode with values identical to batch."""
+    import pandas as pd
+
+    from ezdata_spark.operators.corpus import (
+        decontaminate_stateless,
+        decontaminate_stateless_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_rows = docs.filter(F.col("doc_id") % 97 == 0).select("text").collect()
+    from ezdata_spark.operators.corpus import word_ngrams
+
+    bench_grams = [
+        g
+        for r in spark.createDataFrame(bench_rows)
+        .select(F.explode(word_ngrams("text", 3)).alias("ng"))
+        .distinct()
+        .collect()
+        for g in [r["ng"]]
+    ]
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_stateless(train, bench_grams, n=3).collect()
+    }
+    screen = {
+        r["doc_id"]: r["maybe_contaminated"]
+        for r in decontaminate_stateless_bloom(train, bench_grams, n=3).collect()
+    }
+    assert all(screen[k] for k, v in exact.items() if v)  # superset
+    assert sum(exact.values()) > 0
+    # disjoint benchmark: screen flags almost nothing
+    fake = [f"zz{i} qq{i} kk{i}" for i in range(500)]
+    flags = decontaminate_stateless_bloom(train, fake, n=3)
+    n_flag = flags.where("maybe_contaminated").count()
+    assert n_flag <= flags.count() * 0.02
+    # stream == batch
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["alpha beta gamma delta", "omega psi chi phi"]}
+    ).to_parquet(src)
+    batch_df = spark.read.parquet(src)
+    bench = ["alpha beta gamma"]
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .format("parquet")
+        .load(str(tmp_path) + "/*.parquet")
+    )
+    q = (
+        decontaminate_stateless_bloom(stream, bench, n=3)
+        .writeStream.format("memory")
+        .queryName("bloom_screen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: r.maybe_contaminated
+        for r in spark.sql("select * from bloom_screen_stream").collect()
+    }
+    want = {
+        r.doc_id: r.maybe_contaminated
+        for r in decontaminate_stateless_bloom(batch_df, bench, n=3).collect()
+    }
+    assert got == want == {1: True, 2: False}
