@@ -1225,3 +1225,30 @@ def test_decontaminate_stateless_bloom_superset_and_stream(spark, sf_dir, tmp_pa
         for r in decontaminate_stateless_bloom(batch_df, bench, n=3).collect()
     }
     assert got == want == {1: True, 2: False}
+
+
+def test_auc_algebraic_properties(spark):
+    """Rank-statistic algebra: AUC is invariant under any strictly
+    increasing score transform (it only reads the ordering), and
+    flipping the labels reflects it around 1/2 (AUC + AUC' = 1).
+    AP stays within [0, 1] and equals the positive prevalence for a
+    constant score."""
+    from ezdata_spark.operators.evaluate import average_precision, binary_auc
+
+    rng = np.random.RandomState(3)
+    scores = rng.randint(0, 9, size=150)
+    labels = (rng.rand(150) < 0.4).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(l)) for s, l in zip(scores, labels)], "score int, label int"
+    )
+    base = binary_auc(df).first()["auc"]
+    # strictly increasing transform: s -> 3*s^2 + 7 (s >= 0)
+    mono = df.select((3 * F.col("score") * F.col("score") + 7).alias("score"), "label")
+    assert binary_auc(mono).first()["auc"] == base
+    flipped = df.select("score", (1 - F.col("label")).alias("label"))
+    assert binary_auc(flipped).first()["auc"] == pytest.approx(1.0 - base, abs=1e-12)
+    const = df.select(F.lit(5).alias("score"), "label")
+    prev = labels.sum() / len(labels)
+    assert average_precision(const).first()["ap"] == pytest.approx(prev, abs=1e-12)
+    ap = average_precision(df).first()["ap"]
+    assert 0.0 <= ap <= 1.0
