@@ -1,0 +1,191 @@
+"""Plan auditing: the engine's 100 TB scale-hygiene checks as a public
+API.
+
+Every operator in this repo is held to a set of physical-plan
+invariants by the test suite (tests/test_plan_shapes.py sweeps the
+whole query catalog): no cartesian products, no accidental
+nested-loop joins, no global Sort/Window funnels through a single
+partition, no row-at-a-time Python UDFs on the hot path, and filters/
+projections pushed into the parquet scan. This module exposes those
+checks so USER pipelines built on the library can enforce the same
+invariants — in CI, or as a guard before launching a large job:
+
+    from ezdata_spark.plans import assert_scale_safe, scan_report
+    assert_scale_safe(df)           # raises with findings if unsafe
+    scan_report(df)                 # [{'pushed_filters': [...], ...}]
+
+All checks parse the compiled PHYSICAL plan (what will actually run,
+after Catalyst), not the logical one, so they see through the
+optimizer: a filter that failed to push down, a join that silently
+degraded to BNLJ because a key was lost, a window someone forgot to
+partition.
+
+Heuristics note: the detectors string-match Spark's physical-plan
+rendering (stable across 3.x/4.x for these node names). They are
+advisory — a flagged plan is worth a look, not automatically wrong;
+``assert_scale_safe`` takes ``allow`` knobs for the legitimate
+exceptions (e.g. a broadcast 1-row scalar fold-in plans as BNLJ).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "physical_plan",
+    "scan_report",
+    "single_partition_funnels",
+    "audit",
+    "assert_scale_safe",
+]
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The compiled physical plan as text (ASCII tree). Node lines are
+    width-truncated by Spark's renderer — fine for the node-presence
+    checks here; :func:`scan_report` uses the formatted explain, whose
+    per-field lines are complete."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    """`df.explain(mode)` as a string instead of stdout."""
+    jqe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jqe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def scan_report(df: DataFrame) -> list[dict]:
+    """One dict per file scan in the plan: ``pushed_filters`` (the
+    predicates the parquet reader will evaluate against row-group
+    statistics), ``partition_filters`` (partition pruning, incl.
+    dynamic), and ``read_schema`` (the columns actually read — column
+    pruning evidence). Empty pushed_filters on a filtered scan, or a
+    read_schema much wider than the query's projection, are the two
+    classic lost-pushdown smells."""
+    out = []
+    rec = None
+    for line in explain_text(df, "formatted").splitlines():
+        s = line.strip()
+        m = re.match(r"\(\d+\) Scan ", s)
+        if m:
+            if rec is not None:
+                out.append(rec)
+            rec = {
+                "scan": s,
+                "pushed_filters": [],
+                "partition_filters": [],
+                "read_schema": [],
+            }
+            continue
+        if rec is None:
+            continue
+        if not s:  # blank line ends the scan's field block
+            out.append(rec)
+            rec = None
+            continue
+        for key, label in (
+            ("pushed_filters", "PushedFilters"),
+            ("partition_filters", "PartitionFilters"),
+        ):
+            fm = re.match(rf"{label}: \[(.*)\]$", s)
+            if fm:
+                rec[key] = [f.strip() for f in fm.group(1).split(",") if f.strip()]
+        fm = re.match(r"ReadSchema: struct<(.*)>$", s)
+        if fm:
+            rec["read_schema"] = [
+                c.split(":")[0].strip() for c in fm.group(1).split(",") if c.strip()
+            ]
+    if rec is not None:
+        out.append(rec)
+    return out
+
+
+def single_partition_funnels(plan: str) -> list[str]:
+    """Operators fed by an ``Exchange SinglePartition`` that funnel ALL
+    data rows through one task: Sort / Window / WindowGroupLimit
+    parents. (An ungrouped scalar aggregate's final reduce also runs on
+    one partition, but its input is one row per upstream task — that is
+    fine and not reported.)"""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = max(line.find("+- "), line.find(":- "))
+        return m if m >= 0 else -1  # root
+
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for j in range(i - 1, -1, -1):
+            if depth(lines[j]) < d:
+                parent = lines[j].strip().lstrip("+-:").strip()
+                if parent.startswith(("Sort", "Window", "WindowGroupLimit")):
+                    bad.append(parent.split(" ")[0])
+                break
+    return bad
+
+
+def audit(df: DataFrame) -> dict:
+    """Inspect the physical plan for the scale hazards the library's
+    own catalog is tested against. Returns a findings dict::
+
+        {'cartesian': bool,             # CartesianProduct node
+         'nested_loop_join': bool,      # BroadcastNestedLoopJoin node
+         'global_funnels': [str, ...],  # single-partition Sort/Window
+         'python_row_udfs': bool,       # BatchEvalPython (non-Arrow)
+         'scans': [...]}                # scan_report(df)
+
+    Arrow-vectorized Python (``ArrowEvalPython``, ``mapInPandas``,
+    pandas UDFs) is NOT flagged — that is the sanctioned Python
+    boundary; ``BatchEvalPython`` is the row-at-a-time slow path.
+    """
+    plan = physical_plan(df)
+    return {
+        "cartesian": "CartesianProduct" in plan,
+        "nested_loop_join": "BroadcastNestedLoopJoin" in plan,
+        "global_funnels": single_partition_funnels(plan),
+        "python_row_udfs": "BatchEvalPython" in plan,
+        "scans": scan_report(df),
+    }
+
+
+def assert_scale_safe(
+    df: DataFrame,
+    allow_nested_loop_join: bool = False,
+    allow_python_row_udfs: bool = False,
+) -> dict:
+    """Raise ``ValueError`` listing every hazard :func:`audit` finds
+    (minus the explicitly allowed ones); returns the findings dict when
+    clean. ``allow_nested_loop_join`` is for the legitimate broadcast
+    1-row scalar fold-in shape; cartesian products and global funnels
+    have no sanctioned use in this engine and cannot be waived."""
+    found = audit(df)
+    problems = []
+    if found["cartesian"]:
+        problems.append("CartesianProduct (keyless join?)")
+    if found["nested_loop_join"] and not allow_nested_loop_join:
+        problems.append(
+            "BroadcastNestedLoopJoin (non-equi join? pass "
+            "allow_nested_loop_join=True for a broadcast 1-row scalar fold-in)"
+        )
+    for op in found["global_funnels"]:
+        problems.append(
+            f"single-partition exchange feeding {op} (global sort/window "
+            "funnel — partition the window or use a distributed prefix-sum)"
+        )
+    if found["python_row_udfs"] and not allow_python_row_udfs:
+        problems.append(
+            "BatchEvalPython (row-at-a-time Python UDF — use built-in "
+            "functions or an Arrow-batched pandas UDF)"
+        )
+    if problems:
+        raise ValueError(
+            "plan is not scale-safe:\n  - " + "\n  - ".join(problems)
+        )
+    return found
