@@ -62,6 +62,45 @@ def pca_train(
     """
     if k < 1:
         raise ValueError(f"pca_train: k must be >= 1, got {k}")
+    m = pca_moments(emb, vec_col)
+    d = len(m["sum"])
+    if k > d:
+        raise ValueError(f"pca_train: k={k} exceeds dimensionality d={d}")
+    if m["n"] < 2:
+        raise ValueError(f"pca_train: need >= 2 vectors, got {m['n']}")
+    return pca_from_moments(m, k)
+
+
+def _axes_from_cov(
+    mean: np.ndarray, cov: np.ndarray, k: int
+) -> tuple[list[float], list[list[float]], list[float]]:
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|coord| of each axis made positive
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    total = float(evals.sum())
+    ratio = (evals[order] / total) if total > 0 else np.zeros(k)
+    return mean.tolist(), comps.tolist(), ratio.tolist()
+
+
+def pca_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """The sufficient statistics of :func:`pca_train` as a MERGEABLE
+    artifact: ``{'n', 'sum', 'xtx'}`` — count, sum vector, raw
+    second-moment matrix. Because all three are plain sums,
+    :func:`merge_moments` combines shards EXACTLY (integer count;
+    float sums associate, same caveat as any distributed reduction),
+    so a corpus fit updates incrementally: keep the moments artifact
+    (JSON via ann_index.save_ann_index, kind='pca_moments'), fold each
+    new shard in with one pass over the NEW data only, and re-derive
+    axes with :func:`pca_from_moments` — no historical re-scan, the
+    same train-once/update-cheaply contract as the incremental MinHash
+    and n-gram-LM artifacts."""
 
     def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -83,27 +122,42 @@ def pca_train(
         .collect()
     )
     if not rows:
-        raise ValueError("pca_train: no non-null vectors in input")
-    n = sum(r["n"] for r in rows)
-    s = np.sum([r["s"] for r in rows], axis=0)
-    xtx = np.sum([r["xtx"] for r in rows], axis=0)
+        raise ValueError("pca_moments: no non-null vectors in input")
+    return {
+        "n": int(sum(r["n"] for r in rows)),
+        "sum": np.sum([r["s"] for r in rows], axis=0).tolist(),
+        "xtx": np.sum([r["xtx"] for r in rows], axis=0).tolist(),
+    }
+
+
+def merge_moments(a: dict, b: dict) -> dict:
+    """Combine two :func:`pca_moments` artifacts (same dimensionality)."""
+    if len(a["sum"]) != len(b["sum"]):
+        raise ValueError(
+            f"merge_moments: dimensionality mismatch "
+            f"({len(a['sum'])} vs {len(b['sum'])})"
+        )
+    return {
+        "n": a["n"] + b["n"],
+        "sum": (np.asarray(a["sum"]) + np.asarray(b["sum"])).tolist(),
+        "xtx": (np.asarray(a["xtx"]) + np.asarray(b["xtx"])).tolist(),
+    }
+
+
+def pca_from_moments(moments: dict, k: int) -> tuple[list[float], list[list[float]], list[float]]:
+    """Derive ``(mean, components, explained_variance_ratio)`` from a
+    moments artifact — the driver-side tail of :func:`pca_train`."""
+    n = moments["n"]
+    s = np.asarray(moments["sum"], dtype=np.float64)
+    xtx = np.asarray(moments["xtx"], dtype=np.float64)
     d = s.shape[0]
-    if k > d:
-        raise ValueError(f"pca_train: k={k} exceeds dimensionality d={d}")
+    if k < 1 or k > d:
+        raise ValueError(f"pca_from_moments: need 1 <= k <= {d}, got {k}")
     if n < 2:
-        raise ValueError(f"pca_train: need >= 2 vectors, got {n}")
+        raise ValueError(f"pca_from_moments: need >= 2 vectors, got {n}")
     mean = s / n
     cov = (xtx.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1][:k]
-    comps = evecs[:, order].T  # (k, d)
-    # deterministic sign: largest-|coord| of each axis made positive
-    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
-    flip[flip == 0] = 1.0
-    comps = comps * flip[:, None]
-    total = float(evals.sum())
-    ratio = (evals[order] / total) if total > 0 else np.zeros(k)
-    return mean.tolist(), comps.tolist(), ratio.tolist()
+    return _axes_from_cov(mean, cov, k)
 
 
 def random_projection(

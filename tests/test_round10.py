@@ -1252,3 +1252,38 @@ def test_auc_algebraic_properties(spark):
     assert average_precision(const).first()["ap"] == pytest.approx(prev, abs=1e-12)
     ap = average_precision(df).first()["ap"]
     assert 0.0 <= ap <= 1.0
+
+
+def test_pca_moments_merge_equals_full_fit(spark, sf_dir, tmp_path):
+    """Incremental PCA: moments are mergeable sufficient statistics —
+    fold shard B's one-pass moments into persisted shard-A moments and
+    the re-derived axes match the full-corpus fit (no historical
+    re-scan), same contract as the incremental MinHash/LM artifacts."""
+    from ezdata_spark.operators.ann_index import load_ann_index, save_ann_index
+    from ezdata_spark.operators.decomp import (
+        merge_moments,
+        pca_from_moments,
+        pca_moments,
+        pca_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    ma = pca_moments(a)
+    path = str(tmp_path / "pca_moments")
+    save_ann_index(path, None, {"kind": "pca_moments", **ma})
+    _, loaded = load_ann_index(spark, path)
+    assert loaded["n"] == ma["n"] and loaded["sum"] == ma["sum"]  # JSON exact
+    merged = merge_moments(
+        {k: loaded[k] for k in ("n", "sum", "xtx")}, pca_moments(b)
+    )
+    mean_i, comps_i, ratio_i = pca_from_moments(merged, k=4)
+    mean_f, comps_f, ratio_f = pca_train(emb, k=4)
+    assert np.allclose(mean_i, mean_f, atol=1e-12)
+    assert np.allclose(comps_i, comps_f, atol=1e-8)
+    assert np.allclose(ratio_i, ratio_f, atol=1e-10)
+    with pytest.raises(ValueError, match="dimensionality mismatch"):
+        merge_moments(merged, {"n": 1, "sum": [0.0], "xtx": [0.0]})
+    with pytest.raises(ValueError, match="need 1 <= k"):
+        pca_from_moments(merged, k=99)
