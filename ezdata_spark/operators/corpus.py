@@ -98,15 +98,22 @@ def decontaminate(
     doc_grams_raw = docs.select(
         F.col(id_col), F.explode(word_ngrams(text, n)).alias("ng")
     )
-    bench_str_grams = (
-        benchmark.select(F.explode(word_ngrams(text, n)).alias("ng")).distinct()
-    )
+    bench_explode = benchmark.select(F.explode(word_ngrams(text, n)).alias("ng"))
     if prefilter == "bloom":
+        # the build runs two jobs over the benchmark grams (count +
+        # position collect) and the equi-join reads them a third time —
+        # cache the bounded distinct string set across all three
+        bench_src = track(bench_explode.distinct())
         doc_grams_raw = doc_grams_raw.where(
-            _bloom_test("ng", *_bloom_build(bench_str_grams, "ng", bloom_bits_per_gram))
+            _bloom_test("ng", *_bloom_build(bench_src, "ng", bloom_bits_per_gram))
         )
+    else:
+        bench_src = bench_explode
     doc_grams = doc_grams_raw.select(id_col, key(F.col("ng")).alias("ng")).distinct()
-    bench_grams = bench_str_grams.select(key(F.col("ng")).alias("ng"))
+    # distinct AFTER hashing: two distinct bench grams colliding to one
+    # xxhash64 must not produce duplicate join keys (they would double-
+    # count n_hit and break bit-identity with the string/oracle path)
+    bench_grams = bench_src.select(key(F.col("ng")).alias("ng")).distinct()
     hits = (
         doc_grams.join(bench_grams, "ng")
         .groupBy(id_col)

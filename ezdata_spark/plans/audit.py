@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "physical_plan",
+    "explain_text",
     "scan_report",
     "single_partition_funnels",
     "audit",
@@ -94,7 +95,7 @@ def scan_report(df: DataFrame) -> list[dict]:
         ):
             fm = re.match(rf"{label}: \[(.*)\]$", s)
             if fm:
-                rec[key] = [f.strip() for f in fm.group(1).split(",") if f.strip()]
+                rec[key] = _split_top_level(fm.group(1))
         fm = re.match(r"ReadSchema: struct<(.*)>$", s)
         if fm:
             rec["read_schema"] = [
@@ -103,6 +104,26 @@ def scan_report(df: DataFrame) -> list[dict]:
     if rec is not None:
         out.append(rec)
     return out
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a filter list on commas OUTSIDE any bracket/paren nesting —
+    ``In(lang, [de,en,fr])`` is one filter, not four fragments."""
+    parts, buf, depth = [], [], 0
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
 
 
 def single_partition_funnels(plan: str) -> list[str]:
@@ -125,8 +146,19 @@ def single_partition_funnels(plan: str) -> list[str]:
         for j in range(i - 1, -1, -1):
             if depth(lines[j]) < d:
                 parent = lines[j].strip().lstrip("+-:").strip()
-                if parent.startswith(("Sort", "Window", "WindowGroupLimit")):
-                    bad.append(parent.split(" ")[0])
+                # drop the whole-stage-codegen prefix ("*(2) Sort ...")
+                parent = re.sub(r"^\*?\(\d+\)\s*", "", parent)
+                # exact operator-NAME match: "SortAggregate" (a scalar
+                # aggregate's legitimate one-row-per-task reduce) must
+                # NOT match "Sort"
+                name = re.match(r"[A-Za-z]+", parent)
+                if name and name.group(0) in (
+                    "Sort",
+                    "Window",
+                    "WindowGroupLimit",
+                    "WindowInPandas",
+                ):
+                    bad.append(name.group(0))
                 break
     return bad
 

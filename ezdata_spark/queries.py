@@ -2872,7 +2872,7 @@ _AUC_SCORED_SQL = r"""
     oracle=rf"""
     WITH sc AS ({_AUC_SCORED_SQL}),
     agg AS (SELECT score, SUM(label) AS p, COUNT(*) - SUM(label) AS n
-            FROM sc GROUP BY score),
+            FROM sc WHERE score IS NOT NULL GROUP BY score),
     cum AS (SELECT p, n,
                    SUM(n) OVER (ORDER BY score
                                 ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2957,7 +2957,7 @@ def q150(spark, sf_dir):
     oracle=rf"""
     WITH sc AS ({_AUC_SCORED_SQL}),
     agg AS (SELECT score, SUM(label) AS p, COUNT(*) AS t
-            FROM sc GROUP BY score),
+            FROM sc WHERE score IS NOT NULL GROUP BY score),
     cum AS (SELECT p, t,
               SUM(p) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
                            PRECEDING AND CURRENT ROW) AS cum_p,

@@ -59,7 +59,7 @@ def test_audit_python_udf_tiers(spark):
     flagged = audit(df.select(slow("x").alias("y")))
     assert flagged["python_row_udfs"]
     with pytest.raises(ValueError, match="row-at-a-time"):
-        assert_scale_safe(df.select(slow("y" if False else "x").alias("y")))
+        assert_scale_safe(df.select(slow("x").alias("y")))
     # sanctioned boundary: Arrow-batched pandas UDF is NOT flagged
     @F.pandas_udf("double")
     def fast(x: pd.Series) -> pd.Series:
@@ -80,3 +80,50 @@ def test_allow_nested_loop_waiver(spark):
         with pytest.raises(ValueError):
             assert_scale_safe(folded)
         assert_scale_safe(folded, allow_nested_loop_join=True)
+
+
+def test_scalar_string_aggregate_not_flagged(spark):
+    """An ungrouped scalar aggregate (SortAggregate for string max)
+    legitimately reduces on one partition — one row per upstream task —
+    and must NOT be reported as a global funnel."""
+    df = spark.range(100).select(F.concat(F.lit("s"), "id").alias("s")).agg(
+        F.max("s").alias("m")
+    )
+    found = audit(df)
+    assert found["global_funnels"] == [], found
+    assert_scale_safe(df)
+
+
+def test_funnel_detection_sees_codegen_prefix():
+    """Whole-stage-codegen rendering ('*(2) Sort ...') must still be
+    recognized as a Sort funnel, and the reported name must be the bare
+    operator, not a mangled argument fragment."""
+    from ezdata_spark.plans import single_partition_funnels
+
+    plan = "\n".join(
+        [
+            "*(2) Sort [id#0L ASC NULLS FIRST], true, 0",
+            "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+            "   +- *(1) Range (0, 100, step=1, splits=32)",
+        ]
+    )
+    assert single_partition_funnels(plan) == ["Sort"]
+    benign = "\n".join(
+        [
+            "SortAggregate(key=[], functions=[max(s#1)])",
+            "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]",
+            "   +- SortAggregate(key=[], functions=[partial_max(s#1)])",
+        ]
+    )
+    assert single_partition_funnels(benign) == []
+
+
+def test_scan_report_in_filter_not_fragmented(spark):
+    """Filters whose rendering contains commas (In lists) must stay ONE
+    entry in scan_report."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("lang").isin("en", "fr", "de")
+    )
+    scans = scan_report(df)
+    ins = [f for f in scans[0]["pushed_filters"] if f.startswith("In(lang")]
+    assert len(ins) == 1 and "en" in ins[0] and "de" in ins[0], scans[0]
