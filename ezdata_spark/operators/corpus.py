@@ -112,8 +112,12 @@ def decontaminate(
     doc_grams = doc_grams_raw.select(id_col, key(F.col("ng")).alias("ng")).distinct()
     # distinct AFTER hashing: two distinct bench grams colliding to one
     # xxhash64 must not produce duplicate join keys (they would double-
-    # count n_hit and break bit-identity with the string/oracle path)
-    bench_grams = bench_src.select(key(F.col("ng")).alias("ng")).distinct()
+    # count n_hit and break bit-identity with the string/oracle path).
+    # Skippable only in the bloom+string case, where bench_src is
+    # already distinct and key() is the identity.
+    bench_grams = bench_src.select(key(F.col("ng")).alias("ng"))
+    if hash_ngrams or prefilter != "bloom":
+        bench_grams = bench_grams.distinct()
     hits = (
         doc_grams.join(bench_grams, "ng")
         .groupBy(id_col)

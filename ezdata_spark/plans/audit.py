@@ -99,7 +99,8 @@ def scan_report(df: DataFrame) -> list[dict]:
         fm = re.match(r"ReadSchema: struct<(.*)>$", s)
         if fm:
             rec["read_schema"] = [
-                c.split(":")[0].strip() for c in fm.group(1).split(",") if c.strip()
+                c.split(":")[0].strip()
+                for c in _split_top_level(fm.group(1))
             ]
     if rec is not None:
         out.append(rec)
@@ -107,14 +108,18 @@ def scan_report(df: DataFrame) -> list[dict]:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split a filter list on commas OUTSIDE any bracket/paren nesting —
-    ``In(lang, [de,en,fr])`` is one filter, not four fragments."""
+    """Split a rendered list on commas OUTSIDE any nesting — filter
+    arguments (``In(lang, [de,en,fr])`` is ONE filter) and schema type
+    parameters (``price:decimal(10,2)``, ``m:map<string,bigint>`` are
+    ONE field each). Depth clamps at zero so an unbalanced closer
+    inside a data-derived string value corrupts at most its own entry,
+    not every entry after it."""
     parts, buf, depth = [], [], 0
     for ch in s:
-        if ch in "([":
+        if ch in "([<":
             depth += 1
-        elif ch in ")]":
-            depth -= 1
+        elif ch in ")]>":
+            depth = max(0, depth - 1)
         if ch == "," and depth == 0:
             parts.append("".join(buf).strip())
             buf = []

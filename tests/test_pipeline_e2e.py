@@ -7,9 +7,6 @@ previous stage's frame (no re-reads), and the invariants asserted are
 the contracts the individual operator tests pin in isolation — this
 test pins that they hold COMPOSED."""
 
-import os
-
-import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.01"

@@ -127,3 +127,25 @@ def test_scan_report_in_filter_not_fragmented(spark):
     scans = scan_report(df)
     ins = [f for f in scans[0]["pushed_filters"] if f.startswith("In(lang")]
     assert len(ins) == 1 and "en" in ins[0] and "de" in ins[0], scans[0]
+
+
+def test_read_schema_nested_types_not_fragmented(spark, tmp_path):
+    """decimal(10,2) / map<string,bigint> / struct fields must each stay
+    ONE read_schema entry (same top-level-split defect class as the In
+    filter, on the type-parameter side)."""
+    path = str(tmp_path / "nested.parquet")
+    spark.sql(
+        "SELECT 1L AS id, CAST(2.50 AS DECIMAL(10,2)) AS price, "
+        "map('a', 1L) AS m, named_struct('x', 1, 'y', 2) AS st"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).where(F.col("id") > 0)
+    cols = scan_report(df)[0]["read_schema"]
+    assert cols == ["id", "price", "m", "st"], cols
+
+
+def test_split_top_level_unbalanced_closer_contained():
+    """An unmatched closer inside one value corrupts at most that entry."""
+    from ezdata_spark.plans.audit import _split_top_level
+
+    parts = _split_top_level("EqualTo(tag,a]b), IsNotNull(x)")
+    assert "IsNotNull(x)" in parts
