@@ -84,11 +84,18 @@ def decontaminate(
     into a bit array literal (``bloom_bits_per_gram`` bits each, 7
     xxhash64-seeded probes; ~2 MB per million grams) evaluated inside
     whole-stage codegen, so only probable hits reach the shuffle.
-    The RESULT IS BIT-IDENTICAL to the exact path: a Bloom filter has
-    no false negatives by construction (every inserted gram sets the
-    same bits the probe tests), and false positives (~0.1% at 16
-    bits/gram) only pass extra grams through to the exact equi-join,
-    which discards them. Requires a driver-side collect of the
+    With string keys (``hash_ngrams=False``) the RESULT IS
+    BIT-IDENTICAL to the exact path: a Bloom filter has no false
+    negatives by construction (every inserted gram sets the same bits
+    the probe tests), and false positives (~0.1% at 16 bits/gram) only
+    pass extra grams through to the exact equi-join, which discards
+    them. With ``hash_ngrams=True`` the guarantee is identical only up
+    to xxhash64 collisions: the Bloom screens on gram STRINGS while
+    the join matches 64-bit hashes, so a doc gram that collides with a
+    benchmark gram's hash without sharing its text would be counted by
+    the hashed exact path but (correctly) screened out here — i.e. the
+    Bloom variant is the MORE accurate of the two hashed forms, and
+    the string path is the bit-identity reference. Requires a driver-side collect of the
     benchmark's distinct-gram BIT POSITIONS (not the grams) — the same
     bounded-benchmark contract as ``decontaminate_stateless``.
     """

@@ -75,6 +75,11 @@ def _axes_from_cov(
     mean: np.ndarray, cov: np.ndarray, k: int
 ) -> tuple[list[float], list[list[float]], list[float]]:
     evals, evecs = np.linalg.eigh(cov)  # ascending
+    # a covariance matrix is PSD, so negative eigenvalues are pure
+    # floating-point noise (e.g. single-pass-moments cancellation,
+    # see pca_from_moments); clamp so explained_variance_ratio stays
+    # in [0, 1] instead of going slightly negative / summing past 1
+    evals = np.maximum(evals, 0.0)
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # (k, d)
     # deterministic sign: largest-|coord| of each axis made positive
@@ -146,7 +151,20 @@ def merge_moments(a: dict, b: dict) -> dict:
 
 def pca_from_moments(moments: dict, k: int) -> tuple[list[float], list[list[float]], list[float]]:
     """Derive ``(mean, components, explained_variance_ratio)`` from a
-    moments artifact — the driver-side tail of :func:`pca_train`."""
+    moments artifact — the driver-side tail of :func:`pca_train`.
+
+    Numerical caveat: ``cov = (XtX - n*mu*mu^T) / (n-1)`` is the
+    single-pass covariance formula, which cancels catastrophically
+    when the mean dominates the variance (a corpus of embeddings with
+    a large common offset can lose most significant digits, surfacing
+    as tiny negative eigenvalues — clamped to 0 downstream — and, in
+    the extreme, distorted axes). If your vectors carry a large common
+    offset, subtract a pilot mean before :func:`pca_moments` (any
+    constant shift leaves the covariance unchanged mathematically but
+    removes the cancellation): project through
+    :func:`pca_project` with ``components=I`` or simply shift the
+    array column, then fold the pilot mean back into the returned
+    ``mean``."""
     n = moments["n"]
     s = np.asarray(moments["sum"], dtype=np.float64)
     xtx = np.asarray(moments["xtx"], dtype=np.float64)

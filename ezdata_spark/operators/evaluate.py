@@ -51,8 +51,10 @@ def binary_auc(
     """Exact ROC-AUC of ``score_col`` against binary ``label_col``
     (anything castable to 0/1 long). Returns one row
     ``(auc double, n_pos bigint, n_neg bigint)``; ``auc`` is NULL when
-    either class is empty (AUC is undefined, not 0 — non-ANSI division
-    by zero).
+    either class is empty (AUC is undefined, not 0). The NULL is an
+    explicit guard, not NULL-from-division-by-zero, so the contract
+    holds under ``spark.sql.ansi.enabled=true`` (the Spark 4 default
+    for sessions not built by this repo's session factory) as well.
 
     Scale shape: one shuffle to group by distinct score, the
     distributed prefix-sum over the (bounded) distinct-score table,
@@ -82,9 +84,12 @@ def binary_auc(
             F.sum("__n").alias("n_neg"),
         )
         .select(
-            (
+            # explicit guard (not NULL-by-zero-division) so the
+            # NULL-when-undefined contract survives ANSI mode
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                 F.col("__num2").cast("double")
-                / (F.lit(2).cast("double") * F.col("n_pos") * F.col("n_neg"))
+                / (F.lit(2).cast("double") * F.col("n_pos") * F.col("n_neg")),
             ).alias("auc"),
             "n_pos",
             "n_neg",
@@ -105,7 +110,9 @@ def average_precision(
     definition agree on that convention).
 
     Returns one row ``(ap double, n_pos bigint, n_neg bigint)``; ``ap``
-    is NULL when there are no positives.
+    is NULL when there are no positives (explicitly guarded, so the
+    contract holds under ANSI mode too — same policy as
+    :func:`binary_auc`).
 
     Same scale shape as :func:`binary_auc`: group to distinct scores,
     two descending distributed prefix-sums (cumulative positives /
@@ -138,7 +145,10 @@ def average_precision(
             (F.sum("__t") - F.sum("__p")).alias("n_neg"),
         )
         .select(
-            (F.col("__num") / F.col("n_pos").cast("double")).alias("ap"),
+            F.when(
+                F.col("n_pos") > 0,
+                F.col("__num") / F.col("n_pos").cast("double"),
+            ).alias("ap"),
             "n_pos",
             "n_neg",
         )
@@ -188,31 +198,52 @@ def classification_report(
     digits: int = 9,
 ) -> DataFrame:
     """Confusion counts and derived metrics at ``score >= threshold``:
-    one row ``(tp, fp, fn, tn, accuracy, precision, recall, f1)``.
-    One scalar aggregate over the scored frame — a single map-side-
-    combinable pass, no shuffle beyond the final 1-row exchange.
+    one row ``(tp, fp, fn, tn, dropped, accuracy, precision, recall,
+    f1)``. One scalar aggregate over the scored frame — a single
+    map-side-combinable pass, no shuffle beyond the final 1-row
+    exchange.
+
+    Rows with a NULL score or NULL label are excluded from all four
+    confusion counts (they have no defined prediction/truth) and
+    reported in ``dropped``, so ``tp+fp+fn+tn+dropped`` always equals
+    the input row count — the discrepancy is visible, not silent.
 
     Ratios are ROUND()ed to ``digits`` (cross-engine float-stability
-    policy); undefined ratios (empty denominator) are NULL, not 0.
+    policy); undefined ratios (empty denominator) are NULL, not 0 —
+    guarded explicitly, so the contract holds under
+    ``spark.sql.ansi.enabled=true`` (the Spark 4 default outside this
+    repo's session factory), where a bare division would raise
+    DIVIDE_BY_ZERO instead.
     """
     y = F.col(label_col).cast("long")
     pred = (F.col(score_col) >= F.lit(threshold)).cast("long")
+    valid = F.col(score_col).isNotNull() & y.isNotNull()
+    cell = lambda c: F.coalesce(F.sum(F.when(valid, c)), F.lit(0))  # noqa: E731
     counts = scored.agg(
-        F.sum(pred * y).alias("tp"),
-        F.sum(pred * (1 - y)).alias("fp"),
-        F.sum((1 - pred) * y).alias("fn"),
-        F.sum((1 - pred) * (1 - y)).alias("tn"),
+        cell(pred * y).alias("tp"),
+        cell(pred * (1 - y)).alias("fp"),
+        cell((1 - pred) * y).alias("fn"),
+        cell((1 - pred) * (1 - y)).alias("tn"),
+        F.coalesce(
+            F.sum(F.when(~valid, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias("dropped"),
     )
     tp, fp, fn, tn = (F.col(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
-    prec = tp / (tp + fp)
-    rec = tp / (tp + fn)
+    total = tp + fp + fn + tn
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    # a NULL prec/rec nulls the f1 condition, which F.when treats as
+    # false -> NULL result, exactly the undefined-metric contract
     return counts.select(
         "tp",
         "fp",
         "fn",
         "tn",
-        F.round((tp + tn) / (tp + fp + fn + tn), digits).alias("accuracy"),
+        "dropped",
+        F.round(F.when(total > 0, (tp + tn) / total), digits).alias("accuracy"),
         F.round(prec, digits).alias("precision"),
         F.round(rec, digits).alias("recall"),
-        F.round(2 * prec * rec / (prec + rec), digits).alias("f1"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)), digits
+        ).alias("f1"),
     )

@@ -226,21 +226,29 @@ def cohort_retention(
     months_since) cell counts how many of them were active that month,
     with retention as the share of the cohort size.
 
-    Scale shape: one distinct (user, month) projection, a min
-    aggregate for cohorts, an equi-join back on the user key, and a
-    (cohort, months_since) count-distinct — every shuffle keyed on
-    user or cohort, nothing quadratic; cohort sizes come from the
-    months_since=0 cells of the same aggregate (broadcast join)."""
+    Scale shape (three shuffles, nothing quadratic): one distinct
+    (user, month) projection, a per-user window MIN for the cohort
+    month (partitioned on user — bounded by that user's distinct
+    months, no join back), then a plain (cohort, months_since) COUNT.
+    The count needs no DISTINCT: the input is already distinct on
+    (user, month) and months_since is injective in the month for a
+    fixed user (both are month-truncated, so months_between is an
+    exact integer), so each user contributes exactly one row per cell
+    — dropping the count-distinct's partial-aggregate expansion and
+    the cohort equi-join of the naive four-shuffle form (r11 A/B:
+    ~10% faster at sf0.1 in idle JVMs, one less shuffle of the
+    activity frame). Cohort sizes come from the months_since=0 cells
+    of the same aggregate (broadcast join)."""
     month = F.date_trunc("month", F.col(ts))
     act = df.select(F.col(user).alias("u"), month.alias("m")).distinct()
-    coh = act.groupBy("u").agg(F.min("m").alias("cohort"))
-    j = act.join(coh, "u").select(
-        "cohort",
-        F.months_between("m", F.col("cohort")).cast("bigint").alias("months_since"),
-        "u",
+    w = Window.partitionBy("u")
+    cohort = F.min("m").over(w)
+    j = act.select(
+        cohort.alias("cohort"),
+        F.months_between("m", cohort).cast("bigint").alias("months_since"),
     )
     counts = j.groupBy("cohort", "months_since").agg(
-        F.countDistinct("u").alias("active")
+        F.count(F.lit(1)).alias("active")
     )
     sizes = counts.where(F.col("months_since") == 0).select(
         "cohort", F.col("active").alias("cohort_size")

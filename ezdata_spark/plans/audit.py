@@ -25,6 +25,19 @@ rendering (stable across 3.x/4.x for these node names). They are
 advisory — a flagged plan is worth a look, not automatically wrong;
 ``assert_scale_safe`` takes ``allow`` knobs for the legitimate
 exceptions (e.g. a broadcast 1-row scalar fold-in plans as BNLJ).
+
+AQE caveat: before execution, an adaptive plan renders as its INITIAL
+physical plan (``AdaptiveSparkPlan isFinalPlan=false``) — runtime
+re-optimizations (a sort-merge join AQE later converts to broadcast,
+skew-join splits, partition coalescing) are NOT visible yet, so a
+pre-run audit can differ from what actually executes. The checks here
+are still sound as a pre-launch screen (AQE makes plans safer, not
+less safe: it never introduces a cartesian product or un-pushes a
+filter), but for the executed truth pass ``final=True`` to
+:func:`physical_plan` / :func:`audit` / :func:`assert_scale_safe`,
+which materializes the frame once (a JVM-side distributed count of
+the result RDD — nothing is collected to the driver) and renders the
+FINAL adaptive plan.
 """
 
 from __future__ import annotations
@@ -43,12 +56,21 @@ __all__ = [
 ]
 
 
-def physical_plan(df: DataFrame) -> str:
+def physical_plan(df: DataFrame, final: bool = False) -> str:
     """The compiled physical plan as text (ASCII tree). Node lines are
     width-truncated by Spark's renderer — fine for the node-presence
     checks here; :func:`scan_report` uses the formatted explain, whose
-    per-field lines are complete."""
-    return df._jdf.queryExecution().executedPlan().toString()
+    per-field lines are complete.
+
+    Under AQE this is the INITIAL adaptive plan until the frame has
+    executed (module docstring); ``final=True`` runs the plan once
+    (distributed JVM-side count of the result RDD, no driver
+    collection) so the rendering reflects the final adaptive plan."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    if final:
+        jplan.execute().count()
+        jplan = df._jdf.queryExecution().executedPlan()
+    return jplan.toString()
 
 
 def explain_text(df: DataFrame, mode: str = "formatted") -> str:
@@ -168,7 +190,7 @@ def single_partition_funnels(plan: str) -> list[str]:
     return bad
 
 
-def audit(df: DataFrame) -> dict:
+def audit(df: DataFrame, final: bool = False) -> dict:
     """Inspect the physical plan for the scale hazards the library's
     own catalog is tested against. Returns a findings dict::
 
@@ -181,8 +203,12 @@ def audit(df: DataFrame) -> dict:
     Arrow-vectorized Python (``ArrowEvalPython``, ``mapInPandas``,
     pandas UDFs) is NOT flagged — that is the sanctioned Python
     boundary; ``BatchEvalPython`` is the row-at-a-time slow path.
+
+    ``final=True`` executes the frame once so the audit reads the
+    FINAL adaptive plan instead of AQE's initial one (module
+    docstring).
     """
-    plan = physical_plan(df)
+    plan = physical_plan(df, final=final)
     return {
         "cartesian": "CartesianProduct" in plan,
         "nested_loop_join": "BroadcastNestedLoopJoin" in plan,
@@ -196,13 +222,16 @@ def assert_scale_safe(
     df: DataFrame,
     allow_nested_loop_join: bool = False,
     allow_python_row_udfs: bool = False,
+    final: bool = False,
 ) -> dict:
     """Raise ``ValueError`` listing every hazard :func:`audit` finds
     (minus the explicitly allowed ones); returns the findings dict when
     clean. ``allow_nested_loop_join`` is for the legitimate broadcast
     1-row scalar fold-in shape; cartesian products and global funnels
-    have no sanctioned use in this engine and cannot be waived."""
-    found = audit(df)
+    have no sanctioned use in this engine and cannot be waived.
+    ``final=True`` audits the executed adaptive plan (runs the frame
+    once) rather than AQE's initial plan."""
+    found = audit(df, final=final)
     problems = []
     if found["cartesian"]:
         problems.append("CartesianProduct (keyless join?)")

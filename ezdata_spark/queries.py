@@ -2916,9 +2916,11 @@ def q149(spark, sf_dir):
       CAST(SUM(CASE WHEN score >= 27 THEN label ELSE 0 END) AS BIGINT) AS tp,
       CAST(SUM(CASE WHEN score >= 27 THEN 1 - label ELSE 0 END) AS BIGINT) AS fp,
       CAST(SUM(CASE WHEN score < 27 THEN label ELSE 0 END) AS BIGINT) AS fn,
-      CAST(SUM(CASE WHEN score < 27 THEN 1 - label ELSE 0 END) AS BIGINT) AS tn
+      CAST(SUM(CASE WHEN score < 27 THEN 1 - label ELSE 0 END) AS BIGINT) AS tn,
+      CAST(SUM(CASE WHEN score IS NULL OR label IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS dropped
     FROM sc)
-    SELECT tp, fp, fn, tn,
+    SELECT tp, fp, fn, tn, dropped,
       ROUND((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE))
             / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
                + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)), 9) AS accuracy,
@@ -2937,7 +2939,8 @@ def q149(spark, sf_dir):
 def q150(spark, sf_dir):
     """Threshold confusion metrics (operators/evaluate.py::
     classification_report): one map-side-combinable scalar aggregate
-    over the scored frame — tp/fp/fn/tn as BIGINTs plus
+    over the scored frame — tp/fp/fn/tn as BIGINTs, the NULL-row
+    ``dropped`` count (tp+fp+fn+tn+dropped == input rows), plus
     accuracy/precision/recall/f1 ROUND()ed per the float-stability
     policy. Same integer score / lang label as q149; threshold = the
     corpus median rare-word count."""
