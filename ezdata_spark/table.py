@@ -696,6 +696,41 @@ class EzTable:
     def pprint(self, n: int = 10) -> None:
         self.df.show(n)
 
+    def entry(self, num: int = 0, keys=None) -> str:
+        """One row rendered as aligned ``key: value`` lines — the
+        reference's row-record formatter (``pprint_entry``,
+        simpletable.py:1601-1626 / ``pprint_rec_entry``,
+        simpletable.py:979-1007): ``keys=None``/``'*'`` takes every
+        column, a string is a ``re.match`` regex over column AND alias
+        names, a sequence is used as given (aliases resolve).
+
+        ``num`` is a position in the frame's current order, so the
+        driver fetch is ``take(num+1)`` — bounded by ``num``, fine for
+        the interactive inspection this exists for; pair with an
+        ``orderBy``/``with_row_id`` upstream when the order matters.
+        Returns the string; :meth:`pprint_entry` prints it."""
+        if keys is None or keys == "*":
+            names = self.colnames
+        elif isinstance(keys, str):
+            names = self.keys(keys)
+        else:
+            names = list(keys)
+        if not names:
+            raise ValueError(f"no columns match {keys!r}")
+        rows = self.df.select(
+            *[F.col(self.resolve_alias(k)).alias(k) for k in names]
+        ).take(num + 1)
+        if len(rows) <= num:
+            raise IndexError(f"row {num} out of range ({len(rows)} rows fetched)")
+        row = rows[num]
+        width = max(len(k) for k in names)
+        return "\n".join(f"{k:<{width}s}: {row[k]}" for k in names)
+
+    def pprint_entry(self, num: int = 0, keys=None) -> None:
+        """Print :meth:`entry` (reference parity: the reference prints
+        rather than returning, simpletable.py:1625-1626)."""
+        print(self.entry(num, keys))
+
     @property
     def Plotter(self):
         """Plot surface over this table (t.Plotter.hist(...); reference

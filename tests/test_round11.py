@@ -307,3 +307,37 @@ def test_labelled_grid_to_xarray_roundtrip(spark, sf_dir):
     assert isinstance(da, xr.DataArray) and da.name == "counts"
     assert np.array_equal(da.values, g.values)
     assert float(da.sel(l_quantity=g.coords["l_quantity"][2])) == g.values[2]
+
+
+# --------------------------------------------------- pprint_entry parity
+def test_entry_golden_format(spark):
+    """Golden render of the reference row-record formatter
+    (simpletable.py:1601-1626): aligned 'key: value' lines, widths from
+    the longest selected key."""
+    from ezdata_spark.table import EzTable
+
+    t = EzTable(
+        spark.createDataFrame(
+            [(1, "alpha", 2.5), (2, "beta", 7.25)],
+            "id bigint, name string, radius double",
+        )
+    ).set_alias("r", "radius")
+    assert t.entry(0) == "id    : 1\nname  : alpha\nradius: 2.5"
+    # positional row 1
+    assert t.entry(1, ["name"]) == "name: beta"
+    # regex over columns AND aliases (re.match semantics: anchored
+    # prefix), alias resolves to its target column's value
+    out = t.entry(1, "r")
+    assert out == "radius: 7.25\nr     : 7.25"
+    with pytest.raises(ValueError):
+        t.entry(0, "nomatch_.*")
+    with pytest.raises(IndexError):
+        t.entry(5)
+
+
+def test_pprint_entry_prints(spark, capsys):
+    from ezdata_spark.table import EzTable
+
+    t = EzTable(spark.createDataFrame([(42,)], "x bigint"))
+    t.pprint_entry(0)
+    assert capsys.readouterr().out == "x: 42\n"
