@@ -253,7 +253,12 @@ def main() -> None:
         spark._jvm.System.gc()
         rss_series.append(_tree_rss_mb())
 
-    # relational-core tier: one summed pass per round, 3 rounds, median
+    # relational-core tier: one summed pass per round, 3 rounds, median.
+    # A failing query voids only ITS round's sum (a summed tier with a
+    # missing member would read as a phantom speedup); later rounds
+    # still run — same never-zero-the-signal policy as the headline
+    # loop — and core_tier_rounds records how many sums the median
+    # actually saw, so a degraded value is distinguishable.
     core_sums: list[float] = []
     for _ in range(min(reps, 3)):
         tier_t = 0.0
@@ -269,9 +274,8 @@ def main() -> None:
             tier_t += time.perf_counter() - t0
         release_caches()
         spark.catalog.clearCache()
-        if tier_t is None:
-            break
-        core_sums.append(tier_t)
+        if tier_t is not None:
+            core_sums.append(tier_t)
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items() if ts
@@ -314,10 +318,12 @@ def main() -> None:
             max(load_avg_start[:2])
             < float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
         ),
-        # summed §2.2/2.3 relational-core tier (median of 3 round sums)
+        # summed §2.2/2.3 relational-core tier (median of 3 round sums;
+        # core_tier_rounds < 3 flags a partially-failed tier)
         "core_tier_sec": (
             round(statistics.median(core_sums), 3) if core_sums else None
         ),
+        "core_tier_rounds": len(core_sums),
         "core_tier_queries": CORE_TIER,
         "queries_normalized": (
             {n: round(s / ref_sec, 2) for n, s in timings.items()}

@@ -177,11 +177,32 @@ def grid_from_binned(
             f"not a binned frame: missing key columns {missing} "
             f"(have {df.columns})"
         )
+    numeric = {"double", "float", "bigint", "int", "smallint", "tinyint", "boolean"}
+
+    def _is_numeric(dtype: str) -> bool:
+        return dtype in numeric or dtype.startswith("decimal")
+
+    dtypes = dict(df.dtypes)
     if value_cols is None:
         skip = set(key_cols) | {f"{s.col}__center" for s in specs}
-        value_cols = [c for c in df.columns if c not in skip]
+        # the grid scatters through float(): auto-inference takes only
+        # the numeric aggregates (a collect_set/string agg riding along
+        # in the frame is skipped, not crashed on)
+        value_cols = [
+            c for c in df.columns if c not in skip and _is_numeric(dtypes[c])
+        ]
+    else:
+        bad = [
+            c for c in value_cols if not _is_numeric(dtypes.get(c, "missing"))
+        ]
+        if bad:
+            raise ValueError(
+                f"non-numeric value columns {bad} cannot be gridded "
+                f"(dtypes: {[dtypes.get(c) for c in bad]}); LabelledGrid "
+                "cells are float ndarrays"
+            )
     if not value_cols:
-        raise ValueError("no value columns to grid")
+        raise ValueError("no numeric value columns to grid")
     rows = df.select(*key_cols, *value_cols).collect()
 
     coords: dict[str, np.ndarray] = {}

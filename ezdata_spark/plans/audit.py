@@ -67,10 +67,23 @@ def physical_plan(df: DataFrame, final: bool = False) -> str:
     (distributed JVM-side count of the result RDD, no driver
     collection) so the rendering reflects the final adaptive plan."""
     jplan = df._jdf.queryExecution().executedPlan()
-    if final:
-        jplan.execute().count()
-        jplan = df._jdf.queryExecution().executedPlan()
-    return jplan.toString()
+    if not final:
+        return jplan.toString()
+    jplan.execute().count()
+    jplan = df._jdf.queryExecution().executedPlan()
+    # a finalized AdaptiveSparkPlanExec renders BOTH '== Final Plan =='
+    # and '== Initial Plan ==' subtrees when they differ — substring
+    # checks over that would still see initial-plan-only nodes (and the
+    # section headers break the funnel walker's parent-depth walk), so
+    # return the final physical subtree alone. ASPE exposes it as
+    # executedPlan(); a non-adaptive root has no such method — its
+    # toString is already the single executed plan.
+    try:
+        return jplan.executedPlan().toString()
+    except Exception:  # noqa: BLE001 - py4j method-missing on non-ASPE roots
+        txt = jplan.toString()
+        cut = txt.find("== Initial Plan ==")
+        return txt if cut < 0 else txt[:cut]
 
 
 def explain_text(df: DataFrame, mode: str = "formatted") -> str:

@@ -717,9 +717,10 @@ class EzTable:
             names = list(keys)
         if not names:
             raise ValueError(f"no columns match {keys!r}")
-        rows = self.df.select(
-            *[F.col(self.resolve_alias(k)).alias(k) for k in names]
-        ).take(num + 1)
+        # _select_cols, not resolve_alias+F.col: aliases may target
+        # EXPRESSIONS ('r2' -> 'radius*2'), which resolve_alias returns
+        # verbatim and F.col would treat as a (missing) column name
+        rows = self.df.select(*self._select_cols(names)).take(num + 1)
         if len(rows) <= num:
             raise IndexError(f"row {num} out of range ({len(rows)} rows fetched)")
         row = rows[num]

@@ -181,7 +181,10 @@ def test_audit_final_reads_executed_adaptive_plan(spark, sf_dir):
     before = physical_plan(df)
     assert "isFinalPlan=false" in before
     after = physical_plan(df, final=True)
-    assert "isFinalPlan=true" in after
+    # the finalized rendering is the final physical subtree ALONE —
+    # no initial-plan section, no pre-execution ASPE header
+    assert "isFinalPlan=false" not in after and "Initial Plan" not in after
+    assert "HashAggregate" in after
     found = audit(df, final=True)
     assert not found["cartesian"] and not found["python_row_udfs"]
     # the audited frame stays re-usable after the materializing audit
@@ -341,3 +344,49 @@ def test_pprint_entry_prints(spark, capsys):
     t = EzTable(spark.createDataFrame([(42,)], "x bigint"))
     t.pprint_entry(0)
     assert capsys.readouterr().out == "x: 42\n"
+
+
+# ------------------------------------------- code-review fixes (round 11)
+def test_entry_expression_alias(spark):
+    """Aliases may target EXPRESSIONS; entry() must go through the
+    _select_cols translation path, not F.col(resolve_alias(...))."""
+    from ezdata_spark.table import EzTable
+
+    t = EzTable(
+        spark.createDataFrame([(2.5,), (4.0,)], "radius double")
+    ).set_alias("r2", "radius*2")
+    assert t.entry(1, ["r2"]) == "r2: 8.0"
+
+
+def test_physical_plan_final_excludes_initial_plan(spark, sf_dir):
+    """The finalized AQE rendering must contain ONLY the final plan —
+    a node AQE optimized away in the initial plan must not be
+    reported by a final=True audit."""
+    from ezdata_spark.plans import physical_plan
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = orders.join(cust, orders.o_custkey == cust.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    txt = physical_plan(df, final=True)
+    assert "Initial Plan" not in txt and "HashAggregate" in txt
+
+
+def test_grid_from_binned_skips_non_numeric_autoinfer(spark):
+    from ezdata_spark.operators.binned import BinSpec, binned_agg
+    from ezdata_spark.operators.labelled import grid_from_binned
+
+    df = spark.createDataFrame(
+        [(0.5, "a"), (2.5, "b"), (2.7, "b")], "x double, tag string"
+    )
+    specs = [BinSpec("x", 0.0, 4.0, 4)]
+    out = binned_agg(
+        df, specs,
+        {"count": F.count(F.lit(1)), "tags": F.collect_set("tag")},
+        densify=False,
+    )
+    g = grid_from_binned(out, specs)  # auto-inference skips 'tags'
+    assert g.variables == ["count"]
+    with pytest.raises(ValueError, match="tags"):
+        grid_from_binned(out, specs, value_cols=["tags"])
