@@ -584,11 +584,38 @@ def main() -> None:
                         "      + pmod(xxhash64(id, i + 100), 100) / 10000.0D)"
                     ).alias("embedding"),
                 )
+                from ezdata_spark.operators.similarity import (
+                    _fan_out,
+                    _knn_join_pq,
+                    _nearest_cells,
+                )
+
+                # unpruned CONTROL plan: same probes, prune_cells=False
+                # — the round-9 plan that cogrouped every cell's codes
+                plf = _fan_out(probe_left).select(
+                    "doc_id", F.col("embedding").alias("qv")
+                )
+                pprobes = plf.select(
+                    "doc_id", "qv",
+                    F.explode(_nearest_cells("qv", lcents, 4)).alias("cell"),
+                )
                 lframe.write.format("noop").mode("overwrite").save()
+                # FULL untimed warm pass of BOTH shapes, not just a
+                # 4-query spin-up: the artifact was written moments ago,
+                # and whichever shape ran first absorbed its writeback/
+                # page-cache cold cost — at 10M vectors the first-timed
+                # pruned row read 24.1 s vs its 13.4-14.1 s clean-JVM
+                # truth, a phantom 2x "pruning regression" (r11
+                # SCALE.md finding). After one full pass each, the
+                # timed pair below isolates the plan delta only.
                 knn_join(
-                    probe_left.limit(4), lframe, lcents, k=10, nprobe=4,
+                    probe_left, lframe, lcents, k=10, nprobe=4,
                     pq_codebooks=lcbs, pq_oversample=4,
                 ).write.format("noop").mode("overwrite").save()
+                _knn_join_pq(plf, pprobes, lframe, lcbs, 10, "doc_id",
+                             "vec_id", None, 1, 4, "broadcast",
+                             prune_cells=False
+                             ).write.format("noop").mode("overwrite").save()
                 sb0 = _shuffle_write_bytes(spark)
                 run("knn_join_pq_probe",
                     knn_join(probe_left, lframe, lcents, k=10, nprobe=4,
@@ -597,21 +624,6 @@ def main() -> None:
                 sb1 = _shuffle_write_bytes(spark)
                 if sb0 is not None and sb1 is not None and "knn_join_pq_probe" in results:
                     results["knn_join_pq_probe"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
-                # unpruned CONTROL: same probes, prune_cells=False — the
-                # round-9 plan that cogrouped every cell's codes
-                from ezdata_spark.operators.similarity import (
-                    _fan_out,
-                    _knn_join_pq,
-                    _nearest_cells,
-                )
-
-                plf = _fan_out(probe_left).select(
-                    "doc_id", F.col("embedding").alias("qv")
-                )
-                pprobes = plf.select(
-                    "doc_id", "qv",
-                    F.explode(_nearest_cells("qv", lcents, 4)).alias("cell"),
-                )
                 sb0 = _shuffle_write_bytes(spark)
                 run("knn_join_pq_probe_ctl",
                     _knn_join_pq(plf, pprobes, lframe, lcbs, 10, "doc_id",
