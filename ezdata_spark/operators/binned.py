@@ -46,7 +46,17 @@ class BinSpec:
 
 def _bin_id(spec: BinSpec) -> Column:
     """np.histogramdd semantics: values on the right edge of the last bin
-    are included in it; out-of-range values are dropped by the caller."""
+    are included in it; out-of-range values are dropped by the caller.
+
+    Float caveat: this is the O(1) ARITHMETIC form (one fused floor per
+    row — the scale-correct choice; the DuckDB oracles use the same
+    formula, so cross-engine hashes match). np.histogramdd instead
+    searchsorts an explicit edge array, and the two can disagree for a
+    value within ~1 ulp of an interior bin edge (e.g. x = -2.2e-16 with
+    edges [-3, 0, 3]: (x+3)/3 rounds to exactly 1.0 -> bin 1, while the
+    edge comparison x < 0 -> bin 0). For bit-exact edge semantics on
+    adversarial boundary values, use :func:`bin_by_edges` (explicit
+    edge comparisons, O(n_edges) per row)."""
     c = F.col(spec.col)
     raw = F.floor((c - F.lit(spec.lo)) / F.lit(spec.width))
     return F.least(raw, F.lit(spec.nbins - 1)).cast("long")

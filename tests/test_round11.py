@@ -390,3 +390,59 @@ def test_grid_from_binned_skips_non_numeric_autoinfer(spark):
     assert g.variables == ["count"]
     with pytest.raises(ValueError, match="tags"):
         grid_from_binned(out, specs, value_cols=["tags"])
+
+
+# --------------------------------------- labelled-grid property tests
+def test_histogram_grid_nan_rows_dropped_like_histogramdd(spark):
+    """NaN values fall outside every range comparison in BOTH engines —
+    np.histogramdd drops them, and so must the binned scan."""
+    vals = [1.0, float("nan"), 2.5, 3.9, float("nan"), 0.1]
+    from ezdata_spark.operators.labelled import histogram_grid
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    g = histogram_grid(df, ["x"], nbins=4, range=[(0.0, 4.0)])
+    want, _ = np.histogram(np.array(vals), bins=4, range=(0.0, 4.0))
+    assert np.array_equal(g.values, want)
+
+
+def test_histogram_grid_property_matches_histogramdd(spark):
+    """Randomized agreement with np.histogramdd across bin counts,
+    ranges (incl. values outside them), and 1-D/2-D shapes.
+
+    Value/edge geometry is constrained to exact binary fractions
+    (quarter-grid values, integer ranges, power-of-two bin counts) so
+    every (x-lo)/width quotient is either an exact integer or >= 1/40
+    from one — the arithmetic-vs-edge-searchsorted ulp divergence
+    binned._bin_id documents cannot trigger, and any mismatch is a
+    real bug, not a boundary lottery."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ezdata_spark.operators.labelled import histogram_grid
+
+    quarters = st.integers(-20, 20).map(lambda q: q / 4.0)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        data=st.lists(st.tuples(quarters, quarters), min_size=1, max_size=60),
+        nx=st.sampled_from([1, 2, 4, 8]),
+        ny=st.sampled_from([1, 2, 4]),
+        lo=st.integers(-4, 0),
+        hi=st.integers(1, 4),
+    )
+    def check(data, nx, ny, lo, hi):
+        X = np.array(data, dtype=np.float64)
+        rng = [(float(lo), float(hi)), (-3.0, 3.0)]
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in data], "x double, y double"
+        )
+        g = histogram_grid(df, ["x", "y"], nbins=[nx, ny], range=rng)
+        want, _ = np.histogramdd(X, bins=[nx, ny], range=rng)
+        assert g.values.shape == (nx, ny)
+        assert np.array_equal(g.values, want)
+
+    check()
