@@ -337,10 +337,15 @@ def main() -> None:
     line = json.dumps(out)
     print(line)
     # truncation-proof duplicate: the stdout tail capture can still cut
-    # the line; the repo-root file always holds the complete result
+    # the line; the repo-root file always holds the complete result.
+    # BENCH_LOCAL.json is reserved for the driver's sf0.1 configuration
+    # — an ad-hoc smoke run at another SF writes a suffixed file
+    # instead of silently clobbering the round's canonical artifact
+    # (which happened in r11 and had to be restored from the run log)
+    fname = "BENCH_LOCAL.json" if sf == 0.1 else f"BENCH_LOCAL_sf{sf_raw}.json"
     try:
         with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), fname),
             "w",
         ) as fh:
             fh.write(line + "\n")
