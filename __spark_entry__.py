@@ -29,11 +29,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (z-prefixed; non-SQL-expressible: Spark-specific hashes, KMeans /
     # codebooks / rotations, iterative fixpoints, media bytes, sketch
     # estimates). The driver's hard correctness gate checks the FIRST
-    # 50 sorted names — all oracle-backed, ending at q23_join_suffix,
-    # so every §2.4 reference join is driver-verified (round-8 fix:
-    # q134/q135 were renamed q50a/q59a to sort past the window and
-    # return q22/q23 to it). Oracle-backed queries past the window are
-    # hash-checked locally by tests/test_oracle_gate.py each suite run.
+    # 50 sorted names — all oracle-backed, ending at q20_join_left;
+    # q21_join_multihop / q22_match_inner / q23_join_suffix sit just
+    # past the window and are hash-checked (with every other
+    # oracle-backed query past position 50) by the mandatory
+    # tests/test_oracle_gate.py replica each suite run, which also
+    # asserts the window's last name so this comment cannot drift.
     return dict(sorted(_catalog.QUERIES.items()))
 
 

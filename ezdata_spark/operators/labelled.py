@@ -117,7 +117,14 @@ class LabelledGrid:
         surface of the reference's DataArray results. Numeric dims
         match their bin CENTER (``method='nearest'`` snaps, the
         default is exact); categorical dims match the category value.
-        Selected axes are dropped, like xarray's scalar sel."""
+        Selected axes are dropped, like xarray's scalar sel.
+
+        The keyword ``method`` is reserved (as in xarray's sel); a dim
+        literally named ``method`` must be selected positionally via
+        :meth:`isel`."""
+        unknown = set(indexers) - set(self.dims)
+        if unknown:
+            raise KeyError(f"unknown dims {sorted(unknown)} (have {self.dims})")
         return self.isel(
             **{d: self._locate(d, v, method) for d, v in indexers.items()}
         )
@@ -192,9 +199,12 @@ def grid_from_binned(
             c for c in df.columns if c not in skip and _is_numeric(dtypes[c])
         ]
     else:
-        bad = [
-            c for c in value_cols if not _is_numeric(dtypes.get(c, "missing"))
-        ]
+        absent = [c for c in value_cols if c not in dtypes]
+        if absent:
+            raise ValueError(
+                f"value columns not in frame: {absent} (have {df.columns})"
+            )
+        bad = [c for c in value_cols if not _is_numeric(dtypes[c])]
         if bad:
             raise ValueError(
                 f"non-numeric value columns {bad} cannot be gridded "

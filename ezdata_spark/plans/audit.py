@@ -83,7 +83,17 @@ def physical_plan(df: DataFrame, final: bool = False) -> str:
     except Exception:  # noqa: BLE001 - py4j method-missing on non-ASPE roots
         txt = jplan.toString()
         cut = txt.find("== Initial Plan ==")
-        return txt if cut < 0 else txt[:cut]
+        return _strip_section_headers(txt if cut < 0 else txt[:cut])
+
+
+def _strip_section_headers(txt: str) -> str:
+    """Drop '== Final Plan ==' style section-header lines — a bare
+    header would break single_partition_funnels' parent-depth indent
+    walk (it has no operator indentation)."""
+    return "\n".join(
+        ln for ln in txt.splitlines()
+        if not (ln.startswith("== ") and ln.rstrip().endswith(" =="))
+    )
 
 
 def explain_text(df: DataFrame, mode: str = "formatted") -> str:

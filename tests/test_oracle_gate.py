@@ -33,6 +33,21 @@ def oracle_con():
     con.close()
 
 
+def test_driver_window_boundary():
+    """Pin the window's edge so __spark_entry__'s comment can't drift:
+    the 50-name driver gate ends at q20_join_left, with the remaining
+    §2.4 joins (q21/q22/q23) first in the pytest-gated tail."""
+    import __spark_entry__ as entry_mod
+
+    names = list(entry_mod.queries())
+    assert names[DRIVER_WINDOW - 1] == "q20_join_left"
+    assert names[DRIVER_WINDOW : DRIVER_WINDOW + 3] == [
+        "q21_join_multihop",
+        "q22_match_inner",
+        "q23_join_suffix",
+    ]
+
+
 @pytest.mark.parametrize("name", _tail_names())
 def test_oracle_tail(spark, oracle_con, name):
     import __spark_entry__ as entry_mod
