@@ -114,7 +114,41 @@ LIGHT_MINIMAL = {
     "image.aspect": "auto",
 }
 
-THEMES = {"light_minimal": LIGHT_MINIMAL}
+# fivethirtyeight variant (reference plotly/fivethirtyeight_theme.py:1-75
+# ports the classic 538 look to plotly; matplotlib itself ships a
+# 'fivethirtyeight' style these rcParams mirror): light gray grid, no
+# zero line, muted tick labels, thick lines, the 6-color 538 colorway.
+FIVETHIRTYEIGHT_COLORWAY = [
+    "#008fd5", "#fc4f30", "#e5ae38", "#6d904f", "#8b8b8b", "#810f7c",
+]
+
+FIVETHIRTYEIGHT = {
+    "font.size": 14,
+    "axes.titlesize": "x-large",
+    "axes.labelsize": "x-large",
+    "axes.edgecolor": "#ffffff",
+    "axes.facecolor": "#ffffff",
+    "figure.facecolor": "#ffffff",
+    "axes.grid": True,
+    "grid.color": "#cbcbcb",
+    "grid.linewidth": 1.0,
+    "lines.linewidth": 4,
+    "xtick.labelsize": "large",
+    "ytick.labelsize": "large",
+    "xtick.color": "#808080",
+    "ytick.color": "#808080",
+    "xtick.major.size": "0",
+    "ytick.major.size": "0",
+    # string form: matplotlib's rc validator evals cycler() strings, so
+    # the dict stays importable without a matplotlib/cycler dependency
+    "axes.prop_cycle": "cycler('color', %r)" % (FIVETHIRTYEIGHT_COLORWAY,),
+    "legend.framealpha": 0.8,
+}
+
+THEMES = {
+    "light_minimal": LIGHT_MINIMAL,
+    "fivethirtyeight": FIVETHIRTYEIGHT,
+}
 
 # matplotlib's relative-fontsize scaling factors (public rcParams
 # semantics) — shared by the plotly layout generator below.
@@ -175,6 +209,66 @@ def plotly_layout(name: str = "light_minimal", font_size: str = "12pt") -> dict:
         "xaxis": dict(axis),
         "yaxis": dict(axis),
     }
+
+
+def plotly_template(name: str = "light_minimal", font_size: str = "12pt") -> dict:
+    """A full plotly TEMPLATE dict (``{"data": ..., "layout": ...}``)
+    for ``pio.templates[name]`` / ``fig.update(template=...)`` — plain
+    dicts, so no plotly import is needed to build or inspect it.
+
+    ``fivethirtyeight`` reproduces the reference's template
+    (plotly/fivethirtyeight_theme.py:1-75): width-4 scatter lines,
+    translucent legend box, #cbcbcb grid with no zero line and no
+    ticks, 18pt axis titles / 14pt gray tick labels, the 6-color 538
+    colorway, white canvas, fixed 800x600 with the reference's margin
+    block. ``light_minimal`` wraps :func:`plotly_layout`.
+    """
+    if name == "fivethirtyeight":
+        axis = {
+            "gridcolor": "#cbcbcb",
+            "gridwidth": 1,
+            "zeroline": False,
+            "ticklen": 0,
+            "title": {"font": {"size": 18}},
+            "tickfont": {"size": 14, "color": "#808080"},
+        }
+        return {
+            "data": {"scatter": [{"line": {"width": 4}}]},
+            "layout": {
+                "legend": {
+                    "bgcolor": "rgba(255, 255, 255, 0.8)",
+                    "bordercolor": "rgba(0, 0, 0, 0.5)",
+                    "borderwidth": 0,
+                },
+                "xaxis": dict(axis),
+                "yaxis": dict(axis),
+                "colorway": list(FIVETHIRTYEIGHT_COLORWAY),
+                # the reference sets #f0f0f0 then overrides both to white
+                "paper_bgcolor": "#ffffff",
+                "plot_bgcolor": "#ffffff",
+                "font": {"size": 14},
+                "margin": {"l": 80, "r": 95, "b": 70, "t": 100, "pad": 5},
+                "title": {"font": {"size": 20}},
+                "width": 800,
+                "height": 600,
+                "autosize": False,
+            },
+        }
+    return {"data": {}, "layout": plotly_layout(name, font_size)}
+
+
+def register_plotly_template(name: str = "fivethirtyeight") -> None:
+    """Install the template into ``plotly.io.templates`` under ``name``
+    (the reference's module-import side effect, made explicit).
+    Requires plotly."""
+    try:
+        import plotly.io as pio
+    except ImportError as exc:
+        raise NotImplementedError(
+            "register_plotly_template requires plotly; "
+            "plotly_template() returns the plain dict without it"
+        ) from exc
+    pio.templates[name] = plotly_template(name)
 
 
 def bokeh_theme(name: str = "light_minimal", font_size: str = "12pt") -> dict:

@@ -61,6 +61,78 @@ def test_sel_valid_after_validation(spark):
     assert np.array_equal(s.values, g.values[2, :])
 
 
+# ------------------------------- fivethirtyeight theme (r11 missing #1)
+def test_fivethirtyeight_plotly_template_golden():
+    """Golden values from the reference template
+    (/root/reference/ezdata/plotly/fivethirtyeight_theme.py:1-75)."""
+    from ezdata_spark.functions.themes import plotly_template
+
+    t = plotly_template("fivethirtyeight")
+    assert t["data"]["scatter"] == [{"line": {"width": 4}}]
+    lay = t["layout"]
+    assert lay["legend"] == {
+        "bgcolor": "rgba(255, 255, 255, 0.8)",
+        "bordercolor": "rgba(0, 0, 0, 0.5)",
+        "borderwidth": 0,
+    }
+    for ax in ("xaxis", "yaxis"):
+        assert lay[ax]["gridcolor"] == "#cbcbcb"
+        assert lay[ax]["zeroline"] is False
+        assert lay[ax]["ticklen"] == 0
+        assert lay[ax]["title"]["font"]["size"] == 18
+        assert lay[ax]["tickfont"] == {"size": 14, "color": "#808080"}
+    assert lay["colorway"] == [
+        "#008fd5", "#fc4f30", "#e5ae38", "#6d904f", "#8b8b8b", "#810f7c",
+    ]
+    # the reference sets f0f0f0 then overrides both canvases to white
+    assert lay["paper_bgcolor"] == lay["plot_bgcolor"] == "#ffffff"
+    assert lay["font"] == {"size": 14}
+    assert lay["margin"] == {"l": 80, "r": 95, "b": 70, "t": 100, "pad": 5}
+    assert lay["title"]["font"]["size"] == 20
+    assert (lay["width"], lay["height"], lay["autosize"]) == (800, 600, False)
+    # axis dicts are independent copies (mutating one must not leak)
+    t["layout"]["xaxis"]["ticklen"] = 9
+    assert plotly_template("fivethirtyeight")["layout"]["xaxis"]["ticklen"] == 0
+
+
+def test_fivethirtyeight_in_theme_table_and_mpl_applies():
+    from ezdata_spark.functions.themes import THEMES, plotly_template
+
+    assert "fivethirtyeight" in THEMES
+    assert THEMES["fivethirtyeight"]["lines.linewidth"] == 4
+    # light_minimal path still produces a template wrapper
+    lm = plotly_template("light_minimal")
+    assert lm["layout"]["paper_bgcolor"] == "white"
+    # the rcParams dict must be installable when matplotlib exists
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ezdata_spark.functions.themes import apply_theme
+
+    with mpl.rc_context():
+        apply_theme("fivethirtyeight")
+        assert plt.rcParams["lines.linewidth"] == 4
+        assert [c["color"] for c in plt.rcParams["axes.prop_cycle"]] == [
+            "#008fd5", "#fc4f30", "#e5ae38", "#6d904f", "#8b8b8b", "#810f7c",
+        ]
+
+
+def test_register_plotly_template_env_gate():
+    from ezdata_spark.functions.themes import register_plotly_template
+
+    try:
+        import plotly  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="requires plotly"):
+            register_plotly_template()
+    else:  # pragma: no cover - env with plotly
+        import plotly.io as pio
+
+        register_plotly_template()
+        assert "fivethirtyeight" in pio.templates
+
+
 # --------------------------------- ADVICE #3: grid_from_binned missing col
 def test_grid_from_binned_missing_value_col_message(spark):
     from ezdata_spark.operators.binned import BinSpec, binned_agg
