@@ -188,6 +188,51 @@ def _wait_for_idle() -> float:
     return round(time.perf_counter() - t0, 1)
 
 
+def load_baseline_map() -> dict:
+    """The checked-in per-query baseline map (BASELINE_QUERIES.json):
+    ``{"gate_basket": .., "gate_ratio": .., "queries": {name: {"sec":
+    baseline_sec, "basket": era_basket}}}``. Empty dict if absent."""
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BASELINE_QUERIES.json"
+            )
+        ) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def normalize_vs_baseline(
+    timings: dict[str, float], ref_sec: float, baseline_map: dict
+) -> tuple[dict[str, float] | None, float | None, bool | None]:
+    """Drift-corrected per-query ratios and the basket canonicality
+    gate (r11 verdict directive #2).
+
+    Returns ``(vs_baseline_normalized, basket_vs_baseline,
+    basket_gate_ok)`` where each ratio is
+    ``(sec/run_basket) / (baseline_sec/era_basket)`` — ambient host
+    drift divides out of both sides — and ``basket_gate_ok`` is False
+    when this run's own basket exceeds ``gate_ratio * gate_basket``
+    (the r11 15-min-load-6.6 run passed the load gate with a basket
+    1.35x baseline-era; the basket detects what load averages miss)."""
+    rows = baseline_map.get("queries")
+    if not (ref_sec and rows):
+        return None, None, None
+    normalized = {
+        n: round((s / ref_sec) / (rows[n]["sec"] / rows[n]["basket"]), 2)
+        for n, s in timings.items()
+        if n in rows
+    }
+    gate_basket = float(baseline_map.get("gate_basket", 1.311))
+    gate_ratio = float(baseline_map.get("gate_ratio", 1.25))
+    return (
+        normalized,
+        round(ref_sec / gate_basket, 3),
+        ref_sec <= gate_ratio * gate_basket,
+    )
+
+
 def main() -> None:
     idle_wait_sec = _wait_for_idle()
     load_avg_start = [round(x, 2) for x in os.getloadavg()]
@@ -287,6 +332,23 @@ def main() -> None:
         sf = None  # non-standard dir name: still emit the JSON line
     ref_parts = [timings[n] for n in REF_QUERIES if n in timings]
     ref_sec = round(sum(ref_parts), 3) if len(ref_parts) == len(REF_QUERIES) else None
+
+    # Self-normalization against the checked-in baseline map (r11
+    # verdict directive #2): BASELINE_QUERIES.json records each
+    # query's BASELINE.md row and the reference-basket value of the
+    # era it was recorded in, so
+    #   vs_baseline_normalized = (sec/run_basket)/(baseline/era_basket)
+    # divides ambient host drift out of BOTH sides. Only meaningful at
+    # the baseline's sf0.1. The basket also gates `canonical`: load
+    # averages under-detect host state (the r11 15-min-load-6.6 run
+    # passed the load gate with a basket 1.35x baseline-era), so a run
+    # whose own basket exceeds gate_ratio * gate_basket is not the
+    # round's idle artifact no matter what the loadavg said.
+    vs_baseline_normalized, basket_vs_baseline, basket_gate_ok = (
+        normalize_vs_baseline(timings, ref_sec, load_baseline_map())
+        if sf == 0.1
+        else (None, None, None)
+    )
     # key order matters for durability: the driver archives only the
     # LAST ~4 kB of stdout, so whatever leads this dict is what gets
     # truncated. The raw per-query seconds (what the 2× gate is judged
@@ -312,12 +374,19 @@ def main() -> None:
         "load_avg_start": load_avg_start,
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         # THE per-round idle artifact iff true (r10 verdict #1): both
-        # the 1-min and 5-min start loads met the idle gate, so no
-        # second "cleaner" run should ever be quoted over this one
+        # the 1-min and 5-min start loads met the idle gate AND (r11
+        # verdict #2) the run's own reference basket stayed within
+        # gate_ratio of the baseline-era basket — the basket measures
+        # the host state the load averages missed. basket_gate_ok is
+        # None (gate skipped, load-only canonical) off-sf0.1 or
+        # without a baseline map.
         "canonical": bool(
             max(load_avg_start[:2])
             < float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "2.0"))
+            and basket_gate_ok is not False
         ),
+        "basket_gate_ok": basket_gate_ok,
+        "basket_vs_baseline": basket_vs_baseline,
         # summed §2.2/2.3 relational-core tier (median of 3 round sums;
         # core_tier_rounds < 3 flags a partially-failed tier)
         "core_tier_sec": (
@@ -330,6 +399,9 @@ def main() -> None:
             if ref_sec
             else None
         ),
+        # (sec/run_basket) / (baseline_sec/era_basket) per query — the
+        # drift-corrected ratio the verdict's 2x judgment should read
+        "vs_baseline_normalized": vs_baseline_normalized,
         "queries": timings,
     }
     if errors:

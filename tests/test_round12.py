@@ -133,6 +133,54 @@ def test_register_plotly_template_env_gate():
         assert "fivethirtyeight" in pio.templates
 
 
+# ------------------------- self-normalizing bench (r11 directive #2)
+def test_baseline_map_covers_every_headline_query():
+    """Every HEADLINE query must have a checked-in baseline row (a new
+    headline query without one silently escapes the normalized
+    judgment); gate values sane."""
+    import bench
+
+    m = bench.load_baseline_map()
+    assert m, "BASELINE_QUERIES.json missing or unparseable"
+    rows = m["queries"]
+    missing = [n for n in bench.HEADLINE if n not in rows]
+    assert not missing, f"headline queries without baseline rows: {missing}"
+    for n, r in rows.items():
+        assert r["sec"] > 0 and r["basket"] > 0, n
+    assert 1.0 <= m["gate_ratio"] <= 2.0
+    assert 0.5 <= m["gate_basket"] <= 5.0
+    # the four basket queries are in the map at the era basket itself
+    for n in bench.REF_QUERIES:
+        assert n in rows
+
+
+def test_normalize_vs_baseline_math():
+    from bench import normalize_vs_baseline
+
+    baseline = {
+        "gate_basket": 1.0,
+        "gate_ratio": 1.25,
+        "queries": {
+            "qa": {"sec": 1.0, "basket": 1.0},
+            "qb": {"sec": 2.0, "basket": 1.0},
+        },
+    }
+    # run twice as slow ambient (basket 2.0): raw 2x reads normalized 1x
+    norm, basket_ratio, ok = normalize_vs_baseline(
+        {"qa": 2.0, "qb": 4.0, "qz": 9.9}, 2.0, baseline
+    )
+    assert norm == {"qa": 1.0, "qb": 1.0}  # qz has no row -> omitted
+    assert basket_ratio == 2.0
+    assert ok is False  # 2.0 > 1.25 * 1.0 -> not canonical
+    # idle-era run passes the gate
+    norm2, ratio2, ok2 = normalize_vs_baseline({"qa": 1.2}, 1.1, baseline)
+    assert norm2 == {"qa": round((1.2 / 1.1) / 1.0, 2)}
+    assert ok2 is True
+    # no basket -> no judgment
+    assert normalize_vs_baseline({"qa": 1.0}, None, baseline) == (None, None, None)
+    assert normalize_vs_baseline({"qa": 1.0}, 1.0, {}) == (None, None, None)
+
+
 # --------------------------------- ADVICE #3: grid_from_binned missing col
 def test_grid_from_binned_missing_value_col_message(spark):
     from ezdata_spark.operators.binned import BinSpec, binned_agg
