@@ -980,6 +980,7 @@ def remove_duplicate_spans(
     window: int = 20,
     min_count: int = 2,
     hash_grams: bool = False,
+    touched_gate: bool = True,
 ) -> DataFrame:
     """Exact duplicate-span removal — the distributed form of the
     suffix-array substring dedup of Lee et al., "Deduplicating Training
@@ -1085,6 +1086,12 @@ def remove_duplicate_spans(
     # covered-id-bounded; AQE broadcasts the semi/anti joins when it is
     # small (the common case — most docs carry no corpus-wide repeated
     # span), so the untouched path is shuffle-free.
+    # ``touched_gate=False`` restores the ungated shape (rebuild every
+    # doc): identical results, chosen per deployment — the gate is the
+    # right default at corpus scale (30M fixture: ~40% saved when most
+    # docs are untouched) but pays its bookkeeping for nothing on a
+    # corpus where every doc carries a duplicated span (the sf0.1
+    # template fixture: 100% touched; idle A/B in the gate's docstring).
     touched = covered.select(id_col).distinct()
     # gate AFTER the anti-join, not before: a pre-anti semi pass would
     # re-scan all token rows against the touched-id table (measured
@@ -1092,10 +1099,9 @@ def remove_duplicate_spans(
     # filters the anti-join's survivors, which the rebuild was about to
     # shuffle anyway — so the gate costs one bounded pass in the worst
     # case and removes the rebuild entirely in the common one
-    kept = (
-        tok.join(covered, [id_col, "pos"], "left_anti")
-        .join(touched, id_col, "left_semi")
-    )
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    if touched_gate:
+        kept = kept.join(touched, id_col, "left_semi")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -1109,6 +1115,13 @@ def remove_duplicate_spans(
     base = docs.select(
         F.col(id_col), t.alias("_t"), F.size(t).alias("n_tokens_before")
     ).where(F.size(t) > 0)
+    if not touched_gate:
+        return base.join(rebuilt, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+        )
     touched_out = (
         base.join(touched, id_col, "left_semi")
         .join(rebuilt, id_col, "left")

@@ -13,6 +13,7 @@ doubles is left exact (same IEEE ops both engines).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3059,6 +3060,56 @@ def q151(spark, sf_dir):
         "vec_id",
         F.round(F.element_at("pca", 1), 4).alias("pc1"),
         F.round(F.element_at("pca", 2), 4).alias("pc2"),
+    )
+
+
+@query("z156_ann_probe_bucketed")
+def q156(spark, sf_dir):
+    """PRODUCTION kNN probe path (r11 verdict directive #7): the
+    persisted BUCKETED IVF-PQ index (ann_index.py::
+    save_ivf_pq_index_bucketed — corpus side reads with zero Exchange;
+    the bucketed scan satisfies the cogroup's hash-clustered
+    distribution) probed with ``nprobe`` << ``n_cells``. q50b stays
+    the per-call full-probe ORACLE form; this row tracks
+    round-over-round drift of the path a real deployment runs —
+    load_ivf_pq_index_bucketed + cell-pruned ADC cogroup + exact
+    rescore. The index is built ONCE per (session, sf) with seeded
+    KMeans/PQ (deterministic artifact) and reused by later calls, so
+    bench medians time the amortized probe, not the build; the first
+    rep pays the build the way a real pipeline's first job does.
+    Rows-only (IVF cell assignments / PQ codes are trained artifacts);
+    tests/test_round12.py pins probe recall@10 against brute-force
+    cosine and bucketed-probe == full-frame-probe equality."""
+    from .operators.ann_index import (
+        load_ivf_pq_index_bucketed,
+        save_ivf_pq_index_bucketed,
+    )
+    from .operators.similarity import ivf_index, ivf_pq_encode, knn_join, pq_train
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    table = f"ez_z156_ivfpq_{tag}"
+    frame = None
+    if spark.catalog.tableExists(table):
+        try:
+            frame, cents, cb, _rot = load_ivf_pq_index_bucketed(spark, table)
+        except ValueError:
+            frame = None  # catalog entry without a sidecar: rebuild
+    if frame is None:
+        indexed, cents = ivf_index(emb, n_cells=16)
+        cb = pq_train(emb, m=16, k=256)
+        save_ivf_pq_index_bucketed(
+            table, ivf_pq_encode(indexed, cb), cents, cb, n_buckets=8
+        )
+        frame, cents, cb, _rot = load_ivf_pq_index_bucketed(spark, table)
+    left = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return knn_join(
+        left, frame, cents, k=10, nprobe=4, round_ndigits=6,
+        pq_codebooks=cb, pq_oversample=8, rescore="cogroup",
     )
 
 
