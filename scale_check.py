@@ -178,6 +178,69 @@ def main() -> None:
     w = Window.partitionBy("orderkey").orderBy(F.col("price").desc())
     run("topk_per_group", fact.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 2))
 
+    # PARQUET-BACKED envelope tier (round-11 directive #6): the rows
+    # above time the COMPUTE ceiling (spark.range input, no disk);
+    # these re-run the three §2.2-2.5 core shapes against a parquet
+    # artifact of the SAME fact table, so the envelope includes the
+    # scan/decode/pushdown term a 100 TB deployment actually pays.
+    # The write is timed as its own row (the one-time layout cost);
+    # each scan shape gets one UNTIMED warm pass first — the r11
+    # protocol: rows timed adjacent to a multi-GB artifact write
+    # otherwise absorb page-cache/writeback cold costs as a phantom
+    # regression. Selected-subset only by default (the full sweep's
+    # SCALE.md table stays generated-input; these rows are appended
+    # by hand with their run context).
+    _PQ_TIER = (
+        "pq_write_fact",
+        "pq_scan_selectwhere",
+        "pq_scan_groupby_agg",
+        "pq_scan_histogram_2d",
+    )
+    if only is not None and set(_PQ_TIER) & only:
+        import tempfile
+
+        pq_path = os.path.join(
+            tempfile.gettempdir(), f"ez_scale_{os.getuid()}", f"fact_{n}.parquet"
+        )
+        if "pq_write_fact" in only or not os.path.isdir(pq_path):
+            t0 = time.perf_counter()
+            make_fact(spark, n).write.mode("overwrite").parquet(pq_path)
+            dt = time.perf_counter() - t0
+            results["pq_write_fact"] = {
+                "sec": round(dt, 2),
+                "rows_out": n,
+                "mrows_in_per_s": round(n / dt / 1e6, 3),
+            }
+            print(f"{'pq_write_fact':24s} {dt:7.2f}s  out={n:>10}  "
+                  f"{n / dt / 1e6:8.1f} Mrows/s")
+        pfact = spark.read.parquet(pq_path)
+        pt = EzTable(pfact)
+        pq_shapes = {
+            "pq_scan_selectwhere": lambda: pt.selectWhere(
+                "orderkey price", "(discount > 0.05) & (quantity < 10)"
+            ).df,
+            "pq_scan_groupby_agg": lambda: pfact.groupBy("flag").agg(
+                F.sum("quantity"),
+                F.avg(F.col("price") * (1 - F.col("discount"))),
+                F.count(F.lit(1)),
+            ),
+            "pq_scan_histogram_2d": lambda: binned_agg(
+                pfact,
+                [
+                    BinSpec("quantity", 0.0, 51.0, 64),
+                    BinSpec("discount", 0.0, 0.11, 16),
+                ],
+                {"n": F.count(F.lit(1)), "m": F.avg("price")},
+                densify=False,
+                with_centers=False,
+            ),
+        }
+        for name, shape in pq_shapes.items():
+            if name in only:
+                # untimed warm pass: page-cache + JIT, then the timed rep
+                shape().write.format("noop").mode("overwrite").save()
+                run(name, shape)
+
     # event-time tier (round-5 addition): gap sessionization (two window
     # passes over one (user, ts) shuffle) and the windowed-agg shapes the
     # streaming path shares with batch
