@@ -84,6 +84,9 @@ HEADLINE = [
     "q90b_backoff_external", # persisted-LM scoring of a new shard (OOV floor)
     "q149_classifier_auc",   # exact rank-sum ROC-AUC (distributed prefix-sum)
     "q152_average_precision",# exact PR-AUC (descending prefix-sums)
+    "z156_ann_probe_bucketed", # PRODUCTION kNN probe: persisted bucketed
+                               # IVF-PQ index, nprobe<<cells (r12; q50b
+                               # stays the full-probe oracle form)
 ]
 
 # Fixed reference BASKET for cross-run normalization: four queries
