@@ -216,9 +216,20 @@ def normalize_vs_baseline(
     basket_gate_ok)`` where each ratio is
     ``(sec/run_basket) / (baseline_sec/era_basket)`` — ambient host
     drift divides out of both sides — and ``basket_gate_ok`` is False
-    when this run's own basket exceeds ``gate_ratio * gate_basket``
-    (the r11 15-min-load-6.6 run passed the load gate with a basket
-    1.35x baseline-era; the basket detects what load averages miss)."""
+    when this run's own basket exceeds the canonicality bound (the r11
+    15-min-load-6.6 run passed the load gate with a basket 1.35x
+    baseline-era; the basket detects what load averages miss).
+
+    The bound anchors to ``era_basket`` (the CURRENTLY-achievable
+    fully-idle basket, maintained in the map with dated evidence)
+    times ``era_ratio`` when present — r12: two fully-idle runs read
+    1.705/1.772 while the baseline-era 1.311 is no longer reachable on
+    this host, so a gate anchored at the baseline era would reject
+    every honest run; a gate anchored at the current era still rejects
+    a recently-busy host (idle-vs-busy reads +15-30%). Falls back to
+    ``gate_ratio * gate_basket`` for maps without an era row.
+    ``basket_vs_baseline`` always reports drift vs the BASELINE era —
+    context, not the gate."""
     rows = baseline_map.get("queries")
     if not (ref_sec and rows):
         return None, None, None
@@ -228,11 +239,16 @@ def normalize_vs_baseline(
         if n in rows
     }
     gate_basket = float(baseline_map.get("gate_basket", 1.311))
-    gate_ratio = float(baseline_map.get("gate_ratio", 1.25))
+    if "era_basket" in baseline_map:
+        bound = float(baseline_map["era_basket"]) * float(
+            baseline_map.get("era_ratio", 1.15)
+        )
+    else:
+        bound = gate_basket * float(baseline_map.get("gate_ratio", 1.25))
     return (
         normalized,
         round(ref_sec / gate_basket, 3),
-        ref_sec <= gate_ratio * gate_basket,
+        ref_sec <= bound,
     )
 
 

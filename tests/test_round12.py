@@ -181,6 +181,28 @@ def test_normalize_vs_baseline_math():
     assert normalize_vs_baseline({"qa": 1.0}, 1.0, {}) == (None, None, None)
 
 
+def test_normalize_era_gate():
+    """With an era anchor, canonicality compares against the
+    currently-achievable idle basket (era_basket * era_ratio), while
+    basket_vs_baseline still reports baseline-era drift as context."""
+    from bench import normalize_vs_baseline
+
+    m = {
+        "gate_basket": 1.0,
+        "gate_ratio": 1.25,
+        "era_basket": 1.7,
+        "era_ratio": 1.15,
+        "queries": {"qa": {"sec": 1.0, "basket": 1.0}},
+    }
+    # idle-era run: basket 1.7 = 1.7x BASELINE era, but within era bound
+    norm, ratio, ok = normalize_vs_baseline({"qa": 1.7}, 1.7, m)
+    assert ok is True and ratio == 1.7
+    assert norm == {"qa": 1.0}
+    # recently-busy host: 1.7 * 1.15 = 1.955 bound
+    _, _, busy = normalize_vs_baseline({"qa": 2.0}, 2.0, m)
+    assert busy is False
+
+
 # ------------- q116 touched-doc gate A/B settle (r11 directive #1)
 def test_dup_span_removal_gate_off_equivalent(spark):
     """touched_gate is a physical knob: ON (untouched docs skip the
