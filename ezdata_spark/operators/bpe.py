@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_word_vocab", "learn_bpe", "apply_bpe_merge", "segment_words"]
+__all__ = [
+    "build_word_vocab",
+    "learn_bpe",
+    "apply_bpe_merge",
+    "segment_words",
+    "bpe_vocab_ids",
+    "encode_corpus",
+]
 
 _EOW = "</w>"  # end-of-word marker, per the original BPE formulation
 
@@ -126,6 +133,94 @@ def learn_bpe(
         if (i + 1) % checkpoint_every == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
+
+
+def bpe_vocab_ids(segmented_vocab: DataFrame) -> DataFrame:
+    """``(symbol, token_id)`` for every distinct symbol of a segmented
+    vocabulary frame, ids assigned in lexicographic symbol order — the
+    deterministic assignment a tokenizer artifact needs (shards and
+    re-runs sharing the merge list produce identical ids).
+
+    The ``row_number`` window is a documented single-partition step
+    over the SYMBOL INVENTORY (bounded by vocabulary types + n_merges,
+    ~10^5-10^6 at web scale), never corpus rows."""
+    from pyspark.sql import Window
+
+    syms = segmented_vocab.select(F.explode("symbols").alias("symbol")).distinct()
+    w = Window.orderBy("symbol")
+    return syms.select(
+        "symbol", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+def encode_corpus(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text: str = "text",
+    token_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-scale BPE ENCODE — the tokenize-the-corpus production
+    step that follows :func:`learn_bpe` (Sennrich et al. 2016; the
+    reference has no tokenizer tier — this is part of the
+    LLM-data-pipeline extension surface).
+
+    Scale shape: the merge folds run over the DISTINCT words only
+    (vocabulary-sized, like training; a word repeated a billion times
+    is segmented once), ids attach per word from ``token_ids``
+    (:func:`bpe_vocab_ids` by default — pass the saved frame to encode
+    new shards consistently against a frozen tokenizer), and one
+    corpus-sized equi-join on ``word`` puts per-word id arrays back on
+    the position-exploded corpus (AQE broadcasts the segmented
+    vocabulary when it is small). Per-doc reassembly is an
+    ``array_sort``-ordered flatten — no collect-order dependence, same
+    pattern as ``remove_duplicate_spans``'s rebuild. Docs with no
+    tokens return an empty array (left join back onto the input ids).
+
+    Returns ``(id_col, token_ids array<int>, n_tokens)``.
+    """
+    from .textstats import tokens
+
+    tok = docs.select(
+        F.col(id_col), F.posexplode(tokens(text)).alias("pos", "word")
+    )
+    seg = segment_words(tok.select("word").distinct(), merges)
+    if token_ids is None:
+        token_ids = bpe_vocab_ids(seg)
+    per_word = (
+        seg.select("word", F.posexplode("symbols").alias("spos", "symbol"))
+        .join(token_ids, "symbol")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("ids")
+        )
+    )
+    enc = (
+        tok.join(per_word, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(enc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias(
+                "token_ids"
+            ),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("int"))
+    )
 
 
 def segment_words(

@@ -3113,6 +3113,31 @@ def q156(spark, sf_dir):
     )
 
 
+@query("z157_bpe_encode")
+def q157(spark, sf_dir):
+    """Corpus-scale BPE ENCODE (operators/bpe.py::encode_corpus) — the
+    tokenize-the-corpus production step after learn_bpe: merge folds
+    run over DISTINCT words only (vocabulary-sized, a word repeated a
+    billion times segments once), deterministic lexicographic token
+    ids (bpe_vocab_ids — shards sharing the merge list encode
+    identically), one corpus-sized equi-join back onto the
+    position-exploded docs, order restored by array_sort (no
+    collect-order dependence). Rows-only (the iterative merge
+    learning is not SQL-expressible); tests/test_round12.py pins the
+    encoding against a pure-Python BPE reference (losslessness,
+    ordering, id stability, empty-doc handling)."""
+    from .operators.bpe import encode_corpus, learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    merges, _ = learn_bpe(docs, n_merges=20)
+    out = encode_corpus(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.slice("token_ids", 1, 8).alias("head_ids"),
+    )
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

@@ -309,7 +309,80 @@ def test_z156_reuses_persisted_index(spark):
     assert calls["n"] == 0, "second call rebuilt the index"
 
 
-# --------------------------------- ADVICE #3: grid_from_binned missing col
+# --------------------- corpus-scale BPE encode (new r12 capability)
+def _py_segment(word, merges):
+    syms = [*word, "</w>"]
+    for a, b in merges:
+        out, prev = [], None
+        for s in syms:
+            if prev is None:
+                prev = s
+            elif prev == a and s == b:
+                out.append(a + b)
+                prev = None
+            else:
+                out.append(prev)
+                prev = s
+        if prev is not None:
+            out.append(prev)
+        syms = out
+    return syms
+
+
+def test_encode_corpus_matches_python_reference(spark):
+    from ezdata_spark.operators.bpe import encode_corpus, learn_bpe
+
+    corpus = [
+        (0, "low low low lower lower newest newest newest newest widest"),
+        (1, "widest widest newest low"),
+        (2, "   "),  # whitespace-only: zero tokens
+        (3, "unseen lowest"),
+    ]
+    train = spark.createDataFrame(corpus[:2], "doc_id long, text string")
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges, _ = learn_bpe(train, n_merges=10)
+
+    got = {r.doc_id: (list(r.token_ids), r.n_tokens)
+           for r in encode_corpus(docs, merges).collect()}
+
+    # python reference: segment every distinct word, ids by sorted
+    # symbol inventory over the ENCODED corpus's segmented vocabulary
+    words = sorted({w for _, t in corpus for w in t.lower().split() if w})
+    seg = {w: _py_segment(w, merges) for w in words}
+    inv = sorted({s for syms in seg.values() for s in syms})
+    sid = {s: i for i, s in enumerate(inv)}
+    want = {}
+    for did, t in corpus:
+        ids = [sid[s] for w in t.lower().split() if w for s in seg[w]]
+        want[did] = (ids, len(ids))
+    assert got == want
+    assert got[2] == ([], 0)  # empty doc survives with an empty array
+
+
+def test_encode_corpus_frozen_ids_across_shards(spark):
+    """Encoding a NEW shard against a saved (symbol, token_id) frame
+    must reuse the frozen ids — the cross-job tokenizer-artifact
+    path — even for symbols the new shard alone wouldn't produce."""
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids, encode_corpus, learn_bpe, segment_words,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "banana bandana banana band")], "doc_id long, text string"
+    )
+    merges, vocab = learn_bpe(train, n_merges=6)
+    frozen = bpe_vocab_ids(segment_words(train.selectExpr(
+        "explode(filter(split(lower(text), '\\\\s+'), x -> x != '')) as word"
+    ).distinct(), merges))
+    shard = spark.createDataFrame([(7, "banana band")], "doc_id long, text string")
+    with_frozen = {r.doc_id: list(r.token_ids)
+                   for r in encode_corpus(shard, merges, token_ids=frozen).collect()}
+    sid = {r.symbol: r.token_id for r in frozen.collect()}
+    want = [sid[s] for w in ("banana", "band") for s in _py_segment(w, merges)]
+    assert with_frozen[7] == want
+    # the shard's own inventory would number ids differently than the
+    # frozen full-vocabulary one unless some symbol sorts identically;
+    # the point is the FROZEN ids were honored, verified above by value
 def test_grid_from_binned_missing_value_col_message(spark):
     from ezdata_spark.operators.binned import BinSpec, binned_agg
     from ezdata_spark.operators.labelled import grid_from_binned
