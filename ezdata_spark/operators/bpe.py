@@ -141,15 +141,15 @@ def bpe_vocab_ids(segmented_vocab: DataFrame) -> DataFrame:
     deterministic assignment a tokenizer artifact needs (shards and
     re-runs sharing the merge list produce identical ids).
 
-    The ``row_number`` window is a documented single-partition step
-    over the SYMBOL INVENTORY (bounded by vocabulary types + n_merges,
-    ~10^5-10^6 at web scale), never corpus rows."""
-    from pyspark.sql import Window
+    Ids come from :func:`window.global_row_id` — range partition +
+    in-partition sort + cumulative partition offsets — so even a
+    web-scale symbol inventory (~10^5-10^6 types) never funnels
+    through an Exchange SinglePartition global sort."""
+    from .window import global_row_id
 
     syms = segmented_vocab.select(F.explode("symbols").alias("symbol")).distinct()
-    w = Window.orderBy("symbol")
-    return syms.select(
-        "symbol", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    return global_row_id(syms, ["symbol"], "token_id").select(
+        "symbol", F.col("token_id").cast("int").alias("token_id")
     )
 
 
