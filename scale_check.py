@@ -414,6 +414,18 @@ def main() -> None:
     run("dup_span_removal",
         remove_duplicate_spans(docs, window=10, hash_grams=True), rows_in=doc_n)
 
+    # r12: corpus-scale BPE encode — merges learned UNTIMED on a
+    # bounded sample (training is vocabulary-sized, the persisted-
+    # artifact shape like ivf_index); the timed row is the recurring
+    # tokenize-the-corpus cost: distinct-word segmentation + id join
+    # back onto the position-exploded corpus + ordered per-doc rebuild
+    if only is None or "bpe_encode" in only:
+        from ezdata_spark.operators.bpe import encode_corpus, learn_bpe
+
+        bpe_merges, _ = learn_bpe(docs.limit(50_000), n_merges=12)
+        run("bpe_encode", lambda: encode_corpus(docs, bpe_merges),
+            rows_in=doc_n)
+
     # round-8: incremental MinHash dedup — the daily-shard shape: the
     # history SIGNATURE index is a persisted artifact (built untimed,
     # like ivf_index/lsh_index); the timed row is the recurring cost of

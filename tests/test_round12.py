@@ -329,7 +329,8 @@ def _py_segment(word, merges):
     return syms
 
 
-def test_encode_corpus_matches_python_reference(spark):
+@pytest.mark.parametrize("method", ["dict", "join"])
+def test_encode_corpus_matches_python_reference(spark, method):
     from ezdata_spark.operators.bpe import encode_corpus, learn_bpe
 
     corpus = [
@@ -343,7 +344,7 @@ def test_encode_corpus_matches_python_reference(spark):
     merges, _ = learn_bpe(train, n_merges=10)
 
     got = {r.doc_id: (list(r.token_ids), r.n_tokens)
-           for r in encode_corpus(docs, merges).collect()}
+           for r in encode_corpus(docs, merges, method=method).collect()}
 
     # python reference: segment every distinct word, ids by sorted
     # symbol inventory over the ENCODED corpus's segmented vocabulary
@@ -357,6 +358,31 @@ def test_encode_corpus_matches_python_reference(spark):
         want[did] = (ids, len(ids))
     assert got == want
     assert got[2] == ([], 0)  # empty doc survives with an empty array
+
+
+def test_encode_corpus_unseen_symbol_maps_to_unk(spark):
+    """With a FROZEN id inventory, a shard word producing symbols the
+    inventory never saw must encode as unk_id — not silently drop from
+    the middle of the document."""
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids, encode_corpus, learn_bpe, segment_words,
+    )
+
+    train = spark.createDataFrame([(0, "aa aa ab")], "doc_id long, text string")
+    merges, _ = learn_bpe(train, n_merges=2)
+    train_words = spark.createDataFrame([("aa",), ("ab",)], "word string")
+    frozen = bpe_vocab_ids(segment_words(train_words, merges))
+    known = {r.symbol for r in frozen.select("symbol").collect()}
+    assert "z" not in known
+    shard = spark.createDataFrame([(9, "aa zz")], "doc_id long, text string")
+    (row,) = encode_corpus(
+        shard, merges, token_ids=frozen, unk_id=-7
+    ).collect()
+    ids = list(row.token_ids)
+    assert -7 in ids, ids  # the novel 'z' symbols surfaced as unk
+    assert row.n_tokens == len(ids)
+    # the known prefix ('aa' </w> segmentation) carries real ids
+    assert ids[0] >= 0
 
 
 def test_encode_corpus_frozen_ids_across_shards(spark):
