@@ -357,6 +357,43 @@ def load_ngram_lm(
     return tri, bi, uni, meta
 
 
+def save_bpe_tokenizer(
+    path: str,
+    merges: list[tuple[str, str]],
+    token_ids: DataFrame,
+    unk_id: int = -1,
+) -> None:
+    """Persist a trained BPE tokenizer (bpe.py::learn_bpe +
+    bpe_vocab_ids) — the ordered merge list and encode parameters in
+    the JSON sidecar, the frozen (symbol, token_id) inventory as the
+    parquet frame. The train-once artifact every shard/stream encodes
+    against (bpe.encode_corpus(token_ids=...)): shards sharing the
+    artifact produce identical ids, and symbols minted after the
+    freeze surface as ``unk_id``."""
+    save_ann_index(
+        path,
+        token_ids,
+        {
+            "kind": "bpe_tokenizer",
+            "merges": [list(m) for m in merges],
+            "unk_id": unk_id,
+        },
+    )
+
+
+def load_bpe_tokenizer(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[str, str]], DataFrame, dict]:
+    """Returns ``(merges, token_ids, params)`` for
+    ``bpe.encode_corpus(docs, merges, token_ids=token_ids,
+    unk_id=params['unk_id'])``."""
+    frame, meta = load_ann_index(spark, path)
+    if frame is None or meta.get("kind") != "bpe_tokenizer":
+        raise ValueError(f"{path}: not a bpe_tokenizer artifact")
+    merges = [tuple(m) for m in meta["merges"]]
+    return merges, frame, meta
+
+
 def load_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, dict]:

@@ -409,6 +409,40 @@ def test_encode_corpus_frozen_ids_across_shards(spark):
     # the shard's own inventory would number ids differently than the
     # frozen full-vocabulary one unless some symbol sorts identically;
     # the point is the FROZEN ids were honored, verified above by value
+def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
+    """save_bpe_tokenizer -> load_bpe_tokenizer -> encode a NEW shard:
+    identical merges, identical frozen ids, identical encodes to the
+    in-session path — the cross-job tokenizer story."""
+    from ezdata_spark.operators.ann_index import (
+        load_bpe_tokenizer, save_bpe_tokenizer,
+    )
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids, encode_corpus, learn_bpe,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low low lower newest newest widest")], "doc_id long, text string"
+    )
+    merges, vocab = learn_bpe(train, n_merges=8)
+    frozen = bpe_vocab_ids(vocab)
+    path = str(tmp_path / "bpe_tok")
+    save_bpe_tokenizer(path, merges, frozen, unk_id=-3)
+
+    lmerges, lids, params = load_bpe_tokenizer(spark, path)
+    assert lmerges == merges and params["unk_id"] == -3
+    assert sorted((r.symbol, r.token_id) for r in lids.collect()) == sorted(
+        (r.symbol, r.token_id) for r in frozen.collect()
+    )
+    shard = spark.createDataFrame(
+        [(5, "lowest newest unseen")], "doc_id long, text string"
+    )
+    want = {r.doc_id: list(r.token_ids) for r in encode_corpus(
+        shard, merges, token_ids=frozen, unk_id=-3).collect()}
+    got = {r.doc_id: list(r.token_ids) for r in encode_corpus(
+        shard, lmerges, token_ids=lids, unk_id=params["unk_id"]).collect()}
+    assert got == want and got[5]
+
+
 def test_grid_from_binned_missing_value_col_message(spark):
     from ezdata_spark.operators.binned import BinSpec, binned_agg
     from ezdata_spark.operators.labelled import grid_from_binned
