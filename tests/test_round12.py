@@ -409,6 +409,45 @@ def test_encode_corpus_frozen_ids_across_shards(spark):
     # the shard's own inventory would number ids differently than the
     # frozen full-vocabulary one unless some symbol sorts identically;
     # the point is the FROZEN ids were honored, verified above by value
+def test_encode_corpus_property_random_corpora(spark):
+    """Hypothesis-style randomized agreement with the pure-Python BPE
+    reference across corpus shapes (collected examples, one Spark
+    session pass: per-example sessions would dominate the runtime)."""
+    import random
+
+    from ezdata_spark.operators.bpe import encode_corpus, learn_bpe
+
+    rng = random.Random(1207)
+    alpha = "abcd"
+    cases = []
+    for _ in range(6):
+        n_docs = rng.randint(1, 5)
+        docs = [
+            (i, " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(0, 8))
+            ))
+            for i in range(n_docs)
+        ]
+        cases.append((docs, rng.randint(1, 8)))
+
+    for docs_py, n_merges in cases:
+        df = spark.createDataFrame(docs_py, "doc_id long, text string")
+        merges, _ = learn_bpe(df, n_merges=n_merges)
+        got = {r.doc_id: (list(r.token_ids), r.n_tokens)
+               for r in encode_corpus(df, merges).collect()}
+        words = sorted({w for _, t in docs_py for w in t.lower().split() if w})
+        seg = {w: _py_segment(w, merges) for w in words}
+        inv = sorted({s for ss in seg.values() for s in ss})
+        sid = {s: i for i, s in enumerate(inv)}
+        want = {
+            did: ([sid[s] for w in t.lower().split() if w for s in seg[w]],
+                  sum(len(seg[w]) for w in t.lower().split() if w))
+            for did, t in docs_py
+        }
+        assert got == want, (docs_py, n_merges)
+
+
 def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
     """save_bpe_tokenizer -> load_bpe_tokenizer -> encode a NEW shard:
     identical merges, identical frozen ids, identical encodes to the
