@@ -25,6 +25,7 @@ __all__ = [
     "segment_words",
     "bpe_vocab_ids",
     "encode_corpus",
+    "encode_stream",
 ]
 
 _EOW = "</w>"  # end-of-word marker, per the original BPE formulation
@@ -294,6 +295,110 @@ def _encode_dict(
                     id_col: pdf[id_col],
                     "token_ids": ids,
                     "n_tokens": [len(x) for x in ids],
+                }
+            )
+
+    return src.mapInPandas(gen, out_schema)
+
+
+def _py_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python greedy merge application — the exact per-word
+    semantics of :func:`apply_bpe_merge`'s JVM fold (left-to-right, a
+    merged symbol never re-merges within its pass), used by the
+    streaming/dict kernels. JVM==Python equality is pytest-pinned on
+    randomized words."""
+    syms = [*word, _EOW]
+    for a, b in merges:
+        out: list[str] = []
+        prev = None
+        for s in syms:
+            if prev is None:
+                prev = s
+            elif prev == a and s == b:
+                out.append(a + b)
+                prev = None
+            else:
+                out.append(prev)
+                prev = s
+        if prev is not None:
+            out.append(prev)
+        syms = out
+    return syms
+
+
+def encode_stream(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    token_ids: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """STREAMING BPE encode against a FROZEN tokenizer
+    (:func:`ann_index.load_bpe_tokenizer`) — the ingest-time form of
+    :func:`encode_corpus`, same pattern as ``minhash_match_stream``:
+    fully STATELESS (append-mode safe, no watermark, no state store),
+    so it cannot use the batch path's corpus-wide distinct-word
+    dedup or per-doc groupBy rebuild. Instead: JVM tokenization
+    projection (byte-identical tokens to the batch path), then ONE
+    Arrow-batched ``mapInPandas`` whose kernel segments each word with
+    the pure-Python greedy merge fold (== the JVM fold, pytest-pinned)
+    under a per-batch word cache (the within-batch form of the batch
+    path's distinct-word amortization) and resolves symbol ids from
+    the broadcast frozen inventory — novel symbols surface as
+    ``unk_id``, exactly like the batch path's frozen-id contract.
+
+    Works identically on a batch frame, so one pipeline definition
+    serves both modes; stream==batch is pytest-pinned.
+
+    Returns ``(id_col, token_ids array<int>, n_tokens)``.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from .textstats import tokens
+
+    sid = {r["symbol"]: r["token_id"] for r in token_ids.collect()}
+    bm = docs.sparkSession.sparkContext.broadcast(
+        ([tuple(m) for m in merges], sid, int(unk_id))
+    )
+    src = docs.select(F.col(id_col), tokens(text).alias("__words"))
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            StructField("token_ids", ArrayType(IntegerType(), False), False),
+            StructField("n_tokens", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        merges_, ids, unk = bm.value
+        cache: dict = {}
+
+        def word_ids(w):
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = [
+                    ids.get(s, unk) for s in _py_apply_merges(w, merges_)
+                ]
+            return got
+
+        for pdf in batches:
+            enc = [
+                [i for w in ws for i in word_ids(w)] if len(ws) else []
+                for ws in pdf["__words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "token_ids": enc,
+                    "n_tokens": [len(x) for x in enc],
                 }
             )
 

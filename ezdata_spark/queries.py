@@ -3138,6 +3138,35 @@ def q157(spark, sf_dir):
     )
 
 
+@query("z158_bpe_encode_frozen")
+def q158(spark, sf_dir):
+    """FROZEN-tokenizer shard encode (operators/bpe.py::encode_stream)
+    — the cross-job/ingest-time form: a tokenizer trained on the
+    history partition encodes a NEW shard with the frozen id
+    inventory; novel symbols surface as unk_id, never silently drop.
+    encode_stream is fully stateless (JVM tokenization projection +
+    one Arrow-batched mapInPandas whose Python greedy-merge fold is
+    pytest-pinned == the JVM fold), so the same definition runs on a
+    readStream frame append-safe — stream==batch is pytest-pinned;
+    the driver exercises batch mode. Rows-only (iterative merge
+    learning is not SQL-expressible)."""
+    from .operators.bpe import bpe_vocab_ids, encode_stream, learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    hist = docs.filter(F.col("doc_id") <= mid)
+    shard = docs.filter(F.col("doc_id") > mid)
+    merges, vocab = learn_bpe(hist, n_merges=16)
+    frozen = bpe_vocab_ids(vocab)
+    out = encode_stream(shard, merges, frozen, unk_id=-1)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.slice("token_ids", 1, 8).alias("head_ids"),
+        F.array_contains("token_ids", -1).alias("has_unk"),
+    )
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

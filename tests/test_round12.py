@@ -448,6 +448,90 @@ def test_encode_corpus_property_random_corpora(spark):
         assert got == want, (docs_py, n_merges)
 
 
+def test_py_apply_merges_matches_jvm_fold(spark):
+    """The streaming kernel's pure-Python greedy merge fold must equal
+    apply_bpe_merge's JVM fold word-for-word (randomized words, merges
+    learned from a corpus that shares their alphabet)."""
+    import random
+
+    from ezdata_spark.operators.bpe import (
+        _py_apply_merges, learn_bpe, segment_words,
+    )
+
+    rng = random.Random(1212)
+    train_words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 7)))
+        for _ in range(60)
+    ]
+    train = spark.createDataFrame(
+        [(0, " ".join(train_words))], "doc_id long, text string"
+    )
+    merges, _ = learn_bpe(train, n_merges=9)
+    probe = list({
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 9)))
+        for _ in range(40)
+    })
+    wdf = spark.createDataFrame([(w,) for w in probe], "word string")
+    jvm = {r.word: list(r.symbols) for r in segment_words(wdf, merges).collect()}
+    for w in probe:
+        assert jvm[w] == _py_apply_merges(w, merges), w
+
+
+def test_encode_stream_batch_mode_equals_encode_corpus(spark):
+    """encode_stream on a batch frame == encode_corpus against the same
+    frozen tokenizer, unk handling included — one pipeline definition,
+    both modes."""
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids, encode_corpus, encode_stream, learn_bpe,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "low low lower newest newest widest")], "doc_id long, text string"
+    )
+    merges, vocab = learn_bpe(train, n_merges=8)
+    frozen = bpe_vocab_ids(vocab)
+    shard = spark.createDataFrame(
+        [(1, "lowest newest unseen"), (2, "   "), (3, "low widest")],
+        "doc_id long, text string",
+    )
+    want = {r.doc_id: (list(r.token_ids), r.n_tokens) for r in encode_corpus(
+        shard, merges, token_ids=frozen, unk_id=-5).collect()}
+    got = {r.doc_id: (list(r.token_ids), r.n_tokens) for r in encode_stream(
+        shard, merges, frozen, unk_id=-5).collect()}
+    assert got == want
+    assert got[2] == ([], 0)
+
+
+def test_encode_stream_true_streaming_equals_batch(spark, tmp_path):
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids, encode_stream, learn_bpe,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "banana bandana banana band")], "doc_id long, text string"
+    )
+    merges, vocab = learn_bpe(train, n_merges=6)
+    frozen = bpe_vocab_ids(vocab)
+    shard = spark.createDataFrame(
+        [(10, "banana band"), (11, "bandanas")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "docs_in")
+    shard.write.parquet(src)
+    stream = spark.readStream.schema(shard.schema).parquet(src)
+    out = encode_stream(stream, merges, frozen, unk_id=-1)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("ez_bpe_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.doc_id: (list(r.token_ids), r.n_tokens)
+           for r in spark.sql("SELECT * FROM ez_bpe_stream").collect()}
+    want = {r.doc_id: (list(r.token_ids), r.n_tokens)
+            for r in encode_stream(shard, merges, frozen, unk_id=-1).collect()}
+    assert got == want and len(got) == 2
+
+
 def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
     """save_bpe_tokenizer -> load_bpe_tokenizer -> encode a NEW shard:
     identical merges, identical frozen ids, identical encodes to the
