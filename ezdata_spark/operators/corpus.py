@@ -1089,9 +1089,11 @@ def remove_duplicate_spans(
     # ``touched_gate=False`` restores the ungated shape (rebuild every
     # doc): identical results, chosen per deployment — the gate is the
     # right default at corpus scale (30M fixture: ~40% saved when most
-    # docs are untouched) but pays its bookkeeping for nothing on a
-    # corpus where every doc carries a duplicated span (the sf0.1
-    # template fixture: 100% touched; idle A/B in the gate's docstring).
+    # docs are untouched). On the sf0.1 template fixture the round-12
+    # idle ABBA A/B (BASELINE.md) measured only 8.3% of docs carrying a
+    # corpus-duplicated 20-token span — the every-doc-touched hypothesis
+    # was measured FALSE there, and gate ON vs OFF read
+    # free-to-helpful (ON medians 2.696/3.002 s vs OFF 2.797 s).
     touched = covered.select(id_col).distinct()
     # gate AFTER the anti-join, not before: a pre-anti semi pass would
     # re-scan all token rows against the touched-id table (measured
