@@ -102,22 +102,143 @@ def apply_bpe_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     return vocab.withColumn("symbols", F.aggregate("symbols", init, step, fin))
 
 
+def _train_bpe_driver(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """In-memory incremental BPE training over a collected
+    ``(symbols, count)`` vocabulary — the sentencepiece-shaped fast
+    path of :func:`learn_bpe`. Mutates ``words`` in place to the final
+    segmentation and returns the ordered merge list.
+
+    Semantics are EXACTLY the distributed loop's (pytest parity-pinned,
+    merge list ==): each round picks the max-count pair, ties broken by
+    lexicographically smallest (a, b) — Python code-point order ==
+    Spark's UTF8String binary order, since UTF-8 byte order preserves
+    code points — and applies it with the same greedy left-to-right
+    non-re-entrant fold. Counts are maintained incrementally: merging a
+    pair only touches the words that contain it (subtract the word's
+    old adjacent-pair multiset, rebuild, add the new one — exact, so no
+    drift vs the distributed loop's from-scratch recount), with a
+    lazy-invalidation max-heap for argmax so a 32k-merge run never
+    scans the full pair table per round. Per-merge cost is the total
+    length of affected words — this is what makes n_merges in the
+    thousands tractable where the distributed loop's one driver
+    round-trip + one projection layer per merge is not."""
+    import heapq
+    from collections import defaultdict
+
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    occ: dict[tuple[str, str], set[int]] = defaultdict(set)
+    heap: list[tuple[int, tuple[str, str]]] = []
+    for idx, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_n[p] += cnt
+            occ[p].add(idx)
+    for p, n in pair_n.items():
+        heap.append((-n, p))
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        while heap:
+            neg, p = heapq.heappop(heap)
+            # lazy invalidation: an entry is live only if it matches
+            # the CURRENT count (stale pushes from earlier updates —
+            # or for already-merged pairs — are skipped)
+            if pair_n.get(p) == -neg and -neg > 0:
+                best = p
+                break
+        if best is None:
+            break  # every word is a single symbol
+        a, b = best
+        merges.append((a, b))
+        for idx in list(occ[best]):
+            syms, cnt = words[idx]
+            if cnt == 0:
+                continue
+            new = _merge_pair(syms, a, b)
+            if len(new) == len(syms):
+                continue  # stale occ membership: pair no longer present
+            for p in zip(syms, syms[1:]):
+                pair_n[p] -= cnt
+            words[idx] = (new, cnt)
+            touched = set()
+            for p in zip(new, new[1:]):
+                pair_n[p] += cnt
+                occ[p].add(idx)
+                touched.add(p)
+            for p in set(zip(syms, syms[1:])) | touched:
+                n = pair_n.get(p, 0)
+                if n > 0:
+                    heapq.heappush(heap, (-n, p))
+                else:
+                    pair_n.pop(p, None)
+        occ.pop(best, None)
+        pair_n.pop(best, None)
+    return merges
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 50,
     text: str = "text",
     checkpoint_every: int = 8,
+    method: str = "auto",
+    max_driver_vocab: int = 2_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     (ordered merge list, final segmented vocabulary frame).
 
     Ties on pair count break deterministically ((a, b) lexicographic),
-    so the merge sequence is reproducible across runs and engines.
-    Each round: vocabulary-sized pair count + a 1-row collect + a
-    projection applying the merge; localCheckpoint every
-    ``checkpoint_every`` rounds cuts the growing lambda lineage.
+    so the merge sequence is reproducible across runs, methods, and
+    engines.
+
+    ``method`` picks where the merge LOOP runs (the corpus pass —
+    :func:`build_word_vocab` — is always distributed; this is the same
+    auto pattern as ``encode_corpus(method=...)``):
+
+    - ``'driver'``: collect the distinct-word ``(symbols, count)``
+      vocabulary — driver-budget bounded by ``max_driver_vocab``, the
+      same class as the dict encode path's word map and PQ codebooks —
+      and run :func:`_train_bpe_driver`'s incremental-pair-count fold
+      (what sentencepiece does). This makes realistic merge counts
+      (32k-100k) tractable: per-merge cost is the total length of the
+      words containing the winning pair, not a cluster round-trip.
+    - ``'distributed'``: the vocabulary-frame loop — each round a
+      vocabulary-sized pair-count aggregate + a 1-row collect + a
+      merge-fold projection; localCheckpoint every ``checkpoint_every``
+      rounds cuts the growing lambda lineage. One driver round-trip
+      and one projection layer PER MERGE, so right for vocabularies
+      too large to collect but capped in practice at n_merges~O(100s).
+    - ``'auto'``: ``'driver'`` when the distinct-word count fits
+      ``max_driver_vocab``, else ``'distributed'``.
+
+    Both methods return the same (merge list, segmented vocabulary)
+    bit-for-bit; parity is pytest-pinned.
     """
     vocab = build_word_vocab(docs, text).localCheckpoint(eager=True)
+    if method == "auto":
+        method = "driver" if vocab.count() <= max_driver_vocab else "distributed"
+    if method == "driver":
+        rows = vocab.select("word", "count", "symbols").collect()
+        # start from the JVM-derived symbols so char splitting is
+        # byte-identical to the distributed path for any input
+        words = [(list(r["symbols"]), int(r["count"])) for r in rows]
+        merges = _train_bpe_driver(words, n_merges)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "word": [r["word"] for r in rows],
+                "count": [int(r["count"]) for r in rows],
+                "symbols": [syms for syms, _ in words],
+            }
+        )
+        out = docs.sparkSession.createDataFrame(
+            pdf, schema="word string, count bigint, symbols array<string>"
+        )
+        return merges, out
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         top = (
@@ -301,28 +422,34 @@ def _encode_dict(
     return src.mapInPandas(gen, out_schema)
 
 
+def _merge_pair(syms: list[str], a: str, b: str) -> list[str]:
+    """One greedy left-to-right merge pass over a symbol list — the
+    exact per-word semantics of :func:`apply_bpe_merge`'s JVM fold (a
+    merged symbol never re-merges within its pass). Shared by the
+    driver trainer and the streaming/dict encode kernels; JVM==Python
+    equality is pytest-pinned on randomized words."""
+    out: list[str] = []
+    prev = None
+    for s in syms:
+        if prev is None:
+            prev = s
+        elif prev == a and s == b:
+            out.append(a + b)
+            prev = None
+        else:
+            out.append(prev)
+            prev = s
+    if prev is not None:
+        out.append(prev)
+    return out
+
+
 def _py_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
-    """Pure-Python greedy merge application — the exact per-word
-    semantics of :func:`apply_bpe_merge`'s JVM fold (left-to-right, a
-    merged symbol never re-merges within its pass), used by the
-    streaming/dict kernels. JVM==Python equality is pytest-pinned on
-    randomized words."""
+    """Pure-Python greedy merge application: chars + end-of-word, then
+    each merge in learned order via :func:`_merge_pair`."""
     syms = [*word, _EOW]
     for a, b in merges:
-        out: list[str] = []
-        prev = None
-        for s in syms:
-            if prev is None:
-                prev = s
-            elif prev == a and s == b:
-                out.append(a + b)
-                prev = None
-            else:
-                out.append(prev)
-                prev = s
-        if prev is not None:
-            out.append(prev)
-        syms = out
+        syms = _merge_pair(syms, a, b)
     return syms
 
 
@@ -409,11 +536,54 @@ def segment_words(
     words: DataFrame,
     merges: list[tuple[str, str]],
     word_col: str = "word",
+    method: str = "auto",
 ) -> DataFrame:
     """Apply a learned merge list to segment words (tokenization-time
-    path): chars + end-of-word, then each merge in learned order. The
-    merge list is folded into the plan as successive projections — one
-    scan of the input, no shuffles."""
+    path): chars + end-of-word, then each merge in learned order.
+
+    ``method`` picks the physical form (``'jvm'`` == ``'py'`` is
+    pytest-pinned):
+
+    - ``'jvm'``: the merge list folds into the plan as successive
+      whole-stage-codegen projections — one scan, no shuffles, no
+      Python. Right for short merge lists, but each merge adds a
+      projection LAYER, and a deep stack of nested aggregate() HOFs is
+      pathological for Catalyst re-analysis (measured ~30 s/action at
+      depth 12 once a Generate inlines it) — a 1024-merge tokenizer
+      would not even plan.
+    - ``'py'``: one Arrow-batched ``mapInPandas`` applying the same
+      greedy fold per word (:func:`_merge_pair`) — plan depth is
+      constant in the merge count, so realistic (32k-merge) tokenizers
+      segment in one pass. Python cost stays vocabulary-sized because
+      every caller feeds distinct words.
+    - ``'auto'``: ``'jvm'`` for <= 48 merges, ``'py'`` beyond.
+    """
+    if method == "auto":
+        method = "jvm" if len(merges) <= 48 else "py"
+    if method == "py":
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        base = [f for f in words.schema.fields if f.name != "symbols"]
+        out_schema = StructType(
+            [*base, StructField("symbols", ArrayType(StringType(), False), False)]
+        )
+        cols = [f.name for f in base]
+        bm = words.sparkSession.sparkContext.broadcast(
+            [tuple(m) for m in merges]
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            merges_ = bm.value
+            for pdf in batches:
+                res = pdf[cols].copy()
+                res["symbols"] = [
+                    _py_apply_merges(w, merges_) for w in pdf[word_col]
+                ]
+                yield res
+
+        return words.mapInPandas(gen, out_schema)
     out = words.withColumn(
         "symbols",
         F.concat(F.split(F.col(word_col), ""), F.array(F.lit(_EOW))),

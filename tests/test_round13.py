@@ -1,0 +1,137 @@
+"""Round-13 tests: driver-fold BPE training (VERDICT r12 directive #3),
+py-fold segmentation parity, deep-merge encode, and the era-gate audit
+trail (directive #7)."""
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _toy_corpus(spark, seed=13, n_words=400, n_docs=150):
+    rng = random.Random(seed)
+    alpha = "abcdefgh"
+    words = [
+        "".join(rng.choices(alpha, k=rng.randint(2, 10))) for _ in range(n_words)
+    ]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randint(0, 25))))
+        for i in range(n_docs)
+    ]
+    docs[3] = (3, "")  # empty doc must survive every path
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_learn_bpe_driver_matches_distributed(spark):
+    """Directive #3 done-criterion: merge-list parity (==) between the
+    driver incremental fold and the sequential distributed loop, plus
+    final-vocabulary parity. The toy corpus is tie-rich (8-char
+    alphabet), so the lexicographic tie-break is genuinely exercised."""
+    from ezdata_spark.operators.bpe import learn_bpe
+
+    df = _toy_corpus(spark, seed=31, n_words=60, n_docs=40)
+    m_dist, v_dist = learn_bpe(df, n_merges=14, method="distributed")
+    m_drv, v_drv = learn_bpe(df, n_merges=14, method="driver")
+    assert m_drv == m_dist
+    assert len(m_dist) == 14
+    d1 = {r.word: (list(r.symbols), r["count"]) for r in v_dist.collect()}
+    d2 = {r.word: (list(r.symbols), r["count"]) for r in v_drv.collect()}
+    assert d1 == d2
+
+
+def test_learn_bpe_auto_picks_driver_within_budget(spark):
+    """auto == driver when the distinct-word count fits
+    max_driver_vocab, and falls back to the distributed loop when it
+    does not (forced with max_driver_vocab=1)."""
+    from ezdata_spark.operators.bpe import learn_bpe
+
+    df = _toy_corpus(spark, seed=7, n_words=50, n_docs=30)
+    m_auto, _ = learn_bpe(df, n_merges=6)  # default auto
+    m_drv, _ = learn_bpe(df, n_merges=6, method="driver")
+    m_forced, _ = learn_bpe(df, n_merges=6, max_driver_vocab=1)
+    assert m_auto == m_drv == m_forced
+
+
+def test_learn_bpe_driver_deep_merges_encode_matches_python(spark):
+    """A realistic-scale merge count (1024) trains through the driver
+    fold and the resulting tokenizer encodes the corpus — via the
+    constant-plan-depth py segmentation path — identically to a
+    pure-Python BPE reference (ids = lexicographic over the segmented
+    inventory, empty docs -> empty arrays)."""
+    from ezdata_spark.operators.bpe import (
+        _py_apply_merges,
+        encode_corpus,
+        learn_bpe,
+    )
+    from ezdata_spark.operators.textstats import tokens
+
+    df = _toy_corpus(spark, seed=13)
+    merges, _ = learn_bpe(df, n_merges=1024, method="driver")
+    assert len(merges) > 48  # deep enough to force segment_words 'py'
+    got = {r.doc_id: list(r.token_ids) for r in encode_corpus(df, merges).collect()}
+
+    tokrows = {
+        r.doc_id: list(r.w)
+        for r in df.select("doc_id", tokens("text").alias("w")).collect()
+    }
+    distinct_words = {w for ws in tokrows.values() for w in ws}
+    sid = {
+        s: i
+        for i, s in enumerate(
+            sorted({s for w in distinct_words for s in _py_apply_merges(w, merges)})
+        )
+    }
+    want = {
+        d: [sid[s] for w in ws for s in _py_apply_merges(w, merges)]
+        for d, ws in tokrows.items()
+    }
+    assert got == want
+    assert got[3] == []
+
+
+def test_segment_words_py_equals_jvm(spark):
+    """The constant-depth mapInPandas segmentation == the stacked-
+    projection JVM fold, word for word, on randomized input."""
+    from ezdata_spark.operators.bpe import learn_bpe, segment_words
+
+    df = _toy_corpus(spark, seed=5, n_words=80, n_docs=40)
+    merges, _ = learn_bpe(df, n_merges=12, method="driver")
+    rng = random.Random(99)
+    new = spark.createDataFrame(
+        [
+            ("".join(rng.choices("abcdefghij", k=rng.randint(1, 12))),)
+            for _ in range(200)
+        ],
+        "word string",
+    ).distinct()
+    jvm = {r.word: list(r.symbols) for r in segment_words(new, merges, method="jvm").collect()}
+    py = {r.word: list(r.symbols) for r in segment_words(new, merges, method="py").collect()}
+    assert jvm == py
+
+
+def test_era_gate_audit_trail():
+    """Directive #7: the normalized-bench judgments cannot be silently
+    loosened by an era bump — era_basket >= the original gate_basket,
+    every era bump carries dated idle evidence, and drift is always
+    reported against the ORIGINAL gate basket."""
+    import bench
+
+    with open("BASELINE_QUERIES.json") as fh:
+        doc = json.load(fh)
+    assert doc["era_basket"] >= doc["gate_basket"]
+    # the original recording-era basket is pinned; rebasing it is the
+    # silent-ratchet failure mode this test exists to catch
+    assert doc["gate_basket"] == 1.311
+    if doc["era_basket"] != doc["gate_basket"]:
+        ev = doc.get("era_evidence")
+        assert ev, "era_basket changed without era_evidence"
+        assert ev.get("date") and ev.get("idle_baskets"), ev
+        assert len(ev["idle_baskets"]) >= 2
+    # bench.py must compute basket drift against the ORIGINAL gate
+    # basket (source-level pin: the drift line divides by gate_basket)
+    import inspect
+
+    src = inspect.getsource(bench)
+    assert "basket_vs_baseline" in src
+    assert 'doc["gate_basket"]' in src or "gate_basket" in src
