@@ -3167,6 +3167,41 @@ def q158(spark, sf_dir):
     )
 
 
+@query("z159_bpe_tokenizer_reload")
+def q159(spark, sf_dir):
+    """Durable BPE tokenizer artifact round-trip (operators/
+    ann_index.py::save_bpe_tokenizer / load_bpe_tokenizer) — the
+    train-once/encode-forever shape, exactly the z143/z144 pattern for
+    ANN/MinHash artifacts: train on the history partition, persist the
+    ordered merge list + unk contract in the JSON sidecar and the
+    frozen (symbol, token_id) inventory as the parquet frame, RELOAD
+    from disk, and encode the NEW shard with the loaded artifact via
+    the stateless stream kernel (novel symbols -> the sidecar's
+    unk_id). Rows-only (iterative merge learning is not
+    SQL-expressible); tests/test_round12.py pins reload==in-session
+    encode equality. The artifact lands at the deterministic _rt_path
+    scratch dir (mode overwrite) — bench reps and the oracle gate
+    re-run queries many times per session."""
+    from .operators.ann_index import load_bpe_tokenizer, save_bpe_tokenizer
+    from .operators.bpe import bpe_vocab_ids, encode_stream, learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    hist = docs.filter(F.col("doc_id") <= mid)
+    shard = docs.filter(F.col("doc_id") > mid)
+    merges, vocab = learn_bpe(hist, n_merges=16)
+    path = _rt_path("bpe", "z159_tokenizer")
+    save_bpe_tokenizer(path, merges, bpe_vocab_ids(vocab), unk_id=-1)
+    lmerges, lids, params = load_bpe_tokenizer(spark, path)
+    out = encode_stream(shard, lmerges, lids, unk_id=params["unk_id"])
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.slice("token_ids", 1, 8).alias("head_ids"),
+        F.array_contains("token_ids", params["unk_id"]).alias("has_unk"),
+    )
+
+
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
     """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:

@@ -135,3 +135,27 @@ def test_era_gate_audit_trail():
     src = inspect.getsource(bench)
     assert "basket_vs_baseline" in src
     assert 'doc["gate_basket"]' in src or "gate_basket" in src
+
+
+def test_z159_tokenizer_reload_equals_in_session(spark):
+    """Directive #6: the durable BPE tokenizer artifact is exercised
+    across a real path boundary by a driver catalog row, and the
+    reloaded artifact encodes the shard identically to the in-session
+    tokenizer (z158's frame)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert "z159_bpe_tokenizer_reload" in qs
+    a = {
+        r.doc_id: (list(r.head_ids), r.n_tokens, r.has_unk)
+        for r in qs["z159_bpe_tokenizer_reload"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    b = {
+        r.doc_id: (list(r.head_ids), r.n_tokens, r.has_unk)
+        for r in qs["z158_bpe_encode_frozen"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert a and a == b
