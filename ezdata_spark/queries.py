@@ -3107,8 +3107,15 @@ def q156(spark, sf_dir):
     left = emb.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
+    # nprobe=8 (r13): the measured operating point on the recall/nprobe
+    # curve (SCALE.md) — recall@10 0.765 at sf0.1 vs 0.62 at the r12
+    # nprobe=4 row, probe cost flat at fixture scale. The fixture's
+    # near-random synthetic embeddings have no sharp knee (recall rises
+    # ~linearly with nprobe/n_cells because true neighbors spread
+    # across cells); 8/16 pins a mid-curve production ratio rather than
+    # the bottom of the curve.
     return knn_join(
-        left, frame, cents, k=10, nprobe=4, round_ndigits=6,
+        left, frame, cents, k=10, nprobe=8, round_ndigits=6,
         pq_codebooks=cb, pq_oversample=8, rescore="cogroup",
     )
 

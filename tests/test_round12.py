@@ -268,18 +268,21 @@ def test_z156_probe_recall_and_bucketed_equality(spark):
     want = sorted(
         (r.doc_id, r.vec_id, r.cosine, r.rank)
         for r in knn_join(
-            left, ivf_pq_encode(indexed, cb), cents, k=10, nprobe=4,
+            left, ivf_pq_encode(indexed, cb), cents, k=10, nprobe=8,
             round_ndigits=6, pq_codebooks=cb, pq_oversample=8,
             rescore="cogroup",
         ).collect()
     )
     assert got == want
-    # (a) recall@10 vs brute force: nprobe=4/16 on this fixture
+    # (a) recall@10 vs brute force at the chosen operating point
+    # (nprobe=8/16, r13): the idle curve measured 0.792 at sf0.01 /
+    # 0.765 at sf0.1 (SCALE.md "z156 recall/nprobe curve"); floor 0.75
+    # guards the point with a small noise margin
     qs = left.select(F.col("doc_id").alias("qid"), "embedding")
     exact = cosine_topk(emb, qs, k=10)
     approx = probe.select(F.col("doc_id").alias("qid"), "vec_id")
     rec = topk_recall(approx, exact).agg(F.avg("recall")).first()[0]
-    assert rec >= 0.5, f"mean recall@10 {rec:.3f} below floor"
+    assert rec >= 0.75, f"mean recall@10 {rec:.3f} below floor"
 
 
 def test_z156_reuses_persisted_index(spark):
