@@ -188,6 +188,7 @@ def learn_bpe(
     checkpoint_every: int = 8,
     method: str = "auto",
     max_driver_vocab: int = 2_000_000,
+    overflow: str = "distributed",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     (ordered merge list, final segmented vocabulary frame).
@@ -214,14 +215,61 @@ def learn_bpe(
       and one projection layer PER MERGE, so right for vocabularies
       too large to collect but capped in practice at n_merges~O(100s).
     - ``'auto'``: ``'driver'`` when the distinct-word count fits
-      ``max_driver_vocab``, else ``'distributed'``.
+      ``max_driver_vocab``, else ``overflow``.
 
-    Both methods return the same (merge list, segmented vocabulary)
-    bit-for-bit; parity is pytest-pinned.
+    ``overflow`` picks the policy when the vocabulary EXCEEDS
+    ``max_driver_vocab`` under ``'auto'``:
+
+    - ``'distributed'`` (default): the exact loop above — right when
+      the merge count is small enough to afford per-merge round-trips.
+    - ``'prune'``: train the driver fold on the ``max_driver_vocab``
+      HIGHEST-COUNT words (deterministic distributed top-k: count
+      desc, word asc) — what sentencepiece/subword-nmt do with their
+      frequency threshold. The dropped tail is singleton-heavy
+      (typos, URLs, ids) and contributes negligible pair mass, so the
+      learned merges track the full-vocabulary sequence closely
+      (agreement measured and pinned on a fixture, NOT exact parity —
+      this is the documented approximation that makes realistic merge
+      counts reachable at web-scale type counts where neither exact
+      path can: >budget types AND >O(100s) merges). Batched
+      distributed merge rounds were considered and rejected: a
+      symbol-disjoint batch rule degenerates to length 1-2 on natural
+      corpora because the top pairs share high-frequency symbols
+      ((t,h),(h,e),(e,_)...), so the round-trip count barely drops.
+      Under ``'prune'`` the returned segmented frame covers the
+      RETAINED vocabulary only; freezing ids from it maps symbols
+      seen only in dropped-tail words to ``unk_id`` at encode time —
+      the sentencepiece rare-symbol contract. (``encode_corpus``
+      without an explicit ``token_ids`` is unaffected: it derives the
+      inventory from the encoded corpus's own distinct words.)
+
+    ``'driver'`` and ``'distributed'`` return the same (merge list,
+    segmented vocabulary) bit-for-bit; parity is pytest-pinned.
     """
     vocab = build_word_vocab(docs, text).localCheckpoint(eager=True)
     if method == "auto":
-        method = "driver" if vocab.count() <= max_driver_vocab else "distributed"
+        if vocab.count() <= max_driver_vocab:
+            method = "driver"
+        elif overflow == "prune":
+            from .window import global_row_id
+
+            # deterministic top-k without a single-partition global
+            # sort: range-partitioned 0-based rank on (count desc,
+            # word asc) via a negated-count sort key, then keep ranks
+            # within budget
+            ranked = global_row_id(
+                vocab.withColumn("_negcount", -F.col("count")),
+                ["_negcount", "word"],
+                "_rk",
+            )
+            vocab = (
+                ranked.filter(F.col("_rk") < max_driver_vocab)
+                .drop("_rk", "_negcount")
+                .localCheckpoint(eager=True)
+            )
+            method = "driver"
+        else:
+            method = "distributed"
     if method == "driver":
         rows = vocab.select("word", "count", "symbols").collect()
         # start from the JVM-derived symbols so char splitting is

@@ -159,3 +159,38 @@ def test_z159_tokenizer_reload_equals_in_session(spark):
         ).collect()
     }
     assert a and a == b
+
+
+def test_learn_bpe_overflow_prune(spark):
+    """When the vocabulary exceeds max_driver_vocab, overflow='prune'
+    trains the driver fold on the highest-count words (deterministic
+    top-k) — the sentencepiece frequency-threshold contract. Pinned:
+    deterministic across calls, and the learned merges track the
+    full-vocabulary sequence closely on a Zipf-ish fixture (the
+    dropped tail here carries ~12% of token mass — far heavier than a
+    real web tail relative to a 2M budget, so this floor is
+    conservative)."""
+    from ezdata_spark.operators.bpe import learn_bpe
+
+    rng = random.Random(13)
+    alpha = "abcdefgh"
+    head = ["".join(rng.choices(alpha, k=rng.randint(2, 8))) for _ in range(120)]
+    tail = ["".join(rng.choices(alpha, k=rng.randint(2, 8))) for _ in range(600)]
+    docs = []
+    for i in range(400):
+        ws = rng.choices(head, k=15) + [tail[(3 * i + j) % 600] for j in range(2)]
+        docs.append((i, " ".join(ws)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    m_full, _ = learn_bpe(df, n_merges=60, method="driver")
+    m_pruned, _ = learn_bpe(df, n_merges=60, max_driver_vocab=150, overflow="prune")
+    m_pruned2, _ = learn_bpe(df, n_merges=60, max_driver_vocab=150, overflow="prune")
+    assert m_pruned == m_pruned2  # deterministic top-k + fold
+    assert len(m_pruned) == 60
+    shared = len(set(m_full) & set(m_pruned))
+    assert shared >= 50, f"only {shared}/60 merges shared with full training"
+    # default overflow stays the exact distributed loop (no silent
+    # behavior change): auto with a tiny budget must NOT prune
+    m_dist, _ = learn_bpe(df, n_merges=4, max_driver_vocab=150)
+    m_seq, _ = learn_bpe(df, n_merges=4, method="distributed")
+    assert m_dist == m_seq
