@@ -4826,6 +4826,17 @@ def q50b(spark, sf_dir):
     indexed, cents = ivf_index(emb, n_cells=n_cells)
     cb = pq_train(emb, m=16, k=256)
     enc = ivf_pq_encode(indexed, cb)
+    # shard_corpus deliberately stays 1 (r13, measured): sharding the
+    # 8-cell cogroup 4x was hypothesized to fix this row's ambient
+    # hypersensitivity (8-way parallelism on a 32-thread host) but an
+    # idle A/B read the sharded join SLOWER (4.3 s vs 3.0 s — fan-out
+    # overhead dominates at 60k rows), and the row's stage split is
+    # ivf_index 2.0 / pq_train 2.4 / join 3.0 s: over half the row is
+    # per-rep TRAINING, which is numpy + driver-scheduled jobs — a
+    # work class the JVM-only bench basket does not normalize. That is
+    # WHY this row drifts against the basket; z156 (build-once
+    # amortized, bucketed) is the drift row that tracks the production
+    # probe path. Full decomposition in BASELINE.md round 13.
     return knn_join(
         left, enc, cents, k=5, nprobe=n_cells, round_ndigits=6,
         pq_codebooks=cb, pq_oversample=10, rescore="cogroup",
