@@ -378,6 +378,8 @@ def ivf_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     assign: str = "auto",
+    trainer: str = "mllib",
+    sample_rows: int = 100_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantization: KMeans centroids (trained on a sample),
     each corpus vector assigned to its nearest cell.
@@ -394,20 +396,45 @@ def ivf_index(
     that at ~1.3M mult/s/core, so at 256 cells x 64 dims the numpy path
     is ~50x faster (measured 315 s -> 7 s for 3M rows). ``'auto'``
     (default) picks numpy when n_cells * dim >= 2048.
+
+    ``trainer`` picks where the centroid FIT runs (assignment is
+    always distributed):
+
+    - ``'mllib'`` (default): distributed KMeans on the (sampled)
+      frame. Tens of driver-scheduled jobs per fit — fine amortized,
+      but per-call latency is scheduler-bound, and it is overkill for
+      a coarse quantizer that FAISS-style designs train on a bounded
+      sample anyway.
+    - ``'driver'``: :func:`_lloyd` on the :func:`_train_sample`
+      hash-ordered deterministic sample (``sample_rows`` cap) — the
+      exact machinery pq_train already uses; zero Spark jobs beyond
+      the one sample collect (measured: q50b's per-call build drops
+      ~4x). Centroids differ from mllib's (different algorithm, both
+      deterministic); under FULL probing downstream results are
+      provably cell-independent, and approximate-probe recall is a
+      property to re-measure per deployment, same as any retrain.
+
     Returns (indexed_corpus, centroids).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if trainer == "driver":
+        X = _train_sample(df, vec, seed, sample_fraction, sample_rows)
+        if X.size == 0:
+            raise ValueError("ivf_index: empty training sample")
+        centroids = _lloyd(X, n_cells, 20, seed)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    # sample BEFORE the normalize projection: Catalyst does not commute
-    # Sample below Project, so sampling the normalized frame evaluates
-    # the per-row dot + divides for EVERY corpus row just to keep 1/N
-    # of them — sampling the raw frame first normalizes only kept rows
-    src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
-    train = normalize(src, vec, "v").select("v")
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features")
-    model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
-    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+        # sample BEFORE the normalize projection: Catalyst does not
+        # commute Sample below Project, so sampling the normalized
+        # frame evaluates the per-row dot + divides for EVERY corpus
+        # row just to keep 1/N of them — sampling the raw frame first
+        # normalizes only kept rows
+        src = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+        train = normalize(src, vec, "v").select("v")
+        km = KMeans(k=n_cells, seed=seed, featuresCol="features")
+        model = km.fit(train.select(array_to_vector(F.col("v")).alias("features")))
+        centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
     raw = _fan_out(df).select(id_col, F.col(vec).alias("rawv"))
     dim = len(centroids[0])
     if assign == "numpy" or (assign == "auto" and n_cells * dim >= 2048):

@@ -194,3 +194,41 @@ def test_learn_bpe_overflow_prune(spark):
     m_dist, _ = learn_bpe(df, n_merges=4, max_driver_vocab=150)
     m_seq, _ = learn_bpe(df, n_merges=4, method="distributed")
     assert m_dist == m_seq
+
+
+def test_ivf_trainer_driver_full_probe_equality(spark):
+    """ivf_index(trainer='driver') — numpy Lloyd on the hash-ordered
+    driver sample — yields bit-identical knn_join results to the mllib
+    trainer under FULL probing (cell assignment only affects grouping:
+    the candidate cut is a global top-K over (negadc/cosine, rid)),
+    for both the raw and PQ paths, and is deterministic across calls."""
+    from ezdata_spark.operators.similarity import (
+        ivf_index, ivf_pq_encode, knn_join, pq_train,
+    )
+    from ezdata_spark.queries import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    left = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cb = pq_train(emb, m=8, k=16)
+
+    def run(trainer, pq):
+        indexed, cents = ivf_index(emb, n_cells=4, trainer=trainer)
+        corpus = ivf_pq_encode(indexed, cb) if pq else indexed
+        kw = dict(pq_codebooks=cb, pq_oversample=10, rescore="cogroup") if pq else {}
+        return sorted(
+            (r.doc_id, r.vec_id, r.cosine, r.rank)
+            for r in knn_join(
+                left, corpus, cents, k=5, nprobe=4, round_ndigits=6, **kw
+            ).collect()
+        )
+
+    for pq in (False, True):
+        a = run("mllib", pq)
+        b = run("driver", pq)
+        b2 = run("driver", pq)
+        assert a == b, f"pq={pq}: trainer changed full-probe results"
+        assert b == b2, f"pq={pq}: driver trainer not deterministic"
