@@ -285,9 +285,14 @@ def learn_bpe(
                 "symbols": [syms for syms, _ in words],
             }
         )
+        # localCheckpoint: the created frame is driver-LOCAL data —
+        # without the cut, every downstream job (bpe_vocab_ids alone
+        # runs two) re-ships the up-to-2M-row vocabulary from the
+        # driver; checkpointed it becomes cluster-resident like the
+        # distributed path's return
         out = docs.sparkSession.createDataFrame(
             pdf, schema="word string, count bigint, symbols array<string>"
-        )
+        ).localCheckpoint(eager=True)
         return merges, out
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
@@ -524,12 +529,17 @@ _STREAM_CACHE_MAX_WORDS = 1_000_000
 _STREAM_CACHE_KEYS = itertools.count()
 
 
-def _stream_word_cache(broadcast_id: int) -> dict:
-    got = _STREAM_CACHES.get(broadcast_id)
+def _stream_word_cache(cache_key: int) -> dict:
+    got = _STREAM_CACHES.get(cache_key)
     if got is None:
-        if len(_STREAM_CACHES) > 8:  # stale tokenizers from ended jobs
-            _STREAM_CACHES.clear()
-        got = _STREAM_CACHES[broadcast_id] = {}
+        # bound the number of live caches by evicting OLDEST-first
+        # (dict preserves insertion order): a worker that has served
+        # many tokenizers frees finished jobs' caches as new ones
+        # arrive, and a still-running old stream only loses ITS cache
+        # (graceful re-segmentation), never every stream's at once
+        while len(_STREAM_CACHES) >= 8:
+            _STREAM_CACHES.pop(next(iter(_STREAM_CACHES)))
+        got = _STREAM_CACHES[cache_key] = {}
     return got
 
 
@@ -650,14 +660,34 @@ def segment_words(
     if method == "py":
         from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-        base = [f for f in words.schema.fields if f.name != "symbols"]
-        out_schema = StructType(
-            [*base, StructField("symbols", ArrayType(StringType(), False), False)]
-        )
-        cols = [f.name for f in base]
+        # symbols replaces any existing column IN PLACE (else appends),
+        # so 'py' and 'jvm' agree on column ORDER as well as content —
+        # positional consumers must not see a different shape when the
+        # auto threshold flips the method
+        sym_field = StructField("symbols", ArrayType(StringType()), True)
+        fields = [
+            sym_field if f.name == "symbols" else f for f in words.schema.fields
+        ]
+        if "symbols" not in {f.name for f in fields}:
+            fields.append(sym_field)
+        out_schema = StructType(fields)
+        cols = [f.name for f in fields if f.name != "symbols"]
         bm = words.sparkSession.sparkContext.broadcast(
             [tuple(m) for m in merges]
         )
+        order = [f.name for f in fields]
+
+        def seg(w, merges_):
+            # JVM-exact edge semantics (pytest-pinned): NULL word ->
+            # NULL symbols (split(NULL) is NULL); empty word ->
+            # ['', '</w>'] (Spark split('', '') yields [''], unlike
+            # Python's [*''] == [])
+            if w is None or w != w:  # None / pandas NaN
+                return None
+            syms = ([""] if w == "" else [*w]) + [_EOW]
+            for a, b in merges_:
+                syms = _merge_pair(syms, a, b)
+            return syms
 
         def gen(batches):
             import pandas as pd
@@ -665,10 +695,8 @@ def segment_words(
             merges_ = bm.value
             for pdf in batches:
                 res = pdf[cols].copy()
-                res["symbols"] = [
-                    _py_apply_merges(w, merges_) for w in pdf[word_col]
-                ]
-                yield res
+                res["symbols"] = [seg(w, merges_) for w in pdf[word_col]]
+                yield res[order]
 
         return words.mapInPandas(gen, out_schema)
     out = words.withColumn(

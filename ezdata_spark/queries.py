@@ -3211,12 +3211,16 @@ def q159(spark, sf_dir):
 
 @query("q96_bpe_vocab")
 def q96(spark, sf_dir):
-    """Distributed BPE merge learning (arXiv:1508.07909) on the corpus:
-    one corpus pass builds the weighted word vocabulary; each of the 20
-    merge rounds is vocabulary-sized (pair-count aggregate + 1-row
-    collect + merge fold). Rows-only: the iterative argmax loop is not
-    SQL-expressible; pytest pins merges + segmentation to a pure-Python
-    reference."""
+    """BPE merge learning (arXiv:1508.07909) on the corpus via the
+    production default path: one DISTRIBUTED corpus pass builds the
+    weighted word vocabulary; the merge loop then runs wherever
+    ``method='auto'`` routes it — here the driver incremental-pair
+    fold (r13), since the fixture's type count is far under the 2M
+    budget; the per-merge distributed loop remains the
+    large-vocabulary fallback and is merge-for-merge parity-pinned by
+    tests/test_round13.py. Rows-only: the iterative argmax loop is not
+    SQL-expressible; pytest pins merges + segmentation to a
+    pure-Python reference."""
     from .operators.bpe import learn_bpe
 
     docs = load(spark, sf_dir, "documents")

@@ -98,16 +98,32 @@ def test_segment_words_py_equals_jvm(spark):
     df = _toy_corpus(spark, seed=5, n_words=80, n_docs=40)
     merges, _ = learn_bpe(df, n_merges=12, method="driver")
     rng = random.Random(99)
-    new = spark.createDataFrame(
-        [
-            ("".join(rng.choices("abcdefghij", k=rng.randint(1, 12))),)
-            for _ in range(200)
-        ],
-        "word string",
-    ).distinct()
-    jvm = {r.word: list(r.symbols) for r in segment_words(new, merges, method="jvm").collect()}
-    py = {r.word: list(r.symbols) for r in segment_words(new, merges, method="py").collect()}
+    rows = [
+        ("".join(rng.choices("abcdefghij", k=rng.randint(1, 12))),)
+        for _ in range(200)
+    ]
+    # JVM-exact edge semantics must survive the py path too: NULL word
+    # -> NULL symbols, empty word -> ['', '</w>'] (Spark split('','')
+    # yields [''], unlike Python's [*''])
+    rows += [("",), (None,)]
+    new = spark.createDataFrame(rows, "word string").distinct()
+    jvm = {
+        r.word: (list(r.symbols) if r.symbols is not None else None)
+        for r in segment_words(new, merges, method="jvm").collect()
+    }
+    py = {
+        r.word: (list(r.symbols) if r.symbols is not None else None)
+        for r in segment_words(new, merges, method="py").collect()
+    }
     assert jvm == py
+    assert jvm[""] is not None and jvm[None] is None
+    # column ORDER parity for frames that already carry symbols
+    wide = segment_words(new, merges[:2], method="jvm").withColumn(
+        "extra", F.lit(1)
+    )
+    a = segment_words(wide, merges, method="jvm").columns
+    b = segment_words(wide, merges, method="py").columns
+    assert a == b
 
 
 def test_era_gate_audit_trail():
@@ -117,8 +133,7 @@ def test_era_gate_audit_trail():
     reported against the ORIGINAL gate basket."""
     import bench
 
-    with open("BASELINE_QUERIES.json") as fh:
-        doc = json.load(fh)
+    doc = bench.load_baseline_map()  # cwd-independent, same loader bench uses
     assert doc["era_basket"] >= doc["gate_basket"]
     # the original recording-era basket is pinned; rebasing it is the
     # silent-ratchet failure mode this test exists to catch
@@ -128,13 +143,23 @@ def test_era_gate_audit_trail():
         assert ev, "era_basket changed without era_evidence"
         assert ev.get("date") and ev.get("idle_baskets"), ev
         assert len(ev["idle_baskets"]) >= 2
-    # bench.py must compute basket drift against the ORIGINAL gate
-    # basket (source-level pin: the drift line divides by gate_basket)
-    import inspect
-
-    src = inspect.getsource(bench)
-    assert "basket_vs_baseline" in src
-    assert 'doc["gate_basket"]' in src or "gate_basket" in src
+    # behavioral pin (not a source grep): basket_vs_baseline must be
+    # computed against gate_basket, NOT era_basket — feed a map where
+    # the two differ and check which divisor the drift used
+    fake = {
+        "gate_basket": 1.0,
+        "gate_ratio": 1.25,
+        "era_basket": 2.0,
+        "era_ratio": 1.15,
+        "queries": {"q": {"sec": 1.0, "basket": 1.0}},
+    }
+    _, drift, gate_ok = bench.normalize_vs_baseline({"q": 3.0}, 3.0, fake)
+    assert drift == 3.0, "basket_vs_baseline must divide by gate_basket"
+    # ...while the canonicality gate anchors to era_basket * era_ratio
+    # (3.0 > 2.0 * 1.15 -> not canonical), independent of the drift
+    assert gate_ok is False
+    _, _, gate_ok2 = bench.normalize_vs_baseline({"q": 2.2}, 2.2, fake)
+    assert gate_ok2 is True  # 2.2 <= 2.3 era bound though 2.2 > 1.25 gate
 
 
 def test_z159_tokenizer_reload_equals_in_session(spark):
