@@ -257,3 +257,65 @@ def test_ivf_trainer_driver_full_probe_equality(spark):
         b2 = run("driver", pq)
         assert a == b, f"pq={pq}: trainer changed full-probe results"
         assert b == b2, f"pq={pq}: driver trainer not deterministic"
+
+
+def test_segment_words_parity_non_bmp(spark):
+    """Unicode durability: Spark's split(w, '') splits CODE POINTS
+    (surrogate pairs stay whole — verified, not assumed), matching
+    Python's [*w], so jvm == py holds for emoji / CJK / combining
+    marks, not just ascii."""
+    from ezdata_spark.operators.bpe import learn_bpe, segment_words
+
+    train = spark.createDataFrame(
+        [(0, "a\U0001F600b a\U0001F600b ab"), (1, "日本語 ab ab")],
+        "doc_id long, text string",
+    )
+    merges, _ = learn_bpe(train, n_merges=6, method="driver")
+    words = spark.createDataFrame(
+        [("a\U0001F600b",), ("日本語",), ("étude",), ("ab",)],
+        "word string",
+    )
+    jvm = {r.word: list(r.symbols) for r in segment_words(words, merges, method="jvm").collect()}
+    py = {r.word: list(r.symbols) for r in segment_words(words, merges, method="py").collect()}
+    assert jvm == py
+    # the emoji survives as an intact code point in the segmentation
+    # (never split into surrogate halves) on BOTH paths
+    assert "\U0001F600" in "".join(jvm["a\U0001F600b"])
+    assert all("\ud800" > ch or ch > "\udfff" for s in jvm["a\U0001F600b"] for ch in s)
+
+
+def test_train_bpe_driver_fuzz_vs_recount_reference():
+    """Pure-Python fuzz: the incremental-pair-count trainer (heap +
+    subtract/rebuild/add updates) must equal a naive reference that
+    RECOUNTS every pair from scratch each round (the distributed
+    loop's semantics) — 60 randomized vocabularies, including
+    repeated-symbol words that exercise the greedy non-re-entrant
+    fold and tie-heavy tiny alphabets."""
+    from ezdata_spark.operators.bpe import _merge_pair, _train_bpe_driver
+
+    def reference(words, n_merges):
+        words = [(list(s), c) for s, c in words]
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, cnt in words:
+                for p in zip(syms, syms[1:]):
+                    counts[p] = counts.get(p, 0) + cnt
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            words = [(_merge_pair(s, *best), c) for s, c in words]
+        return merges
+
+    rng = random.Random(1337)
+    for case in range(60):
+        alpha = "ab" if case % 3 == 0 else "abcd"
+        vocab = []
+        for _ in range(rng.randint(1, 25)):
+            w = "".join(rng.choices(alpha, k=rng.randint(1, 9)))
+            vocab.append(([*w, "</w>"], rng.randint(1, 5)))
+        n_merges = rng.randint(1, 30)
+        want = reference([(list(s), c) for s, c in vocab], n_merges)
+        got = _train_bpe_driver([(list(s), c) for s, c in vocab], n_merges)
+        assert got == want, (case, got, want)
