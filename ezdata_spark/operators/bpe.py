@@ -1,16 +1,23 @@
-"""Distributed BPE merge learning — tokenizer training on-cluster.
+"""BPE tokenizer training and corpus-scale encode on-cluster.
 
 Classic byte-pair encoding (Sennrich et al. 2016, arXiv:1508.07909)
-learned the scale-correct way: the corpus is scanned ONCE to build the
-weighted distinct-word vocabulary (word, count); every merge round then
-operates on that vocabulary frame — vocabulary-sized work per round
-(web-scale: ~10^7-10^8 types, distributed fine), never corpus-sized.
-Pair counting is an explode + hash aggregate weighted by word count;
-the winning pair is a 1-row driver round-trip per merge (bounded by
-n_merges); applying a merge is a greedy left-to-right fold over each
-word's symbol array (interpreted HOF — vocabulary-sized input, so the
-per-element cost never touches corpus rows). Lineage is cut with
-localCheckpoint every few rounds so plans do not grow with merges.
+with the sentencepiece-shaped split of work: the corpus is scanned
+ONCE to build the weighted distinct-word vocabulary (word, count) —
+the only corpus-sized job — and the merge LOOP then runs wherever
+:func:`learn_bpe`'s ``method`` routes it. The default (``auto``) is
+the r13 driver fold for vocabularies within a 2M-type budget:
+incremental pair-count maintenance with a lazy-invalidation max-heap
+argmax, so realistic merge counts (1024-32k) train in seconds-to-
+minutes with exact merge-for-merge parity to the distributed loop
+(pytest-pinned). The distributed loop — vocabulary-sized pair-count
+aggregate + 1-row driver round-trip + one greedy-fold projection PER
+MERGE, lineage cut by localCheckpoint — remains the exact fallback
+for too-big-to-collect vocabularies at small merge counts, and
+``overflow='prune'`` (frequency-threshold top-k, the
+sentencepiece/subword-nmt contract) covers big-vocab AND deep-merge.
+Encoding (:func:`encode_corpus` / :func:`encode_stream`) is
+vocabulary-sized per distinct word with a broadcast-dict or
+corpus-join application and a frozen-inventory unk contract.
 """
 
 from __future__ import annotations
