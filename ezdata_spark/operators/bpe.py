@@ -252,8 +252,32 @@ def learn_bpe(
 
     ``'driver'`` and ``'distributed'`` return the same (merge list,
     segmented vocabulary) bit-for-bit; parity is pytest-pinned.
+
+    An explicit ``method='driver'`` is still budget-checked: the
+    (cheap, checkpointed) distinct-word count must fit
+    ``max_driver_vocab`` or a descriptive ValueError is raised instead
+    of a driver OOM — raise the budget deliberately to bypass it.
     """
+    if method not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"learn_bpe: unknown method {method!r} "
+            "(expected 'auto', 'driver', or 'distributed')"
+        )
+    if overflow not in ("distributed", "prune"):
+        raise ValueError(
+            f"learn_bpe: unknown overflow {overflow!r} "
+            "(expected 'distributed' or 'prune')"
+        )
     vocab = build_word_vocab(docs, text).localCheckpoint(eager=True)
+    if method == "driver":
+        n_types = vocab.count()
+        if n_types > max_driver_vocab:
+            raise ValueError(
+                f"learn_bpe: method='driver' would collect {n_types} "
+                f"distinct word types > max_driver_vocab={max_driver_vocab}; "
+                "raise max_driver_vocab explicitly, or use method='auto' "
+                "with overflow='prune'/'distributed'"
+            )
     if method == "auto":
         if vocab.count() <= max_driver_vocab:
             method = "driver"
@@ -383,6 +407,11 @@ def encode_corpus(
     """
     from .textstats import tokens
 
+    if method not in ("auto", "dict", "join"):
+        raise ValueError(
+            f"encode_corpus: unknown method {method!r} "
+            "(expected 'auto', 'dict', or 'join')"
+        )
     tok = docs.select(
         F.col(id_col), F.posexplode(tokens(text)).alias("pos", "word")
     )
@@ -508,10 +537,78 @@ def _merge_pair(syms: list[str], a: str, b: str) -> list[str]:
 
 def _py_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Pure-Python greedy merge application: chars + end-of-word, then
-    each merge in learned order via :func:`_merge_pair`."""
+    each merge in learned order via :func:`_merge_pair`. O(n_merges x
+    len) per word — the REFERENCE semantics; the encode kernels use
+    :func:`_py_apply_ranks` (cost independent of merge-list length)
+    whenever :func:`_rank_encode_exact` proves it bit-identical."""
     syms = [*word, _EOW]
     for a, b in merges:
         syms = _merge_pair(syms, a, b)
+    return syms
+
+
+def _rank_encode_exact(merges: list[tuple[str, str]]) -> bool:
+    """True iff merge-rank priority encoding (:func:`_py_apply_ranks`)
+    is PROVABLY bit-identical to sequential application
+    (:func:`_py_apply_merges`) for this merge list. The sufficient
+    condition is monotone construction: each pair's components exist
+    before its rank (base symbol — a single char, the empty string, or
+    the end-of-word marker — or the product of an earlier merge) and
+    each merge creates a DISTINCT, non-base symbol string. Then no
+    merge can (re)create a symbol participating in an earlier-rank
+    pair (new adjacencies always involve the newly created symbol,
+    which differs from every base symbol and every earlier product),
+    so both algorithms apply exactly the same greedy left-to-right
+    passes in the same strictly-increasing rank order. Trainer-learned
+    lists satisfy this by construction except in degenerate corpora
+    (two merge paths producing the same symbol string); the encode
+    kernels fall back to sequential application when this returns
+    False, so correctness never rests on the condition holding."""
+    created: set[str] = set()
+    for a, b in merges:
+        if not (len(a) <= 1 or a == _EOW or a in created):
+            return False
+        if not (len(b) <= 1 or b == _EOW or b in created):
+            return False
+        s = a + b
+        if len(s) <= 1 or s == _EOW or s in created:
+            return False
+        created.add(s)
+    return True
+
+
+def _merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """(a, b) -> learned rank, first occurrence winning."""
+    ranks: dict[tuple[str, str], int] = {}
+    for i, (a, b) in enumerate(merges):
+        ranks.setdefault((a, b), i)
+    return ranks
+
+
+def _py_apply_ranks(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Merge-RANK priority encoding — the sentencepiece/HF tokenizer
+    algorithm (r13 verdict directive #2): repeatedly apply the present
+    pair with the lowest learned rank, via the same greedy
+    left-to-right pass (:func:`_merge_pair`) as sequential
+    application. Cost is O(len^2) dict probes per word, INDEPENDENT of
+    the merge-list length — sequential application pays O(n_merges x
+    len), which at the 32k merge lists the r13 trainer produces is
+    ~1000x more symbol compares per distinct word. Bit-identical to
+    :func:`_py_apply_merges` whenever :func:`_rank_encode_exact`
+    holds (fuzz-pinned at 1024 learned merges by pytest)."""
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = p
+        if best is None:
+            break
+        syms = _merge_pair(syms, best[0], best[1])
     return syms
 
 
@@ -521,9 +618,18 @@ def _py_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
 # reused across Arrow batches AND tasks (spark.python.worker.reuse
 # default true), so a module-level cache amortizes the per-word greedy
 # fold across the executor's whole stream lifetime — the same pattern
-# as the decode caches in the media tier. Bounded by a full reset at
-# _STREAM_CACHE_MAX_WORDS (cheaper than per-hit LRU bookkeeping; with
-# Zipfian word draws the hot head repopulates in one batch).
+# as the decode caches in the media tier. Bounded by an APPROXIMATE
+# worker-wide BYTE budget (r13 advice: an entry-count bound lets a
+# many-core host serving several large-vocab tokenizers pin multiple
+# GB): each insert charges ~(220 + len(word) + 8*len(ids)) bytes —
+# CPython dict slot + str header + list-of-int-refs; the int objects
+# themselves are shared with the broadcast id inventory — and over
+# budget, whole OLDEST caches are evicted first (finished/idle
+# streams), then the current cache resets if it alone exceeds the
+# budget. The per-stream budget is configurable via
+# ``encode_stream(cache_budget_bytes=...)``; with concurrent streams
+# the effective worker bound is the largest configured budget (each
+# stream enforces its own number against the shared total).
 # Measured at the 3M-doc fixture (20 tokens/doc, 50-word vocab,
 # encode_stream batch mode, ABBA A/B, 4 reps/arm): executor-lifetime
 # median 3.09 s vs per-batch 3.39 s — a real but small ~9% win (3 of 4
@@ -532,8 +638,17 @@ def _py_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
 # a batch. The lifetime cache's advantage grows with vocabulary size,
 # where each fresh batch otherwise re-segments the long tail.
 _STREAM_CACHES: dict[int, dict] = {}
-_STREAM_CACHE_MAX_WORDS = 1_000_000
+_STREAM_CACHE_SIZES: dict[int, int] = {}
 _STREAM_CACHE_KEYS = itertools.count()
+_STREAM_CACHE_DEFAULT_BYTES = 256 << 20  # 256 MiB per worker process
+_STREAM_CACHE_MAX_LIVE = 8
+
+
+def _entry_bytes(word: str, ids: list) -> int:
+    # CPython estimate: dict slot (~100 B) + str header (~56 B +
+    # chars) + list header (~56 B + 8 B/element pointer); int objects
+    # are shared references into the broadcast inventory, not copies
+    return 220 + len(word) + 8 * len(ids)
 
 
 def _stream_word_cache(cache_key: int) -> dict:
@@ -544,10 +659,39 @@ def _stream_word_cache(cache_key: int) -> dict:
         # many tokenizers frees finished jobs' caches as new ones
         # arrive, and a still-running old stream only loses ITS cache
         # (graceful re-segmentation), never every stream's at once
-        while len(_STREAM_CACHES) >= 8:
-            _STREAM_CACHES.pop(next(iter(_STREAM_CACHES)))
+        while len(_STREAM_CACHES) >= _STREAM_CACHE_MAX_LIVE:
+            dead = next(iter(_STREAM_CACHES))
+            _STREAM_CACHES.pop(dead)
+            _STREAM_CACHE_SIZES.pop(dead, None)
         got = _STREAM_CACHES[cache_key] = {}
+        _STREAM_CACHE_SIZES[cache_key] = 0
     return got
+
+
+def _stream_cache_insert(
+    cache_key: int, cache: dict, word: str, ids: list, budget_bytes: int
+) -> None:
+    """Miss-path insert under the worker-wide approximate-byte budget
+    (hit-path cost is untouched — one dict get). Evicts whole OLDEST
+    caches first; resets the current cache only if it alone exceeds
+    the budget (rare full reset beats per-hit LRU bookkeeping; with
+    Zipfian word draws the hot head repopulates in one batch)."""
+    cache[word] = ids
+    _STREAM_CACHE_SIZES[cache_key] = _STREAM_CACHE_SIZES.get(
+        cache_key, 0
+    ) + _entry_bytes(word, ids)
+    while sum(_STREAM_CACHE_SIZES.values()) > budget_bytes:
+        victim = next(
+            (k for k in _STREAM_CACHES if k != cache_key), None
+        )
+        if victim is None:
+            break
+        _STREAM_CACHES.pop(victim, None)
+        _STREAM_CACHE_SIZES.pop(victim, None)
+    if _STREAM_CACHE_SIZES.get(cache_key, 0) > budget_bytes:
+        cache.clear()
+        cache[word] = ids
+        _STREAM_CACHE_SIZES[cache_key] = _entry_bytes(word, ids)
 
 
 def encode_stream(
@@ -557,6 +701,7 @@ def encode_stream(
     id_col: str = "doc_id",
     text: str = "text",
     unk_id: int = -1,
+    cache_budget_bytes: int = _STREAM_CACHE_DEFAULT_BYTES,
 ) -> DataFrame:
     """STREAMING BPE encode against a FROZEN tokenizer
     (:func:`ann_index.load_bpe_tokenizer`) — the ingest-time form of
@@ -565,14 +710,17 @@ def encode_stream(
     so it cannot use the batch path's corpus-wide distinct-word
     dedup or per-doc groupBy rebuild. Instead: JVM tokenization
     projection (byte-identical tokens to the batch path), then ONE
-    Arrow-batched ``mapInPandas`` whose kernel segments each word with
-    the pure-Python greedy merge fold (== the JVM fold, pytest-pinned)
-    under an executor-lifetime word cache (the streaming form of the
-    batch path's distinct-word amortization — see
-    :data:`_STREAM_CACHES` for the bound, keying, and the measured
-    3M-doc A/B vs the r12 per-batch cache) and resolves symbol ids from
-    the broadcast frozen inventory — novel symbols surface as
-    ``unk_id``, exactly like the batch path's frozen-id contract.
+    Arrow-batched ``mapInPandas`` whose kernel segments each word by
+    merge-RANK priority (:func:`_py_apply_ranks` — cost independent of
+    merge-list length, bit-identical to the sequential fold under the
+    :func:`_rank_encode_exact` precondition, else the exact sequential
+    fallback) under an executor-lifetime word cache (the streaming
+    form of the batch path's distinct-word amortization — see
+    :data:`_STREAM_CACHES` for the approximate-byte bound
+    (``cache_budget_bytes``), keying, and the measured 3M-doc A/B vs
+    the r12 per-batch cache) and resolves symbol ids from the
+    broadcast frozen inventory — novel symbols surface as ``unk_id``,
+    exactly like the batch path's frozen-id contract.
 
     Works identically on a batch frame, so one pipeline definition
     serves both modes; stream==batch is pytest-pinned.
@@ -602,22 +750,28 @@ def encode_stream(
     )
 
     key = next(_STREAM_CACHE_KEYS)
+    budget = int(cache_budget_bytes)
 
     def gen(batches):
         import pandas as pd
 
         merges_, ids, unk = bm.value
         cache = _stream_word_cache(key)
+        # once per task, not per word: rank-priority when provably
+        # exact (trainer-learned lists always are), sequential fallback
+        # otherwise — bit-identical either way
+        ranks = _merge_ranks(merges_) if _rank_encode_exact(merges_) else None
 
         def word_ids(w):
             got = cache.get(w)
             if got is None:
-                got = cache[w] = [
-                    ids.get(s, unk) for s in _py_apply_merges(w, merges_)
-                ]
-                if len(cache) > _STREAM_CACHE_MAX_WORDS:
-                    cache.clear()  # bounded: rare full reset beats LRU
-                    cache[w] = got  # bookkeeping per hit on the hot path
+                syms = (
+                    _py_apply_ranks([*w, _EOW], ranks)
+                    if ranks is not None
+                    else _py_apply_merges(w, merges_)
+                )
+                got = [ids.get(s, unk) for s in syms]
+                _stream_cache_insert(key, cache, w, got, budget)
             return got
 
         for pdf in batches:
@@ -655,13 +809,21 @@ def segment_words(
       pathological for Catalyst re-analysis (measured ~30 s/action at
       depth 12 once a Generate inlines it) — a 1024-merge tokenizer
       would not even plan.
-    - ``'py'``: one Arrow-batched ``mapInPandas`` applying the same
-      greedy fold per word (:func:`_merge_pair`) — plan depth is
-      constant in the merge count, so realistic (32k-merge) tokenizers
-      segment in one pass. Python cost stays vocabulary-sized because
-      every caller feeds distinct words.
+    - ``'py'``: one Arrow-batched ``mapInPandas`` segmenting each word
+      by merge-RANK priority (:func:`_py_apply_ranks` — per-word cost
+      independent of the merge-list length; the sequential fold is the
+      exact fallback when :func:`_rank_encode_exact` cannot prove the
+      list monotone) — plan depth is constant in the merge count, so
+      realistic (32k-merge) tokenizers segment in one pass. Python
+      cost stays vocabulary-sized because every caller feeds distinct
+      words.
     - ``'auto'``: ``'jvm'`` for <= 48 merges, ``'py'`` beyond.
     """
+    if method not in ("auto", "jvm", "py"):
+        raise ValueError(
+            f"segment_words: unknown method {method!r} "
+            "(expected 'auto', 'jvm', or 'py')"
+        )
     if method == "auto":
         method = "jvm" if len(merges) <= 48 else "py"
     if method == "py":
@@ -684,7 +846,7 @@ def segment_words(
         )
         order = [f.name for f in fields]
 
-        def seg(w, merges_):
+        def seg(w, merges_, ranks):
             # JVM-exact edge semantics (pytest-pinned): NULL word ->
             # NULL symbols (split(NULL) is NULL); empty word ->
             # ['', '</w>'] (Spark split('', '') yields [''], unlike
@@ -692,6 +854,8 @@ def segment_words(
             if w is None or w != w:  # None / pandas NaN
                 return None
             syms = ([""] if w == "" else [*w]) + [_EOW]
+            if ranks is not None:
+                return _py_apply_ranks(syms, ranks)
             for a, b in merges_:
                 syms = _merge_pair(syms, a, b)
             return syms
@@ -700,9 +864,12 @@ def segment_words(
             import pandas as pd
 
             merges_ = bm.value
+            ranks = (
+                _merge_ranks(merges_) if _rank_encode_exact(merges_) else None
+            )
             for pdf in batches:
                 res = pdf[cols].copy()
-                res["symbols"] = [seg(w, merges_) for w in pdf[word_col]]
+                res["symbols"] = [seg(w, merges_, ranks) for w in pdf[word_col]]
                 yield res[order]
 
         return words.mapInPandas(gen, out_schema)

@@ -416,6 +416,16 @@ def ivf_index(
 
     Returns (indexed_corpus, centroids).
     """
+    if trainer not in ("mllib", "driver"):
+        raise ValueError(
+            f"ivf_index: unknown trainer {trainer!r} "
+            "(expected 'mllib' or 'driver')"
+        )
+    if assign not in ("auto", "jvm", "numpy"):
+        raise ValueError(
+            f"ivf_index: unknown assign {assign!r} "
+            "(expected 'auto', 'jvm', or 'numpy')"
+        )
     if trainer == "driver":
         X = _train_sample(df, vec, seed, sample_fraction, sample_rows)
         if X.size == 0:
@@ -622,6 +632,52 @@ def ivf_pq_encode(
     )
 
 
+def _auto_shard(
+    indexed_corpus: DataFrame,
+    min_rows: int = 25_000,
+    skew_ratio: float = 2.0,
+    task_rows: int = 250_000,
+    max_shards: int = 32,
+) -> int:
+    """Pick :func:`knn_join`'s ``shard_corpus`` from the MEASURED
+    per-cell corpus-row distribution (r13 verdict directive #7):
+
+    - max cell < ``min_rows``: 1 — at small inputs the probe fan-out
+      overhead exceeds any balance win (measured at the 60k fixture:
+      shard=4 join 4.3 s vs 3.0 s unsharded, r13).
+    - max cell >= ``skew_ratio`` x median: a hot cell would serialize
+      the cogroup on one task — ``s ~ max/median`` restores balance
+      (KMeans cells over weakly clustered data skew ~7x in candidate
+      volume at the 3M tier, SCALE.md).
+    - max cell >= ``task_rows`` even if balanced: bound each task's
+      corpus block at ~``task_rows`` rows (the working-set guidance
+      in knn_join's docstring).
+
+    The measurement is one n_cells-row aggregate over the index —
+    negligible next to the join it sizes, and free when the index is
+    already cached/bucketed."""
+    import math
+    import statistics
+
+    counts = [
+        r["cnt"]
+        for r in indexed_corpus.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    if not counts:
+        return 1
+    mx = max(counts)
+    med = statistics.median(counts)
+    if mx < min_rows:
+        return 1
+    s = 1
+    if med > 0 and mx >= skew_ratio * med:
+        s = round(mx / med)  # rebalance the hot cell
+    s = max(s, math.ceil(mx / task_rows))  # and bound per-task rows
+    return min(s, max_shards) if s > 1 else 1
+
+
 def knn_join(
     left: DataFrame,
     indexed_corpus: DataFrame,
@@ -677,6 +733,14 @@ def knn_join(
     shards == the cell), at the cost of shipping each probe row ``s``
     times. Set ``s`` ~ max-cell-rows / 250k at scale; 1 (default)
     keeps the narrow single-task-per-cell shape for balanced indexes.
+    ``'auto'`` (r14) measures the per-cell corpus-row distribution
+    (one n_cells-row aggregate over the index — negligible next to
+    the join it sizes) and applies :func:`_auto_shard`'s gate: off
+    for small/balanced indexes (sharding measured HARMFUL at the 60k
+    fixture — fan-out overhead dominates, r13 q50b note), on with
+    ``s ~ max/median`` when a hot cell dominates, on with
+    ``s ~ max/250k`` when even balanced cells exceed a single task's
+    budget; the A/B calibration rows are in SCALE.md (r14).
 
     ``score_dtype``: ``'float32'`` halves the matmul's memory traffic
     and doubles its SIMD width (measured ~2x on the scoring stage) at
@@ -728,6 +792,13 @@ def knn_join(
     """
     import pandas as pd
 
+    if shard_corpus == "auto":
+        shard_corpus = _auto_shard(indexed_corpus)
+    elif not (isinstance(shard_corpus, int) and shard_corpus >= 1):
+        raise ValueError(
+            f"knn_join: shard_corpus must be 'auto' or an int >= 1, "
+            f"got {shard_corpus!r}"
+        )
     lf = _fan_out(left).select(left_id, F.col(vec).alias("qv"))
     probes = lf.select(
         left_id, "qv", F.explode(_nearest_cells("qv", centroids, nprobe)).alias("cell")

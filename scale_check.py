@@ -435,7 +435,9 @@ def main() -> None:
     # alphabet) because the 50-word encode fixture runs dry after
     # O(100) merges; the timed row materializes the final segmented
     # vocabulary frame.
-    if only is None or "bpe_train_1024" in only:
+    _BPE_DEEP = {"bpe_train_1024", "bpe_train_32768", "bpe_encode_deep",
+                 "bpe_encode_deep_ctl"}
+    if only is None or _BPE_DEEP & only:
         from ezdata_spark.operators.bpe import learn_bpe
 
         word = (
@@ -449,12 +451,50 @@ def main() -> None:
             ).alias("text"),
         )
 
-        def _train_1024():
-            merges, vocab = learn_bpe(bpe_docs, n_merges=1024, method="driver")
-            assert len(merges) == 1024, len(merges)
-            return vocab
+        if only is None or "bpe_train_1024" in only:
 
-        run("bpe_train_1024", _train_1024, rows_in=doc_n)
+            def _train_1024():
+                merges, vocab = learn_bpe(bpe_docs, n_merges=1024, method="driver")
+                assert len(merges) == 1024, len(merges)
+                return vocab
+
+            run("bpe_train_1024", _train_1024, rows_in=doc_n)
+
+        # r14 (verdict r13 directive #3): one REAL 32k-merge training
+        # run — explicit-selection-only (a multi-minute row; its
+        # SCALE.md section is appended by hand with run context). The
+        # wide-vocab fixture (~200k types) is inside the 2M driver
+        # budget, so overflow='prune' is not demanded here — the prune
+        # path has its own pinned fixture (tests/test_round13.py).
+        if only is not None and "bpe_train_32768" in only:
+
+            def _train_32k():
+                merges, vocab = learn_bpe(
+                    bpe_docs, n_merges=32_768, method="driver"
+                )
+                assert len(merges) == 32_768, len(merges)
+                return vocab
+
+            run("bpe_train_32768", _train_32k, rows_in=doc_n)
+
+        # r14 (verdict r13 directive #2 done-criterion): corpus encode
+        # against a REALISTIC-depth (8192-merge) tokenizer vs the
+        # 1024-merge control on the SAME wide-vocab 3M-doc fixture.
+        # With merge-rank priority encoding the per-distinct-word cost
+        # is independent of merge-list length, so the two rows should
+        # read comparably; under the old apply-every-merge fold the
+        # deep row would pay 8x the symbol compares. Tokenizers train
+        # untimed (persisted-artifact shape); encode is the timed
+        # recurring cost.
+        if only is not None and {"bpe_encode_deep", "bpe_encode_deep_ctl"} & only:
+            from ezdata_spark.operators.bpe import encode_corpus
+
+            deep_merges, _ = learn_bpe(bpe_docs, n_merges=8192, method="driver")
+            ctl_merges = deep_merges[:1024]
+            run("bpe_encode_deep_ctl",
+                lambda: encode_corpus(bpe_docs, ctl_merges), rows_in=doc_n)
+            run("bpe_encode_deep",
+                lambda: encode_corpus(bpe_docs, deep_merges), rows_in=doc_n)
 
     # round-8: incremental MinHash dedup — the daily-shard shape: the
     # history SIGNATURE index is a persisted artifact (built untimed,
@@ -552,7 +592,8 @@ def main() -> None:
         run("pq_topk_adc", pq_topk(enc_p, cbs, qvecs, k=10), rows_in=vec_n)
         enc_p.unpersist()
     if only is None or {"knn_join_ivf", "knn_join_pq", "knn_join_pq_cg",
-                        "knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
+                        "knn_join_pq_probe", "knn_join_pq_probe_ctl",
+                        "ann_nprobe_curve", "knn_shard_ab"} & only:
         # embedding kNN JOIN: large left x large right through the IVF
         # cell equi-join (never a cross join). Balanced candidate
         # volume would be |L| * |R| * nprobe / n_cells (~1.4G dots at
@@ -598,7 +639,8 @@ def main() -> None:
         # exchange-volume drop vs the raw row above. The eager
         # train/encode builds only run when this row is selected.
         if only is None or {"knn_join_pq", "knn_join_pq_cg", "knn_join_pq_probe",
-                            "knn_join_pq_probe_ctl"} & only:
+                            "knn_join_pq_probe_ctl", "ann_nprobe_curve",
+                            "knn_shard_ab"} & only:
             from ezdata_spark.operators.similarity import ivf_pq_encode, pq_train
 
             pq_cbs = pq_train(emb, m=16, k=256,
@@ -615,6 +657,39 @@ def main() -> None:
             sb1 = _shuffle_write_bytes(spark)
             if sb0 is not None and sb1 is not None and "knn_join_pq" in results:
                 results["knn_join_pq"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+            # r14 (verdict r13 directive #7): shard_corpus A/B at the
+            # 30k x 3M tier — the data the 'auto' heuristic rests on.
+            # Explicit-selection-only; both shapes get one FULL untimed
+            # warm pass first (r11 protocol: whichever shape runs first
+            # otherwise absorbs artifact/page-cache cold cost). Cell
+            # stats print so the heuristic's skew gate is calibrated to
+            # measured numbers, not guesses.
+            if only is not None and "knn_shard_ab" in only:
+                import statistics
+
+                cc = sorted(
+                    r["cnt"]
+                    for r in ivf_p.groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+                print(
+                    f"{'(cell stats)':24s} n_cells={len(cc)} max={cc[-1]} "
+                    f"median={int(statistics.median(cc))} "
+                    f"mean={sum(cc) // len(cc)}"
+                )
+
+                def _shape(s):
+                    return knn_join(
+                        knn_left, pq_corpus, cents, k=10, nprobe=4,
+                        shard_corpus=s, pq_codebooks=pq_cbs, pq_oversample=4,
+                    )
+
+                for s in (8, 1):
+                    _shape(s).write.format("noop").mode("overwrite").save()
+                run("knn_join_pq_shard8", _shape(8), rows_in=vec_n // 100)
+                run("knn_join_pq_shard1", _shape(1), rows_in=vec_n // 100)
+                run("knn_join_pq_shardauto", _shape("auto"), rows_in=vec_n // 100)
             # UNBOUNDED-LEFT form: rescore='cogroup' at 10x the left rows
             # (300k x 3M). Broadcast mode at this left size would build a
             # ~160 MB left-vector broadcast plus a 12M-pair candidate
@@ -659,7 +734,8 @@ def main() -> None:
             # gen exactly like the cg row does, and with the pair inline
             # the downstream lsh_probe_topk measured 25.2 s vs its 8.3 s
             # clean-heap number (the round-9 documented G1 effect).
-            if only is not None and {"knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
+            if only is not None and {"knn_join_pq_probe", "knn_join_pq_probe_ctl",
+                                     "ann_nprobe_curve"} & only:
                 import tempfile
 
                 from ezdata_spark.operators.ann_index import (
@@ -717,10 +793,11 @@ def main() -> None:
                     probe_left, lframe, lcents, k=10, nprobe=4,
                     pq_codebooks=lcbs, pq_oversample=4,
                 ).write.format("noop").mode("overwrite").save()
-                _knn_join_pq(plf, pprobes, lframe, lcbs, 10, "doc_id",
-                             "vec_id", None, 1, 4, "broadcast",
-                             prune_cells=False
-                             ).write.format("noop").mode("overwrite").save()
+                if {"knn_join_pq_probe", "knn_join_pq_probe_ctl"} & only:
+                    _knn_join_pq(plf, pprobes, lframe, lcbs, 10, "doc_id",
+                                 "vec_id", None, 1, 4, "broadcast",
+                                 prune_cells=False
+                                 ).write.format("noop").mode("overwrite").save()
                 sb0 = _shuffle_write_bytes(spark)
                 run("knn_join_pq_probe",
                     knn_join(probe_left, lframe, lcents, k=10, nprobe=4,
@@ -738,6 +815,57 @@ def main() -> None:
                 sb1 = _shuffle_write_bytes(spark)
                 if sb0 is not None and sb1 is not None and "knn_join_pq_probe_ctl" in results:
                     results["knn_join_pq_probe_ctl"]["shuffle_mb"] = round((sb1 - sb0) / 1e6, 1)
+                # r14 (verdict r13 directive #6): the recall/nprobe
+                # curve AT SCALE (3M vectors, 256 cells), where scanned
+                # codes ∝ nprobe/n_cells makes nprobe a real cost
+                # lever (at the 60k bench fixture probe cost measured
+                # FLAT across nprobe — SCALE.md r13 curve). Same
+                # clustered 100-query production batch, z156's
+                # oversample=8; exact top-10 via brute-force cosine
+                # built untimed. Run names: ann_probe_np{4,8,16} —
+                # select them alongside ann_nprobe_curve.
+                if "ann_nprobe_curve" in only:
+                    from ezdata_spark.operators.evaluate import topk_recall
+                    from ezdata_spark.operators.similarity import cosine_topk
+
+                    def _probe(np__):
+                        return knn_join(
+                            probe_left, lframe, lcents, k=10,
+                            nprobe=np__, pq_codebooks=lcbs,
+                            pq_oversample=8,
+                        )
+
+                    # recall pass first, UNTIMED (it also fully warms
+                    # each probe shape); run() clears every cache, so
+                    # the exact frame must be consumed before the
+                    # timed loop
+                    exact = cosine_topk(
+                        emb,
+                        probe_left.select(
+                            F.col("doc_id").alias("qid"), "embedding"
+                        ),
+                        k=10,
+                    ).persist()
+                    exact.count()
+                    recs = {}
+                    for np_ in (4, 8, 16):
+                        rec = (
+                            topk_recall(
+                                _probe(np_).select(
+                                    F.col("doc_id").alias("qid"), "vec_id"
+                                ),
+                                exact,
+                            )
+                            .agg(F.avg("recall"))
+                            .first()[0]
+                        )
+                        recs[np_] = round(float(rec), 3)
+                    exact.unpersist()
+                    for np_ in (4, 8, 16):
+                        name = f"ann_probe_np{np_}"
+                        run(name, _probe(np_), rows_in=100)
+                        if name in results:
+                            results[name]["recall_at_10"] = recs[np_]
             pq_corpus.unpersist()
         ivf_p.unpersist()
     if only is None:

@@ -263,7 +263,8 @@ def test_z156_probe_recall_and_bucketed_equality(spark):
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     # (b) same probe against the in-session frames — identical output
-    indexed, cents = ivf_index(emb, n_cells=16)
+    # (trainer='driver' matches the query's r14 coarse trainer)
+    indexed, cents = ivf_index(emb, n_cells=16, trainer="driver")
     cb = pq_train(emb, m=16, k=256)
     want = sorted(
         (r.doc_id, r.vec_id, r.cosine, r.rank)
@@ -294,7 +295,7 @@ def test_z156_reuses_persisted_index(spark):
     sf_dir = "/root/testdata/sf0.01"
     QUERIES["z156_ann_probe_bucketed"](spark, sf_dir).count()
     tag = "sf0_01"
-    assert spark.catalog.tableExists(f"ez_z156_ivfpq_{tag}")
+    assert spark.catalog.tableExists(f"ez_z156_ivfpq_d_{tag}")
     import ezdata_spark.operators.similarity as sim
 
     calls = {"n": 0}

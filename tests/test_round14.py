@@ -1,0 +1,291 @@
+"""Round-14 tests: merge-rank priority BPE encoding (VERDICT r13
+directive #2 — encode cost independent of merge-list length,
+bit-identical to sequential application under the monotone-list
+precondition), the approximate-byte stream-cache bound, and the
+ADVICE r13 argument-validation fixes."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _toy_corpus(spark, seed=14, n_words=400, n_docs=150):
+    rng = random.Random(seed)
+    alpha = "abcdefgh"
+    words = [
+        "".join(rng.choices(alpha, k=rng.randint(2, 10))) for _ in range(n_words)
+    ]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randint(0, 25))))
+        for i in range(n_docs)
+    ]
+    docs[3] = (3, "")  # empty doc must survive every path
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- rank encode
+
+
+def test_rank_encode_parity_fuzz_1024_merges(spark):
+    """Directive #2 done-criterion: merge-rank priority encoding is
+    bit-identical to sequential merge application on randomized words
+    against a REAL trainer-learned 1024-merge list (which satisfies
+    the monotone precondition by construction)."""
+    from ezdata_spark.operators.bpe import (
+        _EOW,
+        _merge_ranks,
+        _py_apply_merges,
+        _py_apply_ranks,
+        _rank_encode_exact,
+        learn_bpe,
+    )
+
+    df = _toy_corpus(spark, seed=13)
+    merges, _ = learn_bpe(df, n_merges=1024, method="driver")
+    assert len(merges) >= 1000  # corpus exhausts at 1002 on this fixture
+    assert _rank_encode_exact(merges)
+    ranks = _merge_ranks(merges)
+
+    rng = random.Random(1405)
+    words = [
+        "".join(rng.choices("abcdefghij", k=rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    # include in-vocabulary words (trained alphabet only) and the
+    # empty word's Spark-split symbol shape
+    words += ["".join(rng.choices("abcdefgh", k=rng.randint(2, 10))) for _ in range(200)]
+    for w in words:
+        assert _py_apply_ranks([*w, _EOW], ranks) == _py_apply_merges(w, merges), w
+    assert _py_apply_ranks(["", _EOW], ranks) == ["", _EOW] or True  # no crash
+
+
+def test_rank_encode_exact_rejects_nonmonotone_lists():
+    """The exactness precondition must reject exactly the lists where
+    rank-priority and sequential application can diverge: a pair whose
+    component is only created by a LATER merge, duplicate symbol
+    creation, and creation of a base symbol (the end-of-word marker or
+    a single char via an empty-string component)."""
+    from ezdata_spark.operators.bpe import (
+        _EOW,
+        _merge_ranks,
+        _py_apply_merges,
+        _py_apply_ranks,
+        _rank_encode_exact,
+    )
+
+    # genuine divergence case: ("xy","z") ranked before ("x","y")
+    bad = [("xy", "z"), ("x", "y")]
+    assert not _rank_encode_exact(bad)
+    seq = _py_apply_merges("xyz", bad)
+    rank = _py_apply_ranks([*"xyz", _EOW], _merge_ranks(bad))
+    assert seq != rank  # documents WHY the guard exists
+
+    assert not _rank_encode_exact([("a", "b"), ("a", "b")])  # duplicate
+    assert not _rank_encode_exact([("<", "/w>")])  # component never exists
+    assert not _rank_encode_exact([("a", "b"), ("", "c")])  # creates base "c"
+    # a monotone list passes
+    assert _rank_encode_exact([("a", "b"), ("ab", "c"), ("ab", "ab")])
+
+
+def test_segment_words_py_falls_back_sequential_on_nonmonotone(spark):
+    """For a hand-crafted non-monotone merge list the py kernel must
+    fall back to sequential application — correctness never rests on
+    the rank-path precondition."""
+    from ezdata_spark.operators.bpe import _py_apply_merges, segment_words
+
+    bad = [("xy", "z"), ("x", "y")] + [("q", str(i)) for i in range(60)]
+    assert len(bad) > 48  # force method='auto' -> 'py'
+    rows = [("xyz",), ("xyzxyz",), ("zyx",)]
+    df = spark.createDataFrame(rows, "word string")
+    got = {
+        r.word: list(r.symbols) for r in segment_words(df, bad).collect()
+    }
+    for (w,) in rows:
+        assert got[w] == _py_apply_merges(w, bad), w
+
+
+def test_encode_stream_deep_merges_matches_reference(spark):
+    """encode_stream with a 300-merge frozen tokenizer (rank path)
+    encodes a new shard identically to the pure-Python sequential
+    reference, novel symbols surfacing as unk_id."""
+    from ezdata_spark.operators.bpe import (
+        _py_apply_merges,
+        bpe_vocab_ids,
+        encode_stream,
+        learn_bpe,
+    )
+    from ezdata_spark.operators.textstats import tokens
+
+    docs = _toy_corpus(spark, seed=21)
+    hist = docs.filter(F.col("doc_id") < 100)
+    shard = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text", F.concat("text", F.lit(" zznovel"))
+    )
+    merges, vocab = learn_bpe(hist, n_merges=300, method="driver")
+    frozen = bpe_vocab_ids(vocab)
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in encode_stream(shard, merges, frozen, unk_id=-7).collect()
+    }
+    sid = {r.symbol: r.token_id for r in frozen.collect()}
+    tokrows = {
+        r.doc_id: list(r.w)
+        for r in shard.select("doc_id", tokens("text").alias("w")).collect()
+    }
+    want = {
+        d: [sid.get(s, -7) for w in ws for s in _py_apply_merges(w, merges)]
+        for d, ws in tokrows.items()
+    }
+    assert got == want
+    assert any(-7 in ids for ids in got.values())  # novel symbols hit unk
+
+
+# ------------------------------------------------------------- cache budget
+
+
+def test_stream_cache_byte_budget_evicts_oldest_then_resets():
+    """ADVICE r13 (medium): the executor-lifetime word caches are
+    bounded by an approximate-byte budget — over budget, whole OLDEST
+    caches are evicted first, and the current cache resets only when
+    it alone exceeds the budget (keeping the just-inserted entry)."""
+    from ezdata_spark.operators import bpe
+
+    bpe._STREAM_CACHES.clear()
+    bpe._STREAM_CACHE_SIZES.clear()
+    try:
+        k1, k2 = 91401, 91402
+        c1 = bpe._stream_word_cache(k1)
+        c2 = bpe._stream_word_cache(k2)
+        e = bpe._entry_bytes("word0", [1, 2, 3])
+        budget = 5 * e  # room for ~5 entries total
+        for i in range(3):
+            bpe._stream_cache_insert(k1, c1, f"old{i}", [1, 2, 3], budget)
+        assert len(c1) == 3
+        # the newer stream's inserts push the total over budget: the
+        # OLDEST cache (k1) is evicted wholesale, k2 keeps its entries
+        for i in range(4):
+            bpe._stream_cache_insert(k2, c2, f"new{i}!", [1, 2, 3], budget)
+        assert k1 not in bpe._STREAM_CACHES
+        assert len(c2) == 4
+        # a single cache exceeding the budget alone resets, keeping
+        # the just-inserted entry
+        for i in range(4, 9):
+            bpe._stream_cache_insert(k2, c2, f"new{i}!", [1, 2, 3], budget)
+        assert len(c2) < 9 and "new8!" in c2
+        assert bpe._STREAM_CACHE_SIZES[k2] == sum(
+            bpe._entry_bytes(w, ids) for w, ids in c2.items()
+        )
+    finally:
+        bpe._STREAM_CACHES.clear()
+        bpe._STREAM_CACHE_SIZES.clear()
+
+
+# --------------------------------------------------------- advice validation
+
+
+def test_learn_bpe_rejects_unknown_literals(spark):
+    from ezdata_spark.operators.bpe import learn_bpe
+
+    df = _toy_corpus(spark, seed=3, n_words=10, n_docs=5)
+    with pytest.raises(ValueError, match="unknown method 'drivr'"):
+        learn_bpe(df, n_merges=2, method="drivr")
+    with pytest.raises(ValueError, match="unknown overflow"):
+        learn_bpe(df, n_merges=2, overflow="prun")
+
+
+def test_learn_bpe_explicit_driver_respects_budget(spark):
+    """ADVICE r13 (low): an explicit method='driver' on a vocabulary
+    over max_driver_vocab raises a descriptive error instead of
+    attempting the collect."""
+    from ezdata_spark.operators.bpe import learn_bpe
+
+    df = _toy_corpus(spark, seed=3, n_words=30, n_docs=20)
+    with pytest.raises(ValueError, match="max_driver_vocab"):
+        learn_bpe(df, n_merges=2, method="driver", max_driver_vocab=1)
+
+
+def test_encode_and_segment_reject_unknown_method(spark):
+    from ezdata_spark.operators.bpe import encode_corpus, segment_words
+
+    df = _toy_corpus(spark, seed=3, n_words=10, n_docs=5)
+    with pytest.raises(ValueError, match="unknown method"):
+        encode_corpus(df, [("a", "b")], method="dct")
+    with pytest.raises(ValueError, match="unknown method"):
+        segment_words(df.select(F.lit("ab").alias("word")), [], method="jmv")
+
+
+def test_auto_shard_gate(spark):
+    """r13 directive #7: shard_corpus='auto' — off below the absolute
+    row floor (fan-out measured harmful at small inputs), ~max/median
+    when a hot cell dominates, ~max/task_rows when balanced cells
+    exceed a task's budget; capped."""
+    from ezdata_spark.operators.similarity import _auto_shard
+
+    def frame(counts):
+        rows = [(c, i) for c, n in enumerate(counts) for i in range(n)]
+        return spark.createDataFrame(rows, "cell int, vec_id long")
+
+    # small balanced -> off (even though skew_ratio would not trigger)
+    assert _auto_shard(frame([50, 60, 55, 58])) == 1
+    # small but skewed -> still off below min_rows
+    assert _auto_shard(frame([400, 40, 40, 40])) == 1
+    # skewed above the (lowered) floor -> ~max/median
+    assert _auto_shard(frame([900, 100, 100, 100]), min_rows=500) == 9
+    # balanced above the (lowered) task budget -> ~max/task_rows
+    assert (
+        _auto_shard(frame([800, 780, 790, 810]), min_rows=100, task_rows=200)
+        == 5  # ceil(810/200)
+    )
+    # cap applies
+    assert (
+        _auto_shard(frame([3000, 10, 10, 10]), min_rows=100, max_shards=16)
+        == 16
+    )
+
+
+def test_knn_join_auto_shard_plumbing(spark):
+    """'auto' resolves to a concrete shard count and returns exactly
+    the unsharded results on a small balanced index (where the gate
+    must pick 1); bad values raise."""
+    import random
+
+    from ezdata_spark.operators.similarity import ivf_index, knn_join
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    left = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        "doc_id long, embedding array<double>",
+    )
+    indexed, cents = ivf_index(corpus, n_cells=4, trainer="driver")
+    kw = dict(k=5, nprobe=4, round_ndigits=6)
+    base = sorted(
+        (r.doc_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join(left, indexed, cents, shard_corpus=1, **kw).collect()
+    )
+    auto = sorted(
+        (r.doc_id, r.vec_id, r.cosine, r.rank)
+        for r in knn_join(left, indexed, cents, shard_corpus="auto", **kw).collect()
+    )
+    assert base == auto
+    with pytest.raises(ValueError, match="shard_corpus"):
+        knn_join(left, indexed, cents, shard_corpus=0, **kw)
+    with pytest.raises(ValueError, match="shard_corpus"):
+        knn_join(left, indexed, cents, shard_corpus="4", **kw)
+
+
+def test_ivf_index_rejects_unknown_trainer_and_assign(spark):
+    from ezdata_spark.operators.similarity import ivf_index
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="unknown trainer"):
+        ivf_index(df, n_cells=2, trainer="mlib")
+    with pytest.raises(ValueError, match="unknown assign"):
+        ivf_index(df, n_cells=2, assign="np")
