@@ -362,6 +362,7 @@ def save_bpe_tokenizer(
     merges: list[tuple[str, str]],
     token_ids: DataFrame,
     unk_id: int = -1,
+    alphabet: str = "char",
 ) -> None:
     """Persist a trained BPE tokenizer (bpe.py::learn_bpe +
     bpe_vocab_ids) — the ordered merge list and encode parameters in
@@ -377,6 +378,7 @@ def save_bpe_tokenizer(
             "kind": "bpe_tokenizer",
             "merges": [list(m) for m in merges],
             "unk_id": unk_id,
+            "alphabet": alphabet,
         },
     )
 
@@ -391,6 +393,7 @@ def load_bpe_tokenizer(
     if frame is None or meta.get("kind") != "bpe_tokenizer":
         raise ValueError(f"{path}: not a bpe_tokenizer artifact")
     merges = [tuple(m) for m in meta["merges"]]
+    meta.setdefault("alphabet", "char")  # pre-r14 artifacts are char-mode
     return merges, frame, meta
 
 

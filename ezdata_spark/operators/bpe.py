@@ -40,23 +40,61 @@ __all__ = [
 _EOW = "</w>"  # end-of-word marker, per the original BPE formulation
 
 
-def build_word_vocab(docs: DataFrame, text: str = "text") -> DataFrame:
+def _check_alphabet(where: str, alphabet: str) -> None:
+    if alphabet not in ("char", "byte"):
+        raise ValueError(
+            f"{where}: unknown alphabet {alphabet!r} "
+            "(expected 'char' or 'byte')"
+        )
+
+
+def _byte_symbols_col(word) -> "F.Column":
+    """JVM byte-level symbol split: each UTF-8 byte of the word as its
+    2-hex-digit UPPERCASE string (the byte-mode base alphabet — 256
+    fixed-width symbols, no exotic codepoints, trivially decodable
+    with unhex). NULL word -> NULL symbols; empty word -> just the
+    end-of-word marker (no empty-string symbol: a word's byte
+    sequence is genuinely empty, unlike Spark's char split('',''))."""
+    c = F.col(word) if isinstance(word, str) else word
+    pairs = F.filter(
+        F.split(F.hex(F.encode(c, "UTF-8")), r"(?<=\G..)"),
+        lambda t: t != "",
+    )
+    return F.concat(pairs, F.array(F.lit(_EOW)))
+
+
+def _py_byte_symbols(word: str) -> list[str]:
+    """Python twin of :func:`_byte_symbols_col` (JVM==Python parity is
+    pytest-pinned, multi-byte UTF-8 included)."""
+    return [f"{b:02X}" for b in word.encode("utf-8")] + [_EOW]
+
+
+def build_word_vocab(
+    docs: DataFrame, text: str = "text", alphabet: str = "char"
+) -> DataFrame:
     """One corpus pass -> (word, count, symbols) with symbols = the
-    word's characters + an end-of-word marker. This is the only
-    corpus-sized job in BPE training."""
+    word's characters (``alphabet='char'``, the original formulation)
+    or its UTF-8 bytes as 2-hex-digit strings (``alphabet='byte'``,
+    the GPT-2-style base alphabet that makes the tokenizer TOTAL — any
+    text decomposes to the 256 byte symbols, so a frozen inventory
+    seeded with them never emits unk), plus an end-of-word marker.
+    This is the only corpus-sized job in BPE training."""
     from .textstats import tokens
 
+    _check_alphabet("build_word_vocab", alphabet)
+    symbols = (
+        _byte_symbols_col("word")
+        if alphabet == "byte"
+        else F.concat(
+            F.split(F.col("word"), ""),  # one char per element
+            F.array(F.lit(_EOW)),
+        )
+    )
     return (
         docs.select(F.explode(tokens(text)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
-        .withColumn(
-            "symbols",
-            F.concat(
-                F.split(F.col("word"), ""),  # one char per element
-                F.array(F.lit(_EOW)),
-            ),
-        )
+        .withColumn("symbols", symbols)
     )
 
 
@@ -196,6 +234,7 @@ def learn_bpe(
     method: str = "auto",
     max_driver_vocab: int = 2_000_000,
     overflow: str = "distributed",
+    alphabet: str = "char",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     (ordered merge list, final segmented vocabulary frame).
@@ -257,7 +296,16 @@ def learn_bpe(
     (cheap, checkpointed) distinct-word count must fit
     ``max_driver_vocab`` or a descriptive ValueError is raised instead
     of a driver OOM — raise the budget deliberately to bypass it.
+
+    ``alphabet='byte'`` (r14): GPT-2-style byte-level BPE — base
+    symbols are the UTF-8 bytes of each word (as 2-hex-digit strings),
+    so the learned tokenizer is TOTAL: with the inventory from
+    :func:`bpe_vocab_ids` (which seeds all 256 byte symbols in byte
+    mode) encoding never emits ``unk_id``, the remaining delta to
+    production LLM tokenizers. The merge machinery is symbol-generic;
+    only the base split and the inventory seeding differ.
     """
+    _check_alphabet("learn_bpe", alphabet)
     if method not in ("auto", "driver", "distributed"):
         raise ValueError(
             f"learn_bpe: unknown method {method!r} "
@@ -268,7 +316,7 @@ def learn_bpe(
             f"learn_bpe: unknown overflow {overflow!r} "
             "(expected 'distributed' or 'prune')"
         )
-    vocab = build_word_vocab(docs, text).localCheckpoint(eager=True)
+    vocab = build_word_vocab(docs, text, alphabet).localCheckpoint(eager=True)
     if method == "driver":
         n_types = vocab.count()
         if n_types > max_driver_vocab:
@@ -343,7 +391,7 @@ def learn_bpe(
     return merges, vocab
 
 
-def bpe_vocab_ids(segmented_vocab: DataFrame) -> DataFrame:
+def bpe_vocab_ids(segmented_vocab: DataFrame, alphabet: str = "char") -> DataFrame:
     """``(symbol, token_id)`` for every distinct symbol of a segmented
     vocabulary frame, ids assigned in lexicographic symbol order — the
     deterministic assignment a tokenizer artifact needs (shards and
@@ -352,10 +400,24 @@ def bpe_vocab_ids(segmented_vocab: DataFrame) -> DataFrame:
     Ids come from :func:`window.global_row_id` — range partition +
     in-partition sort + cumulative partition offsets — so even a
     web-scale symbol inventory (~10^5-10^6 types) never funnels
-    through an Exchange SinglePartition global sort."""
+    through an Exchange SinglePartition global sort.
+
+    ``alphabet='byte'``: the inventory is SEEDED with all 256 byte
+    symbols (GPT-2 contract) in addition to whatever the training
+    corpus produced — a frozen byte-mode tokenizer can therefore
+    encode ANY text with zero unk, even bytes the training corpus
+    never contained."""
     from .window import global_row_id
 
+    _check_alphabet("bpe_vocab_ids", alphabet)
     syms = segmented_vocab.select(F.explode("symbols").alias("symbol")).distinct()
+    if alphabet == "byte":
+        base = segmented_vocab.sparkSession.range(256).select(
+            F.lpad(
+                F.upper(F.conv(F.col("id").cast("string"), 10, 16)), 2, "0"
+            ).alias("symbol")
+        )
+        syms = syms.unionByName(base).distinct()
     return global_row_id(syms, ["symbol"], "token_id").select(
         "symbol", F.col("token_id").cast("int").alias("token_id")
     )
@@ -370,6 +432,7 @@ def encode_corpus(
     method: str = "auto",
     unk_id: int = -1,
     max_dict_vocab: int = 2_000_000,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Corpus-scale BPE ENCODE — the tokenize-the-corpus production
     step that follows :func:`learn_bpe` (Sennrich et al. 2016; the
@@ -412,14 +475,15 @@ def encode_corpus(
             f"encode_corpus: unknown method {method!r} "
             "(expected 'auto', 'dict', or 'join')"
         )
+    _check_alphabet("encode_corpus", alphabet)
     tok = docs.select(
         F.col(id_col), F.posexplode(tokens(text)).alias("pos", "word")
     )
-    seg = segment_words(tok.select("word").distinct(), merges).localCheckpoint(
-        eager=True
-    )
+    seg = segment_words(
+        tok.select("word").distinct(), merges, alphabet=alphabet
+    ).localCheckpoint(eager=True)
     if token_ids is None:
-        token_ids = bpe_vocab_ids(seg)
+        token_ids = bpe_vocab_ids(seg, alphabet=alphabet)
     per_word = (
         seg.select("word", F.posexplode("symbols").alias("spos", "symbol"))
         # LEFT join + unk coalesce: with a FROZEN token_ids frame an
@@ -547,31 +611,36 @@ def _py_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-def _rank_encode_exact(merges: list[tuple[str, str]]) -> bool:
+def _rank_encode_exact(
+    merges: list[tuple[str, str]], base_len: int = 1
+) -> bool:
     """True iff merge-rank priority encoding (:func:`_py_apply_ranks`)
     is PROVABLY bit-identical to sequential application
     (:func:`_py_apply_merges`) for this merge list. The sufficient
     condition is monotone construction: each pair's components exist
-    before its rank (base symbol — a single char, the empty string, or
-    the end-of-word marker — or the product of an earlier merge) and
-    each merge creates a DISTINCT, non-base symbol string. Then no
-    merge can (re)create a symbol participating in an earlier-rank
-    pair (new adjacencies always involve the newly created symbol,
-    which differs from every base symbol and every earlier product),
-    so both algorithms apply exactly the same greedy left-to-right
-    passes in the same strictly-increasing rank order. Trainer-learned
-    lists satisfy this by construction except in degenerate corpora
-    (two merge paths producing the same symbol string); the encode
-    kernels fall back to sequential application when this returns
-    False, so correctness never rests on the condition holding."""
+    before its rank (base symbol — up to ``base_len`` chars (1 for the
+    char alphabet, 2 for byte mode's hex pairs; the empty string
+    included) or the end-of-word marker — or the product of an earlier
+    merge) and each merge creates a DISTINCT, non-base symbol string.
+    Then no merge can (re)create a symbol participating in an
+    earlier-rank pair (new adjacencies always involve the newly
+    created symbol, which differs from every base symbol and every
+    earlier product — byte-mode products concatenate >= two 2-char
+    symbols, so they can never land back at base length), so both
+    algorithms apply exactly the same greedy left-to-right passes in
+    the same strictly-increasing rank order. Trainer-learned lists
+    satisfy this by construction except in degenerate corpora (two
+    merge paths producing the same symbol string); the encode kernels
+    fall back to sequential application when this returns False, so
+    correctness never rests on the condition holding."""
     created: set[str] = set()
     for a, b in merges:
-        if not (len(a) <= 1 or a == _EOW or a in created):
+        if not (len(a) <= base_len or a == _EOW or a in created):
             return False
-        if not (len(b) <= 1 or b == _EOW or b in created):
+        if not (len(b) <= base_len or b == _EOW or b in created):
             return False
         s = a + b
-        if len(s) <= 1 or s == _EOW or s in created:
+        if len(s) <= base_len or s == _EOW or s in created:
             return False
         created.add(s)
     return True
@@ -702,6 +771,7 @@ def encode_stream(
     text: str = "text",
     unk_id: int = -1,
     cache_budget_bytes: int = _STREAM_CACHE_DEFAULT_BYTES,
+    alphabet: str = "char",
 ) -> DataFrame:
     """STREAMING BPE encode against a FROZEN tokenizer
     (:func:`ann_index.load_bpe_tokenizer`) — the ingest-time form of
@@ -725,8 +795,13 @@ def encode_stream(
     Works identically on a batch frame, so one pipeline definition
     serves both modes; stream==batch is pytest-pinned.
 
+    ``alphabet='byte'``: byte-level kernel (see :func:`learn_bpe`) —
+    with a byte-mode inventory (:func:`bpe_vocab_ids` seeds all 256
+    byte symbols) the encode is TOTAL and ``unk_id`` never surfaces.
+
     Returns ``(id_col, token_ids array<int>, n_tokens)``.
     """
+    _check_alphabet("encode_stream", alphabet)
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -751,6 +826,7 @@ def encode_stream(
 
     key = next(_STREAM_CACHE_KEYS)
     budget = int(cache_budget_bytes)
+    byte_mode = alphabet == "byte"
 
     def gen(batches):
         import pandas as pd
@@ -760,16 +836,24 @@ def encode_stream(
         # once per task, not per word: rank-priority when provably
         # exact (trainer-learned lists always are), sequential fallback
         # otherwise — bit-identical either way
-        ranks = _merge_ranks(merges_) if _rank_encode_exact(merges_) else None
+        ranks = (
+            _merge_ranks(merges_)
+            if _rank_encode_exact(merges_, 2 if byte_mode else 1)
+            else None
+        )
+
+        def base_syms(w):
+            return _py_byte_symbols(w) if byte_mode else [*w, _EOW]
 
         def word_ids(w):
             got = cache.get(w)
             if got is None:
-                syms = (
-                    _py_apply_ranks([*w, _EOW], ranks)
-                    if ranks is not None
-                    else _py_apply_merges(w, merges_)
-                )
+                if ranks is not None:
+                    syms = _py_apply_ranks(base_syms(w), ranks)
+                else:
+                    syms = base_syms(w)
+                    for a, b in merges_:
+                        syms = _merge_pair(syms, a, b)
                 got = [ids.get(s, unk) for s in syms]
                 _stream_cache_insert(key, cache, w, got, budget)
             return got
@@ -795,6 +879,7 @@ def segment_words(
     merges: list[tuple[str, str]],
     word_col: str = "word",
     method: str = "auto",
+    alphabet: str = "char",
 ) -> DataFrame:
     """Apply a learned merge list to segment words (tokenization-time
     path): chars + end-of-word, then each merge in learned order.
@@ -824,6 +909,7 @@ def segment_words(
             f"segment_words: unknown method {method!r} "
             "(expected 'auto', 'jvm', or 'py')"
         )
+    _check_alphabet("segment_words", alphabet)
     if method == "auto":
         method = "jvm" if len(merges) <= 48 else "py"
     if method == "py":
@@ -846,14 +932,20 @@ def segment_words(
         )
         order = [f.name for f in fields]
 
+        byte_mode = alphabet == "byte"
+
         def seg(w, merges_, ranks):
             # JVM-exact edge semantics (pytest-pinned): NULL word ->
-            # NULL symbols (split(NULL) is NULL); empty word ->
-            # ['', '</w>'] (Spark split('', '') yields [''], unlike
-            # Python's [*''] == [])
+            # NULL symbols (split(NULL) is NULL); char-mode empty word
+            # -> ['', '</w>'] (Spark split('', '') yields [''], unlike
+            # Python's [*''] == []); byte-mode empty word -> ['</w>']
+            # (its byte sequence is genuinely empty)
             if w is None or w != w:  # None / pandas NaN
                 return None
-            syms = ([""] if w == "" else [*w]) + [_EOW]
+            if byte_mode:
+                syms = _py_byte_symbols(w)
+            else:
+                syms = ([""] if w == "" else [*w]) + [_EOW]
             if ranks is not None:
                 return _py_apply_ranks(syms, ranks)
             for a, b in merges_:
@@ -865,7 +957,9 @@ def segment_words(
 
             merges_ = bm.value
             ranks = (
-                _merge_ranks(merges_) if _rank_encode_exact(merges_) else None
+                _merge_ranks(merges_)
+                if _rank_encode_exact(merges_, 2 if byte_mode else 1)
+                else None
             )
             for pdf in batches:
                 res = pdf[cols].copy()
@@ -875,7 +969,9 @@ def segment_words(
         return words.mapInPandas(gen, out_schema)
     out = words.withColumn(
         "symbols",
-        F.concat(F.split(F.col(word_col), ""), F.array(F.lit(_EOW))),
+        _byte_symbols_col(word_col)
+        if alphabet == "byte"
+        else F.concat(F.split(F.col(word_col), ""), F.array(F.lit(_EOW))),
     )
     for a, b in merges:
         out = apply_bpe_merge(out, a, b)

@@ -646,9 +646,14 @@ def _auto_shard(
       overhead exceeds any balance win (measured at the 60k fixture:
       shard=4 join 4.3 s vs 3.0 s unsharded, r13).
     - max cell >= ``skew_ratio`` x median: a hot cell would serialize
-      the cogroup on one task — ``s ~ max/median`` restores balance
-      (KMeans cells over weakly clustered data skew ~7x in candidate
-      volume at the 3M tier, SCALE.md).
+      the cogroup on one task — ``s ~ sqrt(max/median)`` (the
+      square-root skew-join rule) balances the hot cell's per-task
+      rows against the probe-side fan-out, which costs s x |L| x
+      nprobe replicated rows across EVERY cell. Measured at the 3M
+      tier (max/median = 81, SCALE.md r14): s=8 joins in 10.0 s vs
+      26.3 s unsharded, while s=32 (a linear max/median rule) pays
+      31.4 s — over-sharding loses everything the balance won, which
+      is why the rule is the square root, capped at ``max_shards``.
     - max cell >= ``task_rows`` even if balanced: bound each task's
       corpus block at ~``task_rows`` rows (the working-set guidance
       in knn_join's docstring).
@@ -673,7 +678,7 @@ def _auto_shard(
         return 1
     s = 1
     if med > 0 and mx >= skew_ratio * med:
-        s = round(mx / med)  # rebalance the hot cell
+        s = round(math.sqrt(mx / med))  # square-root skew-join rule
     s = max(s, math.ceil(mx / task_rows))  # and bound per-task rows
     return min(s, max_shards) if s > 1 else 1
 

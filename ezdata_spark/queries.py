@@ -3116,12 +3116,14 @@ def q156(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     # nprobe=8 (r13): the measured operating point on the recall/nprobe
-    # curve (SCALE.md) — recall@10 0.765 at sf0.1 vs 0.62 at the r12
-    # nprobe=4 row, probe cost flat at fixture scale. The fixture's
-    # near-random synthetic embeddings have no sharp knee (recall rises
-    # ~linearly with nprobe/n_cells because true neighbors spread
-    # across cells); 8/16 pins a mid-curve production ratio rather than
-    # the bottom of the curve.
+    # curve (SCALE.md) — 8/16 pins a mid-curve production ratio rather
+    # than the bottom of the curve (the fixture's near-random synthetic
+    # embeddings have no sharp knee: recall rises ~linearly with
+    # nprobe/n_cells because true neighbors spread across cells).
+    # Recall@10 at this point, re-measured r14 for the driver-trained
+    # centroids: 0.825 at sf0.1 / 0.864 at sf0.01 (up from mllib's
+    # 0.765/0.792 — the Lloyd fit spreads cells better here); probe
+    # cost flat at fixture scale.
     return knn_join(
         left, frame, cents, k=10, nprobe=8, round_ndigits=6,
         pq_codebooks=cb, pq_oversample=8, rescore="cogroup",
@@ -3209,6 +3211,47 @@ def q159(spark, sf_dir):
     save_bpe_tokenizer(path, merges, bpe_vocab_ids(vocab), unk_id=-1)
     lmerges, lids, params = load_bpe_tokenizer(spark, path)
     out = encode_stream(shard, lmerges, lids, unk_id=params["unk_id"])
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.slice("token_ids", 1, 8).alias("head_ids"),
+        F.array_contains("token_ids", params["unk_id"]).alias("has_unk"),
+    )
+
+
+@query("z160_bpe_byte_level")
+def q160(spark, sf_dir):
+    """BYTE-LEVEL BPE (r14, GPT-2 style — the remaining delta to
+    production LLM tokenizers): base symbols are each word's UTF-8
+    bytes (2-hex-digit strings, operators/bpe.py::_byte_symbols_col),
+    so the tokenizer is TOTAL — bpe_vocab_ids seeds all 256 byte
+    symbols and a frozen artifact encodes ANY text with zero unk,
+    including bytes the training corpus never contained. Same
+    train-once/encode-forever artifact contract as z159 (alphabet
+    recorded in the sidecar); the shard encodes through the stateless
+    stream kernel with merge-rank priority (byte-mode exactness
+    precondition, base_len=2). Rows-only (iterative merge learning is
+    not SQL-expressible); tests/test_round14.py pins byte-mode parity
+    against a pure-Python byte-BPE reference, the no-unk guarantee on
+    novel symbols, and UTF-8 round-trip of the segmentation."""
+    from .operators.ann_index import load_bpe_tokenizer, save_bpe_tokenizer
+    from .operators.bpe import bpe_vocab_ids, encode_stream, learn_bpe
+
+    docs = load(spark, sf_dir, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    hist = docs.filter(F.col("doc_id") <= mid)
+    shard = docs.filter(F.col("doc_id") > mid)
+    merges, vocab = learn_bpe(hist, n_merges=16, alphabet="byte")
+    path = _rt_path("bpe", "z160_tokenizer")
+    save_bpe_tokenizer(
+        path, merges, bpe_vocab_ids(vocab, alphabet="byte"),
+        unk_id=-1, alphabet="byte",
+    )
+    lmerges, lids, params = load_bpe_tokenizer(spark, path)
+    out = encode_stream(
+        shard, lmerges, lids,
+        unk_id=params["unk_id"], alphabet=params["alphabet"],
+    )
     return out.select(
         "doc_id",
         "n_tokens",

@@ -276,9 +276,9 @@ def test_z156_probe_recall_and_bucketed_equality(spark):
     )
     assert got == want
     # (a) recall@10 vs brute force at the chosen operating point
-    # (nprobe=8/16, r13): the idle curve measured 0.792 at sf0.01 /
-    # 0.765 at sf0.1 (SCALE.md "z156 recall/nprobe curve"); floor 0.75
-    # guards the point with a small noise margin
+    # (nprobe=8/16): driver-trained centroids (r14) measure 0.864 at
+    # sf0.01 / 0.825 at sf0.1 (mllib r13: 0.792/0.765); floor 0.75
+    # guards the point with a noise margin
     qs = left.select(F.col("doc_id").alias("qid"), "embedding")
     exact = cosine_topk(emb, qs, k=10)
     approx = probe.select(F.col("doc_id").alias("qid"), "vec_id")

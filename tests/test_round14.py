@@ -141,6 +141,191 @@ def test_encode_stream_deep_merges_matches_reference(spark):
     assert any(-7 in ids for ids in got.values())  # novel symbols hit unk
 
 
+# ------------------------------------------------------------ byte-level BPE
+
+
+def _py_byte_bpe_train(texts, n_merges):
+    """Independent pure-Python byte-level BPE reference: whitespace
+    tokens (lowercased, == textstats.tokens), hex-pair base symbols,
+    max-count merge with lexicographic tie-break, greedy left-to-right
+    application — the same contract as the char-mode reference of
+    earlier rounds."""
+    from collections import Counter
+
+    from ezdata_spark.operators.bpe import _merge_pair
+
+    words = Counter(w for t in texts for w in t.lower().split())
+    segs = {
+        w: [f"{b:02X}" for b in w.encode("utf-8")] + ["</w>"] for w in words
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, n in words.items():
+            s = segs[w]
+            for p in zip(s, s[1:]):
+                pairs[p] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w in segs:
+            segs[w] = _merge_pair(segs[w], *best)
+    return merges, segs
+
+
+def test_byte_bpe_matches_python_reference(spark):
+    """learn_bpe(alphabet='byte') merge list and encode_corpus token
+    streams match the independent byte-BPE reference, multi-byte UTF-8
+    included; the inventory is seeded with all 256 byte symbols."""
+    from ezdata_spark.operators.bpe import encode_corpus, learn_bpe
+
+    rng = random.Random(140)
+    base = ["héllo", "wörld", "中文", "naïve", "ascii", "mix中é"]
+    texts = [
+        " ".join(rng.choices(base, k=rng.randint(0, 8))) for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges, _ = learn_bpe(df, n_merges=24, method="driver", alphabet="byte")
+    ref_merges, ref_segs = _py_byte_bpe_train(texts, 24)
+    assert merges == ref_merges
+
+    got = {
+        r.doc_id: list(r.token_ids)
+        for r in encode_corpus(df, merges, alphabet="byte").collect()
+    }
+    inventory = sorted(
+        {s for seg in ref_segs.values() for s in seg}
+        | {f"{b:02X}" for b in range(256)}
+    )
+    sid = {s: i for i, s in enumerate(inventory)}
+    want = {
+        d: [sid[s] for w in t.lower().split() for s in ref_segs[w]]
+        for d, t in enumerate(texts)
+    }
+    assert got == want
+
+
+def test_byte_bpe_total_encode_no_unk_and_roundtrip(spark):
+    """The byte-mode frozen tokenizer is TOTAL: a shard full of
+    symbols the training corpus never contained encodes with zero
+    unk_id, and every word's segmentation unhex-round-trips to the
+    original token (lossless byte decomposition)."""
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids,
+        encode_stream,
+        learn_bpe,
+        segment_words,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, "plain ascii words only here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [(100, "中文 désolé emoji\U0001F600 plain"), (101, "")],
+        "doc_id long, text string",
+    )
+    merges, vocab = learn_bpe(hist, n_merges=12, method="driver", alphabet="byte")
+    frozen = bpe_vocab_ids(vocab, alphabet="byte")
+    out = {
+        r.doc_id: (list(r.token_ids), r.n_tokens)
+        for r in encode_stream(
+            shard, merges, frozen, unk_id=-9, alphabet="byte"
+        ).collect()
+    }
+    assert out[101] == ([], 0)
+    assert out[100][1] > 0
+    all_ids = out[100][0]
+    assert -9 not in all_ids  # TOTAL: novel symbols never hit unk
+    # segmentation round-trip: join symbols (minus </w>), unhex -> word
+    novel = spark.createDataFrame(
+        [("中文",), ("désolé",), ("emoji\U0001F600",), ("plain",)],
+        "word string",
+    )
+    segd = {
+        r.word: list(r.symbols)
+        for r in segment_words(novel, merges, alphabet="byte").collect()
+    }
+    for w, syms in segd.items():
+        # merges may absorb the marker (e.g. "61696E</w>"), so strip
+        # it from the JOINED symbol string, not the last element
+        joined = "".join(syms)
+        assert joined.endswith("</w>")
+        assert bytes.fromhex(joined[: -len("</w>")]).decode("utf-8") == w
+
+
+def test_byte_bpe_segment_jvm_py_parity_and_artifact(spark, tmp_path):
+    """Byte-mode segment_words 'jvm' == 'py' (NULL/empty edges
+    included), and the tokenizer artifact records alphabet='byte' so a
+    reload encodes identically to the in-session tokenizer."""
+    from ezdata_spark.operators.ann_index import (
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+    from ezdata_spark.operators.bpe import (
+        bpe_vocab_ids,
+        encode_stream,
+        learn_bpe,
+        segment_words,
+    )
+
+    docs = _toy_corpus(spark, seed=41, n_words=60, n_docs=40)
+    merges, vocab = learn_bpe(docs, n_merges=10, method="driver", alphabet="byte")
+    words = spark.createDataFrame(
+        [("héé",), ("中中b",), ("",), (None,), ("abc",)], "word string"
+    )
+    jvm = {
+        r.word: (list(r.symbols) if r.symbols is not None else None)
+        for r in segment_words(words, merges, method="jvm", alphabet="byte").collect()
+    }
+    py = {
+        r.word: (list(r.symbols) if r.symbols is not None else None)
+        for r in segment_words(words, merges, method="py", alphabet="byte").collect()
+    }
+    assert jvm == py
+    assert jvm[None] is None and jvm[""] == ["</w>"]
+
+    path = str(tmp_path / "byte_tok")
+    save_bpe_tokenizer(
+        path, merges, bpe_vocab_ids(vocab, alphabet="byte"),
+        unk_id=-1, alphabet="byte",
+    )
+    lmerges, lids, params = load_bpe_tokenizer(spark, path)
+    assert params["alphabet"] == "byte" and lmerges == merges
+    a = sorted(
+        (r.doc_id, list(r.token_ids))
+        for r in encode_stream(
+            docs, merges, bpe_vocab_ids(vocab, alphabet="byte"),
+            alphabet="byte",
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, list(r.token_ids))
+        for r in encode_stream(
+            docs, lmerges, lids, unk_id=params["unk_id"],
+            alphabet=params["alphabet"],
+        ).collect()
+    )
+    assert a == b
+
+
+def test_byte_rank_encode_exact_base_len():
+    """base_len=2 accepts monotone byte-mode lists (hex-pair
+    components) and still rejects non-monotone/base-creating ones."""
+    from ezdata_spark.operators.bpe import _rank_encode_exact
+
+    good = [("61", "62"), ("6162", "63"), ("6162", "</w>")]
+    assert _rank_encode_exact(good, 2)
+    assert not _rank_encode_exact(good, 1)  # char rule rejects hex pairs
+    # component only created later -> reject
+    assert not _rank_encode_exact([("6162", "63"), ("61", "62")], 2)
+    # creating the end-of-word marker -> reject
+    assert not _rank_encode_exact([("</", "w>")], 2)
+
+
 # ------------------------------------------------------------- cache budget
 
 
@@ -217,9 +402,10 @@ def test_encode_and_segment_reject_unknown_method(spark):
 
 def test_auto_shard_gate(spark):
     """r13 directive #7: shard_corpus='auto' — off below the absolute
-    row floor (fan-out measured harmful at small inputs), ~max/median
-    when a hot cell dominates, ~max/task_rows when balanced cells
-    exceed a task's budget; capped."""
+    row floor (fan-out measured harmful at small inputs),
+    ~sqrt(max/median) when a hot cell dominates (the measured-optimal
+    square-root skew rule), ~max/task_rows when balanced cells exceed
+    a task's budget; capped."""
     from ezdata_spark.operators.similarity import _auto_shard
 
     def frame(counts):
@@ -230,8 +416,8 @@ def test_auto_shard_gate(spark):
     assert _auto_shard(frame([50, 60, 55, 58])) == 1
     # small but skewed -> still off below min_rows
     assert _auto_shard(frame([400, 40, 40, 40])) == 1
-    # skewed above the (lowered) floor -> ~max/median
-    assert _auto_shard(frame([900, 100, 100, 100]), min_rows=500) == 9
+    # skewed above the (lowered) floor -> ~sqrt(max/median)
+    assert _auto_shard(frame([900, 100, 100, 100]), min_rows=500) == 3
     # balanced above the (lowered) task budget -> ~max/task_rows
     assert (
         _auto_shard(frame([800, 780, 790, 810]), min_rows=100, task_rows=200)
