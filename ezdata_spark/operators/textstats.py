@@ -298,16 +298,20 @@ def logreg_train(
 
     Full-batch gradient descent, DETERMINISTIC by construction: no
     RNG anywhere (weights start at zero, the vocabulary is top-df with
-    ties broken by term), fixed ``epochs``; each epoch is two
-    aggregate passes over a persisted compact feature frame —
-    per-doc score/error (one groupBy on the doc id; the current
-    weights fold in as a broadcast LITERAL MAP, so scoring is
-    join-free) and the per-term gradient (one groupBy on the term,
-    vocabulary-bounded after partial aggregation) — plus a
-    vocabulary-sized collect for the driver-side update
-    w -= lr * grad / n_docs. Nothing scales with the corpus except the
-    two shuffles, and the term shuffle is map-side-combined down to
-    the vocabulary size.
+    ties broken by term), fixed ``epochs``. The per-epoch input is ONE
+    persisted per-doc frame (doc id, label, token count, and the doc's
+    vocab-term counts as an _ti-sorted struct array), so each epoch is
+    a SINGLE job with a single vocabulary-bounded shuffle (r14; the
+    previous shape paid two jobs and ~4 exchanges per epoch — scores
+    groupBy, errs join, then a feats⋈errs join + term groupBy): the
+    per-doc score folds the current weights in as a broadcast LITERAL
+    ARRAY over the feature structs (join-free, shuffle-free), the
+    logistic error attaches in the same projection, and one explode +
+    groupBy on the term index — with a sentinel index -1 carrying the
+    bias gradient — yields every gradient component in one
+    vocabulary-sized collect. The driver update stays
+    w -= lr * grad / n_docs. Nothing scales with the corpus except
+    that one map-side-combined shuffle.
 
     ``vocab``: explicit term list, or None to take the ``vocab_size``
     highest-document-frequency terms (ties by term ascending).
@@ -315,74 +319,105 @@ def logreg_train(
     ``linear_score_stateless(docs, weights, bias=bias)``.
     """
     y = F.col(label_col).cast("double")
+    # tokenize ONCE: every downstream pass (vocab df ranking, feature
+    # counts, per-doc frame) reads the persisted token arrays instead
+    # of re-running the regex split per consumer
     base = docs.select(
         F.col(id_col), y.alias("_y"), token_count(text_col).alias("_n"),
         tokens(text_col).alias("_toks"),
-    )
-    if vocab is None:
-        df_counts = (
-            base.select(F.col(id_col), F.explode("_toks").alias("term"))
-            .groupBy("term")
-            .agg(F.count_distinct(id_col).alias("df"))
-            .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(vocab_size)
-        )
-        vocab = [r["term"] for r in df_counts.collect()]
-    if not vocab:
-        raise ValueError("logreg_train: empty vocabulary")
-    vset = set(vocab)
-    # compact features: one row per (doc, vocab term) with its count —
-    # the reusable per-epoch input (token-stream work happens ONCE)
-    feats = (
-        base.select(
-            F.col(id_col), "_y", "_n", F.explode("_toks").alias("term")
-        )
-        .where(F.col("term").isin(list(vset)))
-        .groupBy(id_col, "_y", "_n", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
     ).persist()
-    perdoc = base.select(F.col(id_col), "_y", "_n").persist()
-    n_docs = perdoc.count()
-    if n_docs == 0:
-        perdoc.unpersist()
-        feats.unpersist()
-        raise ValueError("logreg_train: empty training input")
-
-    w = {t: 0.0 for t in vocab}
-    b = float(init_bias)
     try:
-        for _ in range(epochs):
-            wmap = F.create_map(*[F.lit(x) for t in vocab for x in (t, w[t])])
-            scores = feats.groupBy(id_col).agg(
-                F.sum(F.element_at(wmap, F.col("term")) * F.col("_cnt")).alias("_s")
-            )
-            z = F.coalesce(F.col("_s"), F.lit(0.0)) / F.greatest(
-                F.col("_n"), F.lit(1)
-            ) + F.lit(b)
-            errs = perdoc.join(scores, id_col, "left").select(
-                F.col(id_col),
-                (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")).alias("_g"),
-            )
-            # one narrow frame feeds both the bias and the term gradient
-            errs = errs.persist()
-            grad_b = errs.agg(F.sum("_g")).first()[0] or 0.0
-            grad_rows = (
-                feats.join(errs, id_col)
+        if vocab is None:
+            df_counts = (
+                base.select(F.col(id_col), F.explode("_toks").alias("term"))
                 .groupBy("term")
-                .agg(
-                    F.sum(
-                        F.col("_g") * F.col("_cnt") / F.greatest(F.col("_n"), F.lit(1))
-                    ).alias("g")
-                )
-                .collect()
+                .agg(F.count_distinct(id_col).alias("df"))
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(vocab_size)
             )
-            errs.unpersist()
-            for r in grad_rows:
-                w[r["term"]] -= lr * float(r["g"]) / n_docs
-            b -= lr * float(grad_b) / n_docs
+            vocab = [r["term"] for r in df_counts.collect()]
+        if not vocab:
+            raise ValueError("logreg_train: empty vocabulary")
+        # map terms to dense indices at the source so every epoch works
+        # on integers; _fs is array_sort'ed so the per-doc score fold
+        # order is a pure function of the data (collect_list alone
+        # would inherit shuffle arrival order)
+        imap = F.create_map(
+            *[F.lit(x) for i, t in enumerate(vocab) for x in (t, i)]
+        )
+        fcounts = (
+            base.select(F.col(id_col), F.explode("_toks").alias("term"))
+            .select(F.col(id_col), F.element_at(imap, F.col("term")).alias("_ti"))
+            .where(F.col("_ti").isNotNull())
+            .groupBy(id_col, "_ti")
+            .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+            .groupBy(id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_ti"), F.col("_cnt")))
+                ).alias("_fs")
+            )
+        )
+        # keep featless docs: they still carry bias gradient
+        pergrp = (
+            base.select(F.col(id_col), "_y", "_n")
+            .join(fcounts, id_col, "left")
+            .select(
+                "_y",
+                "_n",
+                F.coalesce(
+                    "_fs",
+                    F.array().cast("array<struct<_ti:int,_cnt:double>>"),
+                ).alias("_fs"),
+            )
+        ).persist()
+        n_docs = pergrp.count()
+        if n_docs == 0:
+            raise ValueError("logreg_train: empty training input")
+
+        w = {t: 0.0 for t in vocab}
+        b = float(init_bias)
+        try:
+            inv_n = F.lit(1.0) / F.greatest(F.col("_n"), F.lit(1))
+            for _ in range(epochs):
+                warr = F.array(*[F.lit(w[t]) for t in vocab])
+                s = F.aggregate(
+                    "_fs",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + F.element_at(warr, x["_ti"] + 1) * x["_cnt"],
+                )
+                z = s / F.greatest(F.col("_n"), F.lit(1)) + F.lit(b)
+                g = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
+                contribs = F.concat(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).alias("_ti"), F.col("_g").alias("_v")
+                        )
+                    ),
+                    F.transform(
+                        "_fs",
+                        lambda x: F.struct(
+                            x["_ti"].alias("_ti"),
+                            (F.col("_g") * x["_cnt"] * inv_n).alias("_v"),
+                        ),
+                    ),
+                )
+                grad_rows = (
+                    pergrp.withColumn("_g", g)
+                    .select(F.explode(contribs).alias("c"))
+                    .groupBy(F.col("c._ti").alias("_ti"))
+                    .agg(F.sum("c._v").alias("g"))
+                    .collect()
+                )
+                grads = {int(r["_ti"]): float(r["g"]) for r in grad_rows}
+                for i, t in enumerate(vocab):
+                    w[t] -= lr * grads.get(i, 0.0) / n_docs
+                b -= lr * grads.get(-1, 0.0) / n_docs
+        finally:
+            pergrp.unpersist()
     finally:
-        feats.unpersist()
-        perdoc.unpersist()
+        base.unpersist()
     return w, b
 
 
