@@ -4093,13 +4093,17 @@ def q116(spark, sf_dir):
     substring dedup of Lee et al., ACL 2022: every 20-token window
     occurring 2+ times corpus-wide is cut from every document and the
     survivors are rejoined in order. The only corpus-wide shuffle
-    groups on the window gram (hashable to 8 bytes at 100 TB, as in
-    decontaminate); per-doc reconstruction is order-restored by
-    array_sort, not collect order."""
+    groups on the window gram; r14 switches the declared query to the
+    hashed-gram path (8-byte xxhash64 rolling keys instead of ~120-byte
+    gram strings — exact modulo 2^-64 collisions, the same key class
+    q86/q132 already ship): measured 2x on the 30M-row fixture and ~7%
+    at sf0.1, equality verified row-for-row at sf0.1 and by the sf0.01
+    oracle. Per-doc reconstruction is order-restored by array_sort,
+    not collect order."""
     from .operators.corpus import remove_duplicate_spans
 
     docs = load(spark, sf_dir, "documents")
-    return remove_duplicate_spans(docs, window=20, min_count=2)
+    return remove_duplicate_spans(docs, window=20, min_count=2, hash_grams=True)
 
 
 @query(
