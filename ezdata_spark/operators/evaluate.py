@@ -133,8 +133,10 @@ def average_precision(
         )
     )
     desc = [F.col("__s").desc()]
-    cum = global_cumsum(agg, "__p", desc, name="__cum_p")
-    cum = global_cumsum(cum, "__t", desc, name="__cum_t")
+    # both prefix-sums share the descending-score order: the fused
+    # global_cumsum runs them over ONE range exchange / window pass
+    # (r14; was two chained calls = two exchanges + two offset jobs)
+    cum = global_cumsum(agg, ["__p", "__t"], desc, name=["__cum_p", "__cum_t"])
     term = (F.col("__p") * F.col("__cum_p")).cast("double") / F.col(
         "__cum_t"
     ).cast("double")

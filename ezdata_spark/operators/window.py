@@ -264,9 +264,9 @@ def cohort_retention(
 
 def global_cumsum(
     df: DataFrame,
-    value_col: str,
+    value_col: "str | Sequence[str]",
     order_keys: Sequence,
-    name: str = "cum",
+    name: "str | Sequence[str]" = "cum",
 ) -> DataFrame:
     """Cumulative sum of ``value_col`` in global ``order_keys`` order
     WITHOUT a single-partition window — the distributed prefix-sum:
@@ -275,10 +275,23 @@ def global_cumsum(
     partition id, then per-partition totals (a bounded P-row collect,
     same contract as global_row_id) fold in as a literal offset map.
 
+    ``value_col``/``name`` may be lists: several prefix-sums sharing
+    one ordering run over ONE range exchange, ONE persisted frame, ONE
+    per-partition-totals job and ONE window pass (r14: evaluate.py::
+    average_precision needs cumP and cumT over the same descending
+    score order — the fused form halves its exchanges and actions).
+    Each column's arithmetic is identical to its standalone call.
+
     Use an exact type (decimal / integer) for ``value_col`` when
     cross-engine determinism matters: the offsets associate additions
     differently than a sequential scan, which is invisible in exact
     arithmetic and a last-ulp lottery in floats."""
+    cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    names = [name] if isinstance(name, str) else list(name)
+    if len(cols) != len(names):
+        raise ValueError(
+            f"global_cumsum: {len(cols)} value columns but {len(names)} names"
+        )
     srt = track(
         df.repartitionByRange(*order_keys)
         .sortWithinPartitions(*order_keys)
@@ -290,24 +303,30 @@ def global_cumsum(
         .orderBy("__mono")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local_cum = F.sum(F.col(value_col)).over(w)
     # An all-NULL partition sums to NULL: coalesce to 0 so the offset
     # chain never sees None (Decimal('None') raises) and downstream
     # partitions still get the right prefix.
     parts = sorted(
-        (r[0], r[1])
+        (r[0], tuple(r[i + 1] for i in range(len(cols))))
         for r in srt.groupBy(pid.alias("pid"))
-        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("s"))
+        .agg(*[
+            F.coalesce(F.sum(c), F.lit(0)).alias(f"s{i}")
+            for i, c in enumerate(cols)
+        ])
         .collect()
     )
     from decimal import Decimal
 
-    offsets, acc = {}, Decimal(0)
-    for p, s in parts:
-        offsets[p] = acc
-        acc += Decimal(str(s))
+    offsets = {}  # pid -> tuple of per-column running offsets
+    accs = [Decimal(0)] * len(cols)
+    for p, sums in parts:
+        offsets[p] = tuple(accs)
+        accs = [a + Decimal(str(s)) for a, s in zip(accs, sums)]
     if not offsets:
-        return df.withColumn(name, F.col(value_col))
+        out = df
+        for c, nm in zip(cols, names):
+            out = out.withColumn(nm, F.col(c))
+        return out
     # Offset literals carry the VALUE COLUMN's own numeric family:
     # doubles as doubles (a DECIMAL(38,6) cast would silently quantize
     # each partition boundary at 1e-6 — worse than the documented
@@ -315,18 +334,19 @@ def global_cumsum(
     # decimal so exact arithmetic stays exact.
     from pyspark.sql import types as T
 
-    dt = srt.schema[value_col].dataType
-    if isinstance(dt, (T.DoubleType, T.FloatType)):
-        lit = lambda o: f"CAST('{float(o)!r}' AS DOUBLE)"
-    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        lit = lambda o: f"CAST({int(o)} AS BIGINT)"
-    else:
-        lit = lambda o: f"CAST('{o}' AS DECIMAL(38,6))"
-    omap = "map(" + ",".join(f"{p},{lit(o)}" for p, o in offsets.items()) + ")"
-    return (
-        srt.withColumn(
-            name,
-            F.expr(f"element_at({omap}, int(shiftright(__mono, 33)))") + local_cum,
+    out = srt
+    for i, (c, nm) in enumerate(zip(cols, names)):
+        dt = srt.schema[c].dataType
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            lit = lambda o: f"CAST('{float(o)!r}' AS DOUBLE)"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            lit = lambda o: f"CAST({int(o)} AS BIGINT)"
+        else:
+            lit = lambda o: f"CAST('{o}' AS DECIMAL(38,6))"
+        omap = "map(" + ",".join(f"{p},{lit(o[i])}" for p, o in offsets.items()) + ")"
+        out = out.withColumn(
+            nm,
+            F.expr(f"element_at({omap}, int(shiftright(__mono, 33)))")
+            + F.sum(F.col(c)).over(w),
         )
-        .drop("__mono")
-    )
+    return out.drop("__mono")

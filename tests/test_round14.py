@@ -475,3 +475,54 @@ def test_ivf_index_rejects_unknown_trainer_and_assign(spark):
         ivf_index(df, n_cells=2, trainer="mlib")
     with pytest.raises(ValueError, match="unknown assign"):
         ivf_index(df, n_cells=2, assign="np")
+
+
+def test_global_cumsum_fused_matches_chained(spark):
+    """r14: the multi-column fused prefix-sum must be bit-identical to
+    two chained single-column calls — including NULL values inside a
+    partition and a descending order with ties."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.window import global_cumsum
+
+    rows = [(i % 7, (i * 13) % 5, None if i % 11 == 0 else (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, "s long, p long, t long").repartition(8)
+    order = [F.col("s").desc(), F.col("p"), F.col("t").asc_nulls_first()]
+
+    chained = global_cumsum(
+        global_cumsum(df, "p", order, name="cum_p"), "t", order, name="cum_t"
+    )
+    fused = global_cumsum(df, ["p", "t"], order, name=["cum_p", "cum_t"])
+    key = ["s", "p", "t", "cum_p", "cum_t"]
+    none_low = lambda row: tuple((v is not None, v) for v in row)
+    a = sorted(map(tuple, chained.select(*key).collect()), key=none_low)
+    b = sorted(map(tuple, fused.select(*key).collect()), key=none_low)
+    release_caches()
+    assert a == b
+
+    with pytest.raises(ValueError, match="value columns"):
+        global_cumsum(df, ["p", "t"], order, name="cum")
+
+
+def test_average_precision_empty_and_value(spark):
+    """average_precision on the fused cumsum: sklearn-checked value on
+    a small fixture and the NULL-ap empty-positive contract."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.evaluate import average_precision
+
+    rows = [(0.9, 1), (0.8, 0), (0.8, 1), (0.5, 0), (0.4, 1), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = average_precision(df).collect()[0]
+    # hand-computed step-interpolated AP with the 0.8 tie collapsed:
+    # thresholds desc: 0.9 (p=1,t=1), 0.8 (p=1,t=2), 0.4 (p=1,t=5)
+    # AP = (1*1/1 + 1*2/3 + 1*3/5) / 3
+    expected = (1.0 + 2.0 / 3.0 + 3.0 / 5.0) / 3.0
+    release_caches()
+    assert abs(r.ap - expected) < 1e-12
+    assert (r.n_pos, r.n_neg) == (3, 3)
+
+    none = spark.createDataFrame([(0.5, 0), (0.1, 0)], "score double, label int")
+    r0 = average_precision(none).collect()[0]
+    release_caches()
+    assert r0.ap is None and r0.n_pos == 0 and r0.n_neg == 2
