@@ -267,6 +267,7 @@ def global_cumsum(
     value_col: "str | Sequence[str]",
     order_keys: Sequence,
     name: "str | Sequence[str]" = "cum",
+    total_name: "str | Sequence[str] | None" = None,
 ) -> DataFrame:
     """Cumulative sum of ``value_col`` in global ``order_keys`` order
     WITHOUT a single-partition window — the distributed prefix-sum:
@@ -282,6 +283,15 @@ def global_cumsum(
     score order — the fused form halves its exchanges and actions).
     Each column's arithmetic is identical to its standalone call.
 
+    ``total_name`` (r14): attach each value column's GRAND TOTAL as a
+    literal column. The per-partition-sums collect already folds every
+    partition's sum into the final running offset, so the total is a
+    free by-product — callers that need "share of total" (q131 Pareto)
+    otherwise pay a second full scan + aggregate of ``df`` for one
+    scalar (guide §2.4: two results derivable from one pass must not
+    run two passes). Exact-decimal accumulation, identical to
+    ``df.agg(sum(col))`` for exact value types.
+
     Use an exact type (decimal / integer) for ``value_col`` when
     cross-engine determinism matters: the offsets associate additions
     differently than a sequential scan, which is invisible in exact
@@ -291,6 +301,13 @@ def global_cumsum(
     if len(cols) != len(names):
         raise ValueError(
             f"global_cumsum: {len(cols)} value columns but {len(names)} names"
+        )
+    tnames = (
+        [total_name] if isinstance(total_name, str) else list(total_name or [])
+    )
+    if tnames and len(tnames) != len(cols):
+        raise ValueError(
+            f"global_cumsum: {len(cols)} value columns but {len(tnames)} total names"
         )
     srt = track(
         df.repartitionByRange(*order_keys)
@@ -322,31 +339,38 @@ def global_cumsum(
     for p, sums in parts:
         offsets[p] = tuple(accs)
         accs = [a + Decimal(str(s)) for a, s in zip(accs, sums)]
-    if not offsets:
-        out = df
-        for c, nm in zip(cols, names):
-            out = out.withColumn(nm, F.col(c))
-        return out
-    # Offset literals carry the VALUE COLUMN's own numeric family:
+    # Offset/total literals carry the VALUE COLUMN's own numeric family:
     # doubles as doubles (a DECIMAL(38,6) cast would silently quantize
     # each partition boundary at 1e-6 — worse than the documented
     # last-ulp association caveat), integers as bigint, decimals in
     # decimal so exact arithmetic stays exact.
     from pyspark.sql import types as T
 
+    def _lit_fn(dt):
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return lambda o: f"CAST('{float(o)!r}' AS DOUBLE)"
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return lambda o: f"CAST({int(o)} AS BIGINT)"
+        return lambda o: f"CAST('{o}' AS DECIMAL(38,6))"
+
+    if not offsets:
+        out = df
+        for c, nm in zip(cols, names):
+            out = out.withColumn(nm, F.col(c))
+        for i, tn in enumerate(tnames):
+            out = out.withColumn(tn, F.expr(_lit_fn(df.schema[cols[i]].dataType)(0)))
+        return out
     out = srt
     for i, (c, nm) in enumerate(zip(cols, names)):
-        dt = srt.schema[c].dataType
-        if isinstance(dt, (T.DoubleType, T.FloatType)):
-            lit = lambda o: f"CAST('{float(o)!r}' AS DOUBLE)"
-        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-            lit = lambda o: f"CAST({int(o)} AS BIGINT)"
-        else:
-            lit = lambda o: f"CAST('{o}' AS DECIMAL(38,6))"
+        lit = _lit_fn(srt.schema[c].dataType)
         omap = "map(" + ",".join(f"{p},{lit(o[i])}" for p, o in offsets.items()) + ")"
         out = out.withColumn(
             nm,
             F.expr(f"element_at({omap}, int(shiftright(__mono, 33)))")
             + F.sum(F.col(c)).over(w),
         )
+    for i, tn in enumerate(tnames):
+        # the final running offset IS the grand total (every partition's
+        # sum has been folded in) — no second pass over the data
+        out = out.withColumn(tn, F.expr(_lit_fn(srt.schema[cols[i]].dataType)(accs[i])))
     return out.drop("__mono")

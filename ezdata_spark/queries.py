@@ -4651,18 +4651,22 @@ def q131(spark, sf_dir):
     running window + literal offset map — no Exchange SinglePartition
     (the oracle's global window is exactly the plan this op avoids).
     Arithmetic runs in DECIMAL so the offset association is exact and
-    cross-engine-stable; shares divide as doubles at the end."""
+    cross-engine-stable; shares divide as doubles at the end. The grand
+    total rides out of the prefix-sum's own per-partition-totals collect
+    (``total_name``, r14) — the previous separate ``rev.agg(sum)`` +
+    crossJoin re-scanned and re-aggregated the orders table once per
+    run for one scalar the prefix-sum had already computed."""
     from .operators.window import global_cumsum
 
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
     )
-    tot = rev.agg(F.sum("revenue").alias("total"))
     c = global_cumsum(
-        rev, "revenue", [F.col("revenue").desc(), F.col("o_custkey")], name="cum"
+        rev, "revenue", [F.col("revenue").desc(), F.col("o_custkey")], name="cum",
+        total_name="total",
     )
-    return c.crossJoin(F.broadcast(tot)).select(
+    return c.select(
         "o_custkey",
         F.col("revenue").cast("double").alias("revenue"),
         F.round(F.col("revenue").cast("double") / F.col("total").cast("double"), 6).alias("share"),

@@ -505,6 +505,48 @@ def test_global_cumsum_fused_matches_chained(spark):
         global_cumsum(df, ["p", "t"], order, name="cum")
 
 
+def test_global_cumsum_total_matches_agg(spark):
+    """r14: ``total_name`` rides the grand total out of the prefix-sum's
+    own per-partition-totals collect — it must equal a separate
+    ``agg(sum)`` exactly (decimal / long / double value families) and
+    cost no extra scan (q131 dropped its second aggregate on this)."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.window import global_cumsum
+
+    rows = [(i % 7, (i * 13) % 5, float((i * 7) % 9) / 4) for i in range(400)]
+    df = spark.createDataFrame(rows, "s long, p long, x double").withColumn(
+        "d", F.col("p").cast("decimal(18,2)")
+    ).repartition(8)
+    order = [F.col("s").desc(), F.col("p")]
+    out = global_cumsum(
+        df, ["p", "d", "x"], order, name=["cp", "cd", "cx"],
+        total_name=["tp", "td", "tx"],
+    )
+    got = out.select("tp", "td", "tx").distinct().collect()
+    exp = df.agg(F.sum("p"), F.sum("d"), F.sum("x")).collect()[0]
+    release_caches()
+    assert len(got) == 1  # the total is one literal, constant across rows
+    assert got[0]["tp"] == exp[0]
+    assert float(got[0]["td"]) == float(exp[1])
+    assert got[0]["tx"] == pytest.approx(exp[2], abs=1e-9)
+    # the last cum row equals the total for exact types
+    last = out.orderBy(F.col("cp").desc()).limit(1).collect()[0]
+    release_caches()
+    assert last["cp"] == exp[0]
+
+    with pytest.raises(ValueError, match="total names"):
+        global_cumsum(df, ["p", "d"], order, name=["a", "b"], total_name="t")
+
+    # empty input: totals attach as typed zero literals
+    empty = global_cumsum(
+        df.where(F.lit(False)), "p", order, name="cp", total_name="tp"
+    )
+    assert empty.count() == 0
+    assert "tp" in empty.columns
+
+
 def test_average_precision_empty_and_value(spark):
     """average_precision on the fused cumsum: sklearn-checked value on
     a small fixture and the NULL-ap empty-positive contract."""
