@@ -47,13 +47,44 @@ def _stat_col(name: str, fn: str):
     raise ValueError(f"unknown stat {fn!r}")
 
 
+def _wide_aggs(columns: Sequence[str], fns: Sequence[str]):
+    """(aggregate list, post-projection list) for one wide stats row.
+
+    Percentile fns are FUSED into one array ``percentile`` aggregate
+    per column (r14): N scalar ``percentile`` calls each buffer and
+    sort every value of the column independently — the array form
+    computes every requested point from ONE buffer and ONE sort, with
+    identical interpolation (value-identical results). The
+    post-projection re-emits the exact ``col__fn`` schema in the same
+    order, so callers see no change."""
+    pfns = [fn for fn in fns if fn.startswith("p") and fn[1:].isdigit()]
+    aggs, post = [], []
+    for name in columns:
+        fused = len(pfns) >= 2
+        if fused:
+            cc = _nan_to_null(F.col(name).cast("double"))
+            aggs.append(
+                F.percentile(
+                    cc, F.array(*[F.lit(int(fn[1:]) / 100.0) for fn in pfns])
+                ).alias(f"__ps__{name}")
+            )
+        for fn in fns:
+            if fused and fn in pfns:
+                continue
+            aggs.append(_stat_col(name, fn).alias(f"{name}__{fn}"))
+        for fn in fns:
+            if fused and fn in pfns:
+                src = F.col(f"__ps__{name}")[pfns.index(fn)]
+            else:
+                src = F.col(f"{name}__{fn}")
+            post.append(src.alias(f"{name}__{fn}"))
+    return aggs, post
+
+
 def column_stats(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | None = None) -> DataFrame:
     fns = tuple(fns or DEFAULT_FNS)
-    aggs = []
-    for name in columns:
-        for fn in fns:
-            aggs.append(_stat_col(name, fn).alias(f"{name}__{fn}"))
-    wide = df.agg(*aggs)  # single job, one row
+    aggs, post = _wide_aggs(columns, fns)
+    wide = df.agg(*aggs).select(*post)  # single job, one row
 
     # unpivot to (column, <fn>...) — tiny, driver-safe
     spark = df.sparkSession
@@ -73,13 +104,11 @@ def column_stats(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | Non
 
 def stats_wide(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | None = None) -> DataFrame:
     """Fully-distributed variant: one row, columns named col__fn (no
-    collect). Used by oracle-checked queries."""
+    collect). Used by oracle-checked queries. Percentile fns share one
+    array aggregate per column (see :func:`_wide_aggs`)."""
     fns = tuple(fns or DEFAULT_FNS)
-    aggs = []
-    for name in columns:
-        for fn in fns:
-            aggs.append(_stat_col(name, fn).alias(f"{name}__{fn}"))
-    return df.agg(*aggs)
+    aggs, post = _wide_aggs(columns, fns)
+    return df.agg(*aggs).select(*post)
 
 
 def approx_stats(

@@ -378,12 +378,19 @@ def q15(spark, sf_dir):
 )
 def q16(spark, sf_dir):
     """p16/p50/p84 (stats fn library, simpletable.py:3227-3271) via exact
-    interpolated percentile (matches quantile_cont)."""
+    interpolated percentile (matches quantile_cont). ONE percentile
+    aggregate with the percentage ARRAY (r14): three scalar
+    ``percentile`` calls each buffer and sort every value independently
+    — the array form computes all three points from one buffer and one
+    sort (same interpolation, value-identical), ~3x on the aggregate."""
     df = load(spark, sf_dir, "lineitem")
-    return df.agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.16)), 4).alias("p16"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.84)), 4).alias("p84"),
+    ps = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.16), F.lit(0.50), F.lit(0.84))
+    )
+    return df.agg(ps.alias("_ps")).select(
+        F.round(F.col("_ps")[0], 4).alias("p16"),
+        F.round(F.col("_ps")[1], 4).alias("p50"),
+        F.round(F.col("_ps")[2], 4).alias("p84"),
     )
 
 

@@ -547,6 +547,32 @@ def test_global_cumsum_total_matches_agg(spark):
     assert "tp" in empty.columns
 
 
+def test_stats_wide_fused_percentiles_match_scalar(spark):
+    """r14: _wide_aggs fuses p-fns into one array percentile aggregate
+    per column — values must equal the scalar-percentile path exactly
+    (same buffer/sort/interpolation), schema and column order
+    unchanged, and the single-percentile / no-percentile paths stay on
+    the scalar form."""
+    from pyspark.sql import functions as F
+
+    from ezdata_spark.operators.stats import _stat_col, stats_wide
+
+    rows = [(float(i % 97) / 3, float((i * 31) % 53)) for i in range(500)]
+    rows += [(float("nan"), 1.0), (None, None)]
+    df = spark.createDataFrame(rows, "a double, b double").repartition(7)
+    fns = ("mean", "p16", "p50", "p84", "max")
+    fused = stats_wide(df, ["a", "b"], fns)
+    assert fused.columns == [f"{c}__{fn}" for c in ("a", "b") for fn in fns]
+    got = fused.collect()[0]
+    exp = df.agg(
+        *[_stat_col(c, fn).alias(f"{c}__{fn}") for c in ("a", "b") for fn in fns]
+    ).collect()[0]
+    assert tuple(got) == tuple(exp)  # bit-identical, not approx
+    # one percentile only: no fuse, same result
+    one = stats_wide(df, ["a"], ("p50",)).collect()[0]
+    assert one["a__p50"] == exp["a__p50"]
+
+
 def test_average_precision_empty_and_value(spark):
     """average_precision on the fused cumsum: sklearn-checked value on
     a small fixture and the NULL-ap empty-positive contract."""
