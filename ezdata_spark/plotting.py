@@ -508,13 +508,20 @@ class Plotter:
         """boxplot/violin data: per-group exact quartiles on-cluster
         (plotter.py violin/box 809-966); whiskers at q +- 1.5 IQR."""
         df = self._frame_with({"__v": value})
+        # one array percentile per group (r14): three scalar percentile
+        # aggregates each buffer and sort the group's values
+        # independently; the array form shares one buffer and one sort
+        # (value-identical interpolation)
+        qs = F.percentile("__v", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
         agg = (
             df.groupBy(key)
-            .agg(
-                F.percentile("__v", F.lit(0.25)).alias("q1"),
-                F.percentile("__v", F.lit(0.5)).alias("med"),
-                F.percentile("__v", F.lit(0.75)).alias("q3"),
-                F.avg("__v").alias("mean"),
+            .agg(qs.alias("_qs"), F.avg("__v").alias("mean"))
+            .select(
+                key,
+                F.col("_qs")[0].alias("q1"),
+                F.col("_qs")[1].alias("med"),
+                F.col("_qs")[2].alias("q3"),
+                "mean",
             )
             .orderBy(key)
             .collect()

@@ -1737,13 +1737,24 @@ def q56(spark, sf_dir):
 )
 def q57(spark, sf_dir):
     """boxplot/violin statistics feed (plotter.py:809-966): exact
-    per-group quartiles on-cluster; only the stats reach the driver."""
+    per-group quartiles on-cluster; only the stats reach the driver.
+    ONE array percentile per group (r14) — three scalar calls each
+    buffer and sort the group's values independently (same fuse as
+    q16; value-identical)."""
     df = load(spark, sf_dir, "customer")
-    return df.groupBy("c_mktsegment").agg(
-        F.round(F.percentile("c_acctbal", F.lit(0.25)), 4).alias("q1"),
-        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("med"),
-        F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("q3"),
-        F.round(F.avg("c_acctbal"), 4).alias("mean"),
+    qs = F.percentile(
+        "c_acctbal", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(qs.alias("_qs"), F.round(F.avg("c_acctbal"), 4).alias("mean"))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("_qs")[0], 4).alias("q1"),
+            F.round(F.col("_qs")[1], 4).alias("med"),
+            F.round(F.col("_qs")[2], 4).alias("q3"),
+            "mean",
+        )
     )
 
 
