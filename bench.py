@@ -290,6 +290,14 @@ def main() -> None:
     # signal: record its error, keep timing the rest.
     errors: dict[str, str] = {}
     rss_series: list[int] = []
+    # Per-round reference basket (r15, r14 verdict #6): the basket
+    # queries already run in every interleaved round, so summing each
+    # round's samples costs nothing and records how ambient speed moved
+    # DURING the run — the r14 judge had to apply one global 1.25x to
+    # separate host decay from real regression; this series lets the
+    # next one do it per round. Additions-only: no timing or ordering
+    # change to any existing measurement.
+    ref_per_rep: list[float] = []
     for _ in range(reps):
         for name in HEADLINE:
             if name in errors:
@@ -316,6 +324,9 @@ def main() -> None:
         # series tracks RETAINED memory, which is what must stay flat
         spark._jvm.System.gc()
         rss_series.append(_tree_rss_mb())
+        rp = [samples[n][-1] for n in REF_QUERIES if samples.get(n)]
+        if len(rp) == len(REF_QUERIES):
+            ref_per_rep.append(round(sum(rp), 3))
 
     # relational-core tier: one summed pass per round, 3 rounds, median.
     # A failing query voids only ITS round's sum (a summed tier with a
@@ -387,6 +398,11 @@ def main() -> None:
         # the host was busy while this run timed queries
         "ref_queries": list(REF_QUERIES),
         "ref_sec": ref_sec,
+        # intra-run drift series: the basket summed per interleaved
+        # round (and the raw core-tier round sums below) — lets a judge
+        # normalize each round by ITS ambient speed instead of one
+        # global factor
+        "ref_sec_per_rep": ref_per_rep,
         # start-of-run load is the idleness evidence (the run's own
         # 32-thread work dominates the end-of-run averages)
         "idle_wait_sec": idle_wait_sec,
@@ -412,6 +428,7 @@ def main() -> None:
             round(statistics.median(core_sums), 3) if core_sums else None
         ),
         "core_tier_rounds": len(core_sums),
+        "core_tier_sums": [round(s, 3) for s in core_sums],
         "core_tier_queries": CORE_TIER,
         "queries_normalized": (
             {n: round(s / ref_sec, 2) for n, s in timings.items()}

@@ -407,6 +407,7 @@ def backoff_logprob(
     id_col: str = "doc_id",
     min_count: int = 2,
     alpha: float = 0.4,
+    hash_tokens: bool = True,
 ) -> DataFrame:
     """Per-document mean negative log-score under a trigram LM with
     STUPID BACKOFF (Brants et al., EMNLP 2007 — the web-scale n-gram
@@ -433,19 +434,41 @@ def backoff_logprob(
     equi-joins of the stream against the (pruned, n-gram-bounded)
     tables — Catalyst broadcasts the small ones, AQE handles the big;
     the final per-doc mean is one hash aggregate.
+
+    ``hash_tokens=True`` (default, r15): the position stream carries
+    xxhash64(token) longs instead of token strings, so all three
+    n-gram aggregates and all five scoring joins shuffle/probe 8-byte
+    keys (guide §2.3). Counts — hence scores — are identical up to
+    xxhash64 collisions (~|vocab|^2/2^65), the same accepted class as
+    the hashed gram keys elsewhere; pass False for string-exact
+    scoring (the persisted-LM path, ``ngram_lm_build``/
+    ``backoff_score``, always keeps strings — its parquet artifact is
+    a public contract).
     """
-    pos = track(_ngram_positions(docs, text, id_col))
+    pos = track(_ngram_positions(docs, text, id_col, hash_tokens=hash_tokens))
     tri, bi, uni = _ngram_tables(pos, min_count)
     uni = track(uni)
     return _backoff_join_score(pos, tri, bi, uni, id_col, alpha, smooth_oov=False)
 
 
-def _ngram_positions(docs: DataFrame, text: str, id_col: str) -> DataFrame:
+def _ngram_positions(
+    docs: DataFrame, text: str, id_col: str, hash_tokens: bool = False
+) -> DataFrame:
     """(id, pos, a, b, c) position stream: c = token, b/a = the one/two
     preceding tokens (null at the document start) — built inside the
-    row with one transform over the token array, no window."""
+    row with one transform over the token array, no window.
+
+    ``hash_tokens=True`` replaces each token with xxhash64(token)
+    INSIDE the token array (before the position transform, so the
+    null-at-document-start markers stay null): every downstream n-gram
+    aggregate and scoring join then carries 8-byte longs instead of
+    token strings (guide §2.3 — same accepted collision class as the
+    hashed gram keys q86/q109/q116/q132 ship)."""
+    tok = tokens(text)
+    if hash_tokens:
+        tok = F.transform(tok, lambda t: F.xxhash64(t))
     return (
-        docs.select(F.col(id_col), tokens(text).alias("_t"))
+        docs.select(F.col(id_col), tok.alias("_t"))
         .select(
             F.col(id_col),
             F.explode(

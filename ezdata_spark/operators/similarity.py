@@ -1522,8 +1522,25 @@ def _lloyd_subspaces(
     (measured 187 s -> 18.5 s at m=16/k=256 on a 60k x 128
     non-converging synthetic sample; results list-equal). Pool sized
     cores/4 (8 threads on the 32-core host measured faster than 16 —
-    the argmin passes are memory-bound)."""
-    workers = min(m, max(1, (os.cpu_count() or 8) // 4))
+    the argmin passes are memory-bound), LOAD-AWARE since r15: the
+    fixed cores/4 pool fought whatever else the host was running (the
+    r14 driver bench landed on a non-idle host — load 2.0/6.25 at
+    start — and q50b/z101 regressed there while staying flat on idle
+    ABBA), so the budget subtracts the 1-min load average first.
+    Worker count never changes the RESULT (each fit is a pure function
+    of its column slice and seed + j), only the wall-clock.
+    ``SPARK_GRAFT_PQ_TRAIN_THREADS`` pins the pool explicitly (0/1
+    disables threading)."""
+    env = os.environ.get("SPARK_GRAFT_PQ_TRAIN_THREADS")
+    if env is not None:
+        workers = min(m, max(1, int(env)))
+    else:
+        try:
+            busy = os.getloadavg()[0]
+        except OSError:  # platform without getloadavg
+            busy = 0.0
+        cpus = os.cpu_count() or 8
+        workers = min(m, max(1, int(cpus - busy) // 4))
     if workers <= 1:
         return [
             _lloyd(X[:, j * (X.shape[1] // m):(j + 1) * (X.shape[1] // m)], k, iters, seed + j)
