@@ -2206,13 +2206,21 @@ def q86(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any word
     3-gram with a held-out set (doc_id % 97 == 0 stands in for the
     benchmark). Distinct (doc, ngram) on both sides before the
-    equi-join, so the shuffle never carries positions."""
+    equi-join, so the shuffle never carries positions.
+    hash_ngrams=True (r15): the corpus-wide distinct and the equi-join
+    carry 8-byte xxhash64 keys instead of ~20-byte gram strings (guide
+    §2.3) — the same accepted collision class q109/q116/q132 ship;
+    ~8%% at sf0.1 where the shuffle is small, scaling with gram bytes.
+    A bloom prefilter (q86b's shape) was measured 2.5x SLOWER here —
+    its two build jobs dominate at a 1/97 benchmark fraction."""
     from .operators.corpus import decontaminate
 
     docs = load(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    return decontaminate(train, bench, n=3).select("doc_id", "n_hit", "contaminated")
+    return decontaminate(train, bench, n=3, hash_ngrams=True).select(
+        "doc_id", "n_hit", "contaminated"
+    )
 
 
 @query(
