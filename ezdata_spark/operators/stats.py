@@ -111,6 +111,90 @@ def stats_wide(df: DataFrame, columns: Sequence[str], fns: Sequence[str] | None 
     return df.agg(*aggs).select(*post)
 
 
+def percentiles_exact_distributed(
+    df: DataFrame, column: str, ps: Sequence[float], out: str = "_ps"
+) -> DataFrame:
+    """One-row frame holding the exact interpolated percentiles of
+    ``column`` (array column ``out``, same order as ``ps``), computed
+    via DISTRIBUTED order statistics instead of Spark's ``percentile``
+    aggregate (r15, guide §2.4/§5).
+
+    ``percentile`` buffers every value of the column into ONE final
+    aggregation task (a value->count map per partial task, merged and
+    sorted in a single reducer) — the classic scale-killer: at sf0.1 it
+    is the most expensive member of the relational core tier, and at
+    real scale the final task buffers the whole column. Here the column
+    is range-repartitioned and sorted ONCE in parallel (the same
+    zipWithIndex shape as window.global_row_id), the per-partition
+    counts come back in one bounded collect, and only the <= 2*len(ps)
+    rows sitting at the target global ranks are fetched; interpolation
+    replicates ``Percentile.getPercentile`` exactly — position =
+    p*(N-1), value = (ceil(pos)-pos)*v[floor(pos)] +
+    (pos-floor(pos))*v[ceil(pos)] in the same IEEE double operation
+    order — so results are bit-identical to the aggregate's (nulls
+    skipped, NaN sorts largest, ties irrelevant to the k-th order
+    statistic). Empty/all-null input yields a null array, matching the
+    aggregate's null.
+
+    The two bounded jobs run at CONSTRUCTION time (the established
+    offsets-collect contract of global_row_id / global_cumsum); the
+    returned frame is one literal row."""
+    import math
+
+    from ..cache import track
+
+    spark = df.sparkSession
+    vals = df.select(F.col(column).cast("double").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    srt = track(
+        vals.repartitionByRange(F.col("__v"))
+        .sortWithinPartitions("__v")
+        .withColumn("__mono", F.monotonically_increasing_id())
+    )
+    pid = F.expr("shiftright(__mono, 33)")
+    counts = sorted(
+        (r[0], r[1])
+        for r in srt.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_total = sum(n for _, n in counts)
+    if n_total == 0:
+        return spark.range(1).select(
+            F.lit(None).cast("array<double>").alias(out)
+        )
+    # global rank -> (partition, local index) via cumulative offsets
+    targets = set()
+    for p in ps:
+        pos = p * (n_total - 1)
+        targets.add(int(math.floor(pos)))
+        targets.add(int(math.ceil(pos)))
+    want = {}  # (pid, local) -> rank
+    for rank in sorted(targets):
+        acc = 0
+        for part, n_rows in counts:
+            if rank < acc + n_rows:
+                want[(part, rank - acc)] = rank
+                break
+            acc += n_rows
+    local = F.expr(f"__mono & {(1 << 33) - 1}")
+    cond = F.lit(False)
+    for (part, loc), _ in want.items():
+        cond = cond | ((pid == F.lit(part)) & (local == F.lit(loc)))
+    got = srt.where(cond).select(pid.alias("p"), local.alias("l"), "__v").collect()
+    by_rank = {want[(r["p"], r["l"])]: r["__v"] for r in got}
+    res = []
+    for p in ps:
+        pos = p * (n_total - 1)
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        if lo == hi:
+            res.append(by_rank[lo])
+        else:
+            res.append((hi - pos) * by_rank[lo] + (pos - lo) * by_rank[hi])
+    return spark.range(1).select(
+        F.array(*[F.lit(float(v)).cast("double") for v in res]).alias(out)
+    )
+
+
 def approx_stats(
     df: DataFrame,
     columns: Sequence[str],

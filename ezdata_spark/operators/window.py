@@ -351,6 +351,14 @@ def global_cumsum(
             return lambda o: f"CAST('{float(o)!r}' AS DOUBLE)"
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             return lambda o: f"CAST({int(o)} AS BIGINT)"
+        if isinstance(dt, T.DecimalType):
+            # the literal carries the column's OWN scale (widened to
+            # Spark's sum result precision, min(38, p+10)) so a value
+            # column with scale > 6 is never quantized — a hard-coded
+            # DECIMAL(38,6) broke the "identical to df.agg(sum(col))"
+            # claim for such columns (r15, advice item)
+            p, s = min(38, dt.precision + 10), dt.scale
+            return lambda o: f"CAST('{o}' AS DECIMAL({p},{s}))"
         return lambda o: f"CAST('{o}' AS DECIMAL(38,6))"
 
     if not offsets:

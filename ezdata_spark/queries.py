@@ -378,16 +378,21 @@ def q15(spark, sf_dir):
 )
 def q16(spark, sf_dir):
     """p16/p50/p84 (stats fn library, simpletable.py:3227-3271) via exact
-    interpolated percentile (matches quantile_cont). ONE percentile
-    aggregate with the percentage ARRAY (r14): three scalar
-    ``percentile`` calls each buffer and sort every value independently
-    — the array form computes all three points from one buffer and one
-    sort (same interpolation, value-identical), ~3x on the aggregate."""
+    interpolated percentile (matches quantile_cont). r14 fused the
+    three scalar ``percentile`` aggregates into one array aggregate
+    (one buffer + one sort instead of three); r15 replaces the
+    aggregate outright with DISTRIBUTED order statistics
+    (operators/stats.py::percentiles_exact_distributed): ``percentile``
+    still funnels every value's count map into ONE final task — the
+    single-reducer scale-killer — where the distributed form
+    range-sorts the column in parallel and fetches only the rows at
+    the interpolation ranks. Bit-identical interpolation (asserted)."""
+    from .operators.stats import percentiles_exact_distributed
+
     df = load(spark, sf_dir, "lineitem")
-    ps = F.percentile(
-        "l_extendedprice", F.array(F.lit(0.16), F.lit(0.50), F.lit(0.84))
-    )
-    return df.agg(ps.alias("_ps")).select(
+    return percentiles_exact_distributed(
+        df, "l_extendedprice", [0.16, 0.50, 0.84]
+    ).select(
         F.round(F.col("_ps")[0], 4).alias("p16"),
         F.round(F.col("_ps")[1], 4).alias("p50"),
         F.round(F.col("_ps")[2], 4).alias("p84"),

@@ -1,0 +1,66 @@
+"""Round-15 optimization pins: distributed exact percentiles (q16's
+kernel) and the decimal-scale-preserving prefix-sum total literal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_percentiles_exact_distributed_matches_aggregate(spark):
+    """r15: percentiles_exact_distributed must be bit-identical to the
+    ``percentile`` aggregate (same interpolation formula on the same
+    order statistics) across interior, endpoint, tied and single-value
+    cases, and return a null array on empty/all-null input like the
+    aggregate does."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.stats import percentiles_exact_distributed
+
+    rows = [(float((i * 37) % 101) + 0.25,) for i in range(997)]
+    rows += [(42.25,)] * 13 + [(None,)] * 7  # ties + nulls
+    df = spark.createDataFrame(rows, "v double").repartition(9)
+    ps = [0.0, 0.16, 0.5, 0.84, 0.99, 1.0]
+
+    agg = df.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("_ps")
+    ).collect()[0]["_ps"]
+    got = percentiles_exact_distributed(df, "v", ps).collect()[0]["_ps"]
+    release_caches()
+    assert len(got) == len(agg)
+    for g, a in zip(got, agg):
+        assert g == a or math.isclose(g, a, rel_tol=0, abs_tol=0), (g, a)
+
+    # single value
+    one = spark.createDataFrame([(3.5,)], "v double")
+    got1 = percentiles_exact_distributed(one, "v", [0.0, 0.5, 1.0]).collect()[0]["_ps"]
+    release_caches()
+    assert got1 == [3.5, 3.5, 3.5]
+
+    # empty / all-null -> null array, matching the aggregate's null
+    empty = spark.createDataFrame([(None,)], "v double")
+    gote = percentiles_exact_distributed(empty, "v", [0.5]).collect()[0]["_ps"]
+    release_caches()
+    assert gote is None
+
+
+def test_global_cumsum_total_keeps_decimal_scale(spark):
+    """r15 (advice item): a decimal value column with scale > 6 must
+    get its grand total UNQUANTIZED — the literal carries the column's
+    own scale widened to the sum precision, so the total equals
+    ``df.agg(sum(col))`` exactly instead of being rounded at 1e-6."""
+    from decimal import Decimal
+
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.window import global_cumsum
+
+    rows = [(i, Decimal(f"0.{i % 10}234567{i % 3}")) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, v decimal(20,8)").repartition(4)
+    out = global_cumsum(
+        df, "v", [F.col("v").desc(), F.col("k")], name="cv", total_name="tv"
+    )
+    got = out.select("tv").distinct().collect()
+    exp = df.agg(F.sum("v")).collect()[0][0]
+    release_caches()
+    assert len(got) == 1
+    assert got[0]["tv"] == exp  # exact Decimal equality, scale preserved
+    assert got[0]["tv"].as_tuple().exponent == -8
