@@ -106,15 +106,19 @@ def triangle_count(
     unique source->middle->sink path, so
     n_triangles = sum over oriented edges (u,v) of |N+(u) ∩ N+(v)|.
     The out-neighbour lists are grouped once (one shuffle of the edge
-    list) and attached to each oriented edge by two equi-joins; the
-    intersection of two sorted O(sqrt(m)) arrays happens inside the
-    row. Compared with materializing the wedge self-join and probing
-    each wedge against the edge set (the r13 shape), this removes the
-    sort-merge wedge join and the per-wedge row stream entirely —
-    sum over nodes of C(outdeg, 2) wedge rows never exist — measured
-    1.53x end-to-end on the sf0.1 census with identical output. The
-    plan survives power-law degree skew for the same reason the wedge
-    form did: no node contributes more than O(sqrt(m)) out-neighbours.
+    list); EXPLODING the grouped lists re-derives every oriented edge
+    (u, v) with N+(u) already attached (collect_list(v) per u holds
+    exactly the oriented v's, so explode is the join's own output —
+    r15, guide §2.4), leaving ONE equi-join, on v, to attach N+(v);
+    the intersection of two sorted O(sqrt(m)) arrays happens inside
+    the row. Compared with materializing the wedge self-join and
+    probing each wedge against the edge set (the r13 shape), this
+    removes the sort-merge wedge join and the per-wedge row stream
+    entirely — sum over nodes of C(outdeg, 2) wedge rows never exist
+    — measured 1.53x end-to-end on the sf0.1 census with identical
+    output. The plan survives power-law degree skew for the same
+    reason the wedge form did: no node contributes more than
+    O(sqrt(m)) out-neighbours.
 
     global_clustering = 3 * triangles / wedges, with wedges counted in
     the undirected graph: sum over nodes of C(degree, 2)."""
@@ -158,8 +162,12 @@ def triangle_count(
     )
     adj = track(adj)
     tri = (
-        oriented.join(adj, "u")
-        .select(F.col("v"), F.col("nb").alias("nbu"))
+        # explode(adj.nb) IS oriented ⋈ adj on u: collect_list(v) per u
+        # holds exactly that node's oriented out-edges, so re-expanding
+        # the cached lists yields the identical (v, nbu) rows without
+        # shuffling the oriented frame a second time (r15: one
+        # SortMergeJoin + its exchange removed, identical row multiset)
+        adj.select(F.explode("nb").alias("v"), F.col("nb").alias("nbu"))
         .join(adj.select(F.col("u").alias("v"), F.col("nb").alias("nbv")), "v")
         .agg(
             F.coalesce(
