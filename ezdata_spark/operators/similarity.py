@@ -1566,19 +1566,42 @@ def _train_sample(
     sample_rows: int,
 ) -> np.ndarray:
     """Driver-bounded, DETERMINISTIC training sample of normalized
-    vectors (shared by pq_train / opq_train). Hash-ordered limit: a
-    bare limit() takes whatever rows arrive first, so the training set
-    (hence the codebooks) would depend on partition layout; ordering
-    by a content hash makes the sample a pure function of the data. At
-    corpus scale pass ``sample_fraction`` so the sort runs on the
-    sample, not the full table."""
+    vectors (shared by ivf_index(trainer='driver') / pq_train /
+    opq_train). Hash-ordered limit: a bare limit() takes whatever rows
+    arrive first, so the training set (hence the codebooks) would
+    depend on partition layout; ordering by a content hash makes the
+    sample a pure function of the data. At corpus scale pass
+    ``sample_fraction`` so the sort runs on the sample, not the full
+    table.
+
+    The collected batch converts to the (n, dim) float64 matrix through
+    the Arrow list column's contiguous values buffer — ONE flatten +
+    reshape (r15, guide §4.2: Arrow list data is a flat buffer plus
+    offsets) instead of toPandas().tolist(), which materializes a
+    Python list per row before numpy re-packs them; bit-identical
+    doubles either way (same IEEE buffer, no Python float round-trip).
+    Ragged or null-holding samples (never produced by normalize, but
+    the contract is defensive) fall back to the row-list path."""
     n = normalize(df, vec, "v").select("v")
     if sample_fraction is not None:
         n = n.sample(sample_fraction, seed=seed)
-    return np.asarray(
-        n.orderBy(F.xxhash64("v")).limit(sample_rows).toPandas()["v"].tolist(),
-        dtype=np.float64,
+    col = (
+        n.orderBy(F.xxhash64("v"))
+        .limit(sample_rows)
+        .toArrow()
+        .column("v")
+        .combine_chunks()
     )
+    if len(col) == 0:
+        return np.asarray([], dtype=np.float64)
+    try:
+        widths = np.diff(col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        if col.null_count == 0 and widths.size and (widths == widths[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=True).reshape(len(col), int(widths[0]))
+    except (AttributeError, NotImplementedError):
+        pass
+    return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
 def pq_train(

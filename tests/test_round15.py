@@ -64,3 +64,35 @@ def test_global_cumsum_total_keeps_decimal_scale(spark):
     assert len(got) == 1
     assert got[0]["tv"] == exp  # exact Decimal equality, scale preserved
     assert got[0]["tv"].as_tuple().exponent == -8
+
+
+def test_train_sample_arrow_reshape_matches_tolist(spark):
+    """r15: _train_sample converts the collected Arrow list column via
+    one values-buffer flatten + reshape; must be bit-identical to the
+    row-by-row toPandas().tolist() form (same hash order, same IEEE
+    doubles), including the ragged-input fallback and the empty frame."""
+    import numpy as np
+
+    import ezdata_spark.operators.similarity as sim
+
+    rows = [(i, [float(i) / 7.0 + j * 0.013 for j in range(6)]) for i in range(257)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(5)
+
+    def old(df_, vec, seed, frac, cap):
+        n = sim.normalize(df_, vec, "v").select("v")
+        if frac is not None:
+            n = n.sample(frac, seed=seed)
+        return np.asarray(
+            n.orderBy(F.xxhash64("v")).limit(cap).toPandas()["v"].tolist(),
+            dtype=np.float64,
+        )
+
+    for cap in (50, 10_000):  # limit binding and not binding
+        Xo = old(df, "embedding", 42, None, cap)
+        Xn = sim._train_sample(df, "embedding", 42, None, cap)
+        assert Xo.shape == Xn.shape
+        assert np.array_equal(Xo, Xn)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    Xe = sim._train_sample(empty, "embedding", 42, None, 10)
+    assert Xe.size == 0
