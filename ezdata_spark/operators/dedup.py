@@ -811,6 +811,7 @@ def trigram_similarity_pairs(
     hash_verify: bool = True,
     unit="char3",
     max_gram_df: int | str | None = "auto",
+    gram_df: str = "window",
 ) -> DataFrame:
     """Exact Jaccard similarity self-join on per-document gram sets
     (default: character trigrams, pg_trgm semantics) with PREFIX
@@ -879,7 +880,26 @@ def trigram_similarity_pairs(
     and the pairs it can miss are all-boilerplate near-template pairs
     (exact-dedup territory). Pass None to force the exact join
     regardless of profile (the oracle-checked mode); pass an int to
-    pin the cap."""
+    pin the cap.
+
+    ``gram_df`` picks how the gram document frequency (the rank key)
+    reaches each gram row (r15, guide §2.4 — identical values and rank
+    order either way):
+
+    - ``"window"`` (default, unbounded-vocabulary-safe): ``count(*)
+      over (partition by g)`` — one full exchange + sort of the gram
+      frame by g. Right when the distinct-gram table itself outgrows a
+      broadcast (word/shingle units over open vocabularies).
+    - ``"broadcast"``: a map-side-combined ``groupBy(g).count()``
+      (its exchange carries distinct grams only) broadcast-joined back
+      onto the gram frame, so the prefix build's only corpus-wide
+      exchange is the id one its rank windows need anyway — the full
+      gram frame crosses the wire twice total (prefix build + verify
+      set build) instead of three times, and the full-frame sort by g
+      never happens. Right when the DISTINCT gram table is bounded —
+      char trigrams (``unit='char3'``): at most |alphabet|^3 grams
+      exist no matter the corpus size, the same vocabulary-bounded
+      broadcast contract as the LM scoring joins (corpus.py)."""
     gs = _gram_set(text_col, unit)
     if hash_verify:
         # hash at the source: every downstream frame (frequency agg,
@@ -955,12 +975,31 @@ def trigram_similarity_pairs(
     # per-g window count IS the document frequency and the per-id count
     # IS the set size, and the rank order (gc, g) within each id is
     # unchanged.
-    prefix = (
-        grams.withColumn("gc", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= prefix_len)
-    )
+    if gram_df not in ("window", "broadcast"):
+        raise ValueError(
+            f"trigram_similarity_pairs: unknown gram_df {gram_df!r} "
+            "(expected 'window' or 'broadcast')"
+        )
+    if gram_df == "broadcast":
+        # df table = one map-side-combined aggregate (the exchange
+        # carries distinct grams only — vocabulary-bounded), broadcast
+        # back: the prefix build's only full gram-frame exchange is
+        # the id one the rank windows need anyway — the Exchange+sort
+        # by g of the window form never happens
+        gdf = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gc"))
+        prefix = (
+            grams.join(F.broadcast(gdf), "g")
+            .withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("id")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= prefix_len)
+        )
+    else:
+        prefix = (
+            grams.withColumn("gc", F.count(F.lit(1)).over(Window.partitionBy("g")))
+            .withColumn("ng", F.count(F.lit(1)).over(Window.partitionBy("id")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= prefix_len)
+        )
     if max_gram_df is not None:
         # rn stays ranked over the FULL order so the positional filter
         # keeps its meaning; the cap only removes frequent grams from

@@ -4751,7 +4751,17 @@ def q132(spark, sf_dir):
     # checks (the default 'auto' profiles the corpus and resolves to
     # None here anyway — char-trigram df is flat — but an oracle query
     # must not let the data decide its own semantics).
-    return trigram_similarity_pairs(docs, threshold=0.8, max_gram_df=None)
+    # gram_df='broadcast' (r15): the rank key (gram document frequency)
+    # broadcasts from a map-combined aggregate instead of a full-frame
+    # window by g, and the windows + verify collect_set share ONE
+    # repartition(id) exchange — the corpus-wide gram frame crosses the
+    # wire once, not three times. Scale-safe HERE because char trigrams
+    # have a vocabulary-bounded distinct-gram table (|alphabet|^3 caps
+    # it regardless of corpus size); open-vocabulary units keep the
+    # 'window' default.
+    return trigram_similarity_pairs(
+        docs, threshold=0.8, max_gram_df=None, gram_df="broadcast"
+    )
 
 
 @query("z133_audio_metadata")

@@ -96,3 +96,46 @@ def test_train_sample_arrow_reshape_matches_tolist(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     Xe = sim._train_sample(empty, "embedding", 42, None, 10)
     assert Xe.size == 0
+
+
+def test_trigram_gram_df_broadcast_matches_window(spark):
+    """r15: gram_df='broadcast' (map-combined df table broadcast onto
+    the gram frame; no full-frame window by g) must return exactly the
+    window form's pairs — the rank order (gc, g) is identical by
+    construction, so candidates, verification and output all match."""
+    from ezdata_spark.cache import release_caches
+    from ezdata_spark.operators.dedup import trigram_similarity_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dot"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different text with no overlap at all"),
+        (5, "completely different text with no overlap at ALL"),
+        (6, "xyz"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    key = lambda r: (r.id_a, r.id_b)
+    for hv in (True, False):
+        got_w = sorted(
+            trigram_similarity_pairs(
+                df, threshold=0.5, max_gram_df=None, hash_verify=hv, gram_df="window"
+            ).collect(),
+            key=key,
+        )
+        release_caches()
+        got_b = sorted(
+            trigram_similarity_pairs(
+                df, threshold=0.5, max_gram_df=None, hash_verify=hv, gram_df="broadcast"
+            ).collect(),
+            key=key,
+        )
+        release_caches()
+        assert got_w == got_b
+        assert len(got_w) >= 2  # the near-dup pairs actually exist
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gram_df"):
+        trigram_similarity_pairs(df, gram_df="nope")
