@@ -588,8 +588,12 @@ def ngram_lm_build(
     any number of new shards/streams with :func:`backoff_score` —
     the train-once / score-daily split a real perplexity filter runs
     (:func:`backoff_logprob` is the same-corpus one-shot form). Each
-    table is one map-side-combined aggregate of the position stream."""
-    pos = _ngram_positions(docs, text, id_col)
+    table is one map-side-combined aggregate of the position stream,
+    which is persisted (tracked — release via cache.release_caches)
+    so the three aggregates share ONE tokenize+explode scan of the
+    corpus instead of re-deriving it per table (r15, guide §2.4; the
+    same discipline backoff_logprob already applies)."""
+    pos = track(_ngram_positions(docs, text, id_col))
     return _ngram_tables(pos, min_count)
 
 
