@@ -20,6 +20,7 @@ from .textstats import token_count, tokens
 
 __all__ = [
     "word_ngrams",
+    "word_ngram_hashes",
     "decontaminate",
     "decontaminate_stateless",
     "decontaminate_stateless_bloom",
@@ -52,6 +53,25 @@ def word_ngrams(text, n: int) -> Column:
     for i in range(2, n + 1):
         acc = F.zip_with(acc, F.slice(t, i, m), lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(F.size(t) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngram_hashes(text, n: int) -> Column:
+    """xxhash64'd word ``n``-grams WITHOUT materializing the joined gram
+    strings (r15, guide §2.3 applied to compute): the same zip_with fold
+    as :func:`word_ngrams` but each pass folds the hash —
+    ``hash(...hash(hash(t1, t2), t3)..., tn)`` — a deterministic
+    injective-modulo-collisions map of the token tuple, the same
+    accepted collision class as ``xxhash64(space-joined gram)`` (which
+    it replaces as the ``hash_ngrams`` join key in
+    :func:`decontaminate`); per-gram concat allocations disappear."""
+    t = tokens(text)
+    if n == 1:
+        return F.transform(t, lambda w: F.xxhash64(w))
+    m = F.size(t) - n + 1
+    acc = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m), lambda a, b: F.xxhash64(a, b))
+    for i in range(3, n + 1):
+        acc = F.zip_with(acc, F.slice(t, i, m), lambda h, w: F.xxhash64(h, w))
+    return F.when(F.size(t) >= n, acc).otherwise(F.array().cast("array<bigint>"))
 
 
 def decontaminate(
@@ -101,11 +121,21 @@ def decontaminate(
     """
     if prefilter not in (None, "bloom"):
         raise ValueError(f"decontaminate: unknown prefilter {prefilter!r}")
-    key = (lambda c: F.xxhash64(c)) if hash_ngrams else (lambda c: c)
+    if hash_ngrams and prefilter is None:
+        # hash at construction (r15): both sides explode the zip_with-
+        # folded xxhash64 of the token tuple directly — gram strings
+        # never materialize (word_ngram_hashes); same consistent-
+        # both-sides collision contract as hashing the strings. The
+        # bloom path keeps strings: its screen probes the string grams.
+        key = lambda c: c
+        gram_arr = word_ngram_hashes(text, n)
+    else:
+        key = (lambda c: F.xxhash64(c)) if hash_ngrams else (lambda c: c)
+        gram_arr = word_ngrams(text, n)
     doc_grams_raw = docs.select(
-        F.col(id_col), F.explode(word_ngrams(text, n)).alias("ng")
+        F.col(id_col), F.explode(gram_arr).alias("ng")
     )
-    bench_explode = benchmark.select(F.explode(word_ngrams(text, n)).alias("ng"))
+    bench_explode = benchmark.select(F.explode(gram_arr).alias("ng"))
     if prefilter == "bloom":
         # the build runs two jobs over the benchmark grams (count +
         # position collect) and the equi-join reads them a third time —
